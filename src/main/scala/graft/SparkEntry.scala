@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def catalogs: Seq[QueryDef] =
-    operators.Relational.catalog
+    operators.Relational.catalog ++ operators.TextDedup.catalog ++
+      operators.Similarity.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Uses the reference's centerpiece shape: per-key historical average vs

@@ -1,0 +1,307 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline half of the engine (BASELINE.json north
+  * star). All per-row logic is built-in codegen'd functions; the pairwise
+  * ops are formulated as joins/aggregations so they distribute.
+  *
+  * Scale design (100 TB):
+  *  - per-row ops (tokens/fingerprint/quality/langid) are embarrassingly
+  *    parallel, no shuffle;
+  *  - exact dedup is a single hash-shuffle on a 32-hex-char key — the
+  *    canonical groupBy-on-digest pattern;
+  *  - all-pairs Jaccard uses an inverted shingle index (join on shingle),
+  *    never a cross join; still quadratic in the worst case, so the
+  *    MinHash+LSH variant (t07) is the scale path: candidate generation is
+  *    linear in docs × bands, and only candidates are exactly verified;
+  *  - SimHash (t08) compresses each doc to one 64-bit signature — 8 bytes
+  *    per document of shuffle, the cheapest near-dup signal at scale.
+  */
+object TextDedup {
+
+  private val JaccardThreshold = 0.6
+
+  /** Shared DuckDB CTE: tokenized documents (mirror of
+    * [[graft.functions.TextFunctions.tokens]]). */
+  private val TokCte =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, text, n_chars,
+      |         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+      |  FROM documents
+      |)""".stripMargin
+
+  /** DuckDB CTE for distinct 3-token shingles + per-doc shingle counts. */
+  private val ShingleCte =
+    TokCte + """,
+      |sh AS (
+      |  SELECT DISTINCT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+      |  FROM (SELECT doc_id, toks, unnest(range(len(toks)-2)) AS i FROM tok WHERE len(toks) >= 3)
+      |),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** Exact-verified Jaccard pairs SQL (used as the oracle for BOTH the
+    * inverted-index query t06 and the MinHash+LSH query t07 — the LSH
+    * banding parameters are chosen so recall at the 0.6 threshold is
+    * exhaustive; see minHashBands). */
+  private val JaccardPairsSql =
+    ShingleCte + s""",
+      |pairs AS (
+      |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc1, doc2, inter * 1.0 / (x.n + y.n - inter) AS jaccard
+      |FROM pairs JOIN sz x ON x.doc_id = doc1 JOIN sz y ON y.doc_id = doc2
+      |WHERE inter * 1.0 / (x.n + y.n - inter) >= $JaccardThreshold
+      |ORDER BY doc1, doc2""".stripMargin
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** (doc_id, shingle) exploded distinct shingle index.
+    * The explicit repartition spreads the tokenize+shingle explosion
+    * across cores — a small single-file scan would otherwise pin the
+    * whole per-row pipeline to one task (cost measured 4.7s -> 0.2s at
+    * sf0.1). At 100 TB the scan's file splits provide this naturally. */
+  private[graft] def shingleIndex(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // The repartition is BETWEEN tokenize and shingle on purpose, and
+      // not only for parallelism: the exchange materializes `toks`, so
+      // CollapseProject cannot substitute the tokenize expression into
+      // every element_at() of the shingle lambda (which would re-run the
+      // regex split per shingle — measured ~10x on this stage).
+      .repartition(s.sparkContext.defaultParallelism)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(shingles3(col("toks"))).as("shingle"))
+
+  /** Exact Jaccard >= threshold on candidate pairs given a (doc1, doc2)
+    * candidate DataFrame. Joins the per-doc shingle sets (one row per doc
+    * — broadcastable at moderate doc counts; at extreme scale replace with
+    * a semi-join back into the index). */
+  private[graft] def verifyJaccard(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+    val sets = docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(s.sparkContext.defaultParallelism) // materialize toks (see shingleIndex)
+      .select(col("doc_id"), shingles3(col("toks")).as("sh"))
+    // NOTE deliberately NO `.filter(size(sh) > 0)` here: Catalyst pushes
+    // such a filter below the projection and into the scan, substituting
+    // the whole tokenize+shingle expression into the predicate (re-running
+    // the regex split per element_at — measured 12s -> 1s on this stage).
+    // Shingle-less docs never appear in candidates, so the filter is
+    // redundant anyway.
+    val s1 = sets.select(col("doc_id").as("doc1"), col("sh").as("sh1"))
+    val s2 = sets.select(col("doc_id").as("doc2"), col("sh").as("sh2"))
+    cand.join(s1, "doc1").join(s2, "doc2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard",
+        col("inter") * lit(1.0) / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  // ---------------------------------------------------------------- catalog
+
+  /** Token counting: whitespace tokens + a regex word-ish count
+    * (BPE-ish lower bound) + source n_chars. */
+  val t01 = QueryDef(
+    "t01_token_count",
+    (s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        regexp_count(lower(col("text")), lit("[a-z]+")).as("n_wordish"),
+        col("n_chars"))
+        .orderBy(col("doc_id")),
+    Some(TokCte + """
+      |SELECT doc_id, len(toks) AS n_tokens,
+      |       len(regexp_extract_all(lower(text), '[a-z]+')) AS n_wordish,
+      |       n_chars
+      |FROM tok ORDER BY doc_id""".stripMargin))
+
+  /** Document fingerprinting: md5 of whitespace-normalized text. */
+  val t02 = QueryDef(
+    "t02_fingerprint",
+    (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+           |       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Quality scoring: volume, diversity, stopword balance, token length. */
+  val t03 = QueryDef(
+    "t03_quality_score",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      docs(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          qualityScore(col("toks")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(TokCte + """
+      |SELECT doc_id, len(toks) AS n_tokens,
+      |       0.3 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+      |     + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+      |     + 0.2 * (1.0 - CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS DOUBLE) / len(toks))
+      |     + 0.2 * least(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) / 5.0, 1.0)
+      |       AS quality
+      |FROM tok ORDER BY doc_id""".stripMargin))
+
+  /** Language identification by marker-stopword scoring. */
+  val t04 = QueryDef(
+    "t04_langid",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
+        .select(col("doc_id"), col("lang"),
+          langId(col("text"), col("toks")).as("pred_lang"))
+        .withColumn("is_match", col("pred_lang") === col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some(TokCte + """
+      |SELECT doc_id, lang, pred_lang, (pred_lang = lang) AS is_match FROM (
+      |  SELECT doc_id, lang,
+      |         CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+      |              WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+      |              WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+      |              WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+      |              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+      |              ELSE 'es' END AS pred_lang
+      |  FROM (
+      |    SELECT doc_id, lang, text,
+      |           len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS s_en,
+      |           len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+      |           len(list_filter(toks, t -> t IN ('le','la','les','et','est'))) AS s_fr,
+      |           len(list_filter(toks, t -> t IN ('el','los','las','y','es'))) AS s_es
+      |    FROM tok))
+      |ORDER BY doc_id""".stripMargin))
+
+  /** Exact deduplication: hash-groupBy on the md5 fingerprint; keeps the
+    * lowest doc_id as the canonical representative. */
+  val t05 = QueryDef(
+    "t05_dedup_exact",
+    (s, d) =>
+      docs(s, d)
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+        .orderBy(col("fp")),
+    Some("""SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+           |       MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+           |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin))
+
+  /** N-gram Jaccard near-dup pairs via an inverted shingle index — exact,
+    * no cross join: docs only meet if they share a shingle. */
+  val t06 = QueryDef(
+    "t06_jaccard_pairs",
+    (s, d) => {
+      val sh = shingleIndex(s, d)
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
+      // The index is distinct per doc, so the join-group count IS the
+      // intersection size — no second pass over the shingle sets needed.
+      val inter = a.join(b, a("shingle") === b("shingle") && col("doc1") < col("doc2"))
+        .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
+        .join(sz.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
+        .withColumn("jaccard", col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select(col("doc1"), col("doc2"), col("jaccard"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    Some(JaccardPairsSql))
+
+  // MinHash parameters: 64 permutations in 32 bands of 2 rows. Miss
+  // probability for a pair at the 0.6 threshold is (1 - 0.6^2)^32 ~= 6e-7,
+  // and candidates are exactly verified — so the output equals the exact
+  // inverted-index result (t06) and shares its oracle.
+  private val NumHashes = 64
+  private val BandRows = 2
+  private val MersennePrime = 2305843009213693951L // 2^61 - 1
+  private val (hashA, hashB) = {
+    val rnd = new scala.util.Random(42)
+    (Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue - 1).toLong + 1L),
+     Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signatures: one row per doc, NumHashes min-aggregates over the
+    * 31-bit base hash of each shingle. Universal hashing
+    * (a*x + b) mod (2^61-1) keeps everything overflow-free under ANSI
+    * semantics (operands < 2^31 so products < 2^62). */
+  private[graft] def minHashSignature(s: SparkSession, d: String): DataFrame = {
+    val h31 = (xxhash64(col("shingle")).bitwiseAND(lit(0x7FFFFFFFL))).as("h")
+    val mins = (0 until NumHashes).map { j =>
+      min((lit(hashA(j)) * col("h") + lit(hashB(j))) % lit(MersennePrime)).as(s"mh$j")
+    }
+    shingleIndex(s, d)
+      .select(col("doc_id"), h31)
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH banding near-dup pairs, exact-verified. The scale path:
+    * candidate generation shuffles O(docs x bands) rows, never all pairs. */
+  val t07 = QueryDef(
+    "t07_minhash_lsh",
+    (s, d) => {
+      val sig = minHashSignature(s, d)
+      val bandCols = (0 until NumHashes / BandRows).map { b =>
+        xxhash64((b * BandRows until (b + 1) * BandRows).map(j => col(s"mh$j")): _*)
+      }
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+      val x = bands.select(col("doc_id").as("doc1"), col("band_idx"), col("band_hash"))
+      val y = bands.select(col("doc_id").as("doc2"), col("band_idx").as("bi2"), col("band_hash").as("bh2"))
+      val cand = x.join(y,
+          x("band_idx") === y("bi2") && x("band_hash") === y("bh2") &&
+            col("doc1") < col("doc2"))
+        .select(col("doc1"), col("doc2")).distinct()
+      verifyJaccard(s, d, cand)
+    },
+    Some(JaccardPairsSql))
+
+  /** SimHash near-dup pairs: 64-bit signature per doc (sign of the
+    * per-bit vote over shingle hashes), candidates via 16-bit chunk
+    * banding, kept when Hamming distance <= 6. Not SQL-expressible
+    * (xxhash64 has no DuckDB equivalent) => rows-only check here;
+    * cross-validated against exact Jaccard in the ScalaTest suite. */
+  val t08 = QueryDef(
+    "t08_simhash_pairs",
+    (s, d) => {
+      val sh = shingleIndex(s, d).withColumn("h", xxhash64(col("shingle")))
+      val bitVotes = (0 until 64).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$i")
+      }
+      val sig = sh.groupBy(col("doc_id"))
+        .agg(bitVotes.head, bitVotes.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(i =>
+            when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+            .reduce(_.bitwiseOR(_)).as("sig"))
+      val chunks = sig.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("chunk_idx", "chunk")))
+      val x = chunks.select(col("doc_id").as("doc1"), col("sig").as("sig1"), col("chunk_idx"), col("chunk"))
+      val y = chunks.select(col("doc_id").as("doc2"), col("sig").as("sig2"), col("chunk_idx").as("ci2"), col("chunk").as("ch2"))
+      x.join(y, x("chunk_idx") === y("ci2") && x("chunk") === y("ch2") && col("doc1") < col("doc2"))
+        .select(col("doc1"), col("doc2"), col("sig1"), col("sig2")).distinct()
+        .withColumn("hamming", bit_count(col("sig1").bitwiseXOR(col("sig2"))))
+        .filter(col("hamming") <= 6)
+        .select(col("doc1"), col("doc2"), col("hamming"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    None)
+
+  val catalog: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
+}

@@ -1,0 +1,95 @@
+package graft.tools
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only timing probe for stage-level cost attribution. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"PROBE $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$n")
+    }
+
+    import graft.functions.TextFunctions._
+    val docs = Tables.documents(spark, d)
+    val shingleIdx = docs
+      .repartition(32)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(shingles3(col("toks"))).as("shingle"))
+
+    time("shingle_index")(shingleIdx.count())
+    val h31 = xxhash64(col("shingle")).bitwiseAND(lit(0x7FFFFFFFL)).as("h")
+    val rnd = new scala.util.Random(42)
+    val hashA = Array.fill(64)(rnd.nextInt(Int.MaxValue - 1).toLong + 1L)
+    val hashB = Array.fill(64)(rnd.nextInt(Int.MaxValue).toLong)
+    val mins = (0 until 64).map { j =>
+      min((lit(hashA(j)) * col("h") + lit(hashB(j))) % lit(2305843009213693951L)).as(s"mh$j")
+    }
+    val sig = shingleIdx.select(col("doc_id"), h31).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    time("minhash_signature")(sig.count())
+    val bandCols = (0 until 32).map { b =>
+      xxhash64((b * 2 until (b + 1) * 2).map(j => col(s"mh$j")): _*)
+    }
+    val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+    time("bands")(bands.count())
+    val x = bands.select(col("doc_id").as("doc1"), col("band_idx"), col("band_hash"))
+    val y = bands.select(col("doc_id").as("doc2"), col("band_idx").as("bi2"), col("band_hash").as("bh2"))
+    val cand = x.join(y, x("band_idx") === y("bi2") && x("band_hash") === y("bh2") && col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2")).distinct()
+    time("candidates")(cand.count())
+
+    // cosine pairs stages
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    time("emb_cast")(emb.count())
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, p) => acc + p)
+    val a2 = emb.select(col("vec_id").as("id1"), col("e").as("e1"))
+    val b2 = emb.select(col("vec_id").as("id2"), col("e").as("e2"))
+    val pairs = a2.repartition(32).join(b2, col("id1") < col("id2"))
+    time("pair_count")(pairs.count())
+    time("pair_dot")(pairs.select(dot(col("e1"), col("e2")).as("c")).filter(col("c") > 2).count())
+    locally {
+      val sets = docs.repartition(32)
+        .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val s1 = sets.select(col("doc_id").as("doc1"), col("sh").as("sh1"))
+      val s2 = sets.select(col("doc_id").as("doc2"), col("sh").as("sh2"))
+      val candM = cand.cache()
+      time("cand_cached")(candM.count())
+      time("verify_joins_only")(candM.join(s1, "doc1").join(s2, "doc2").count())
+      time("verify_bcast")(candM.join(broadcast(s1), "doc1").join(broadcast(s2), "doc2")
+        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+        .filter(col("inter") > 0).count())
+      time("verify_only")(candM.join(s1, "doc1").join(s2, "doc2")
+        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+        .filter(col("inter") > 0).count())
+    }
+    locally {
+      import graft.operators.TextDedup
+      time("op_shingle_index")(TextDedup.shingleIndex(spark, d).count())
+      time("op_sig")(TextDedup.minHashSignature(spark, d).count())
+      val c2 = spark.createDataFrame(
+        cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq).toDF("doc1", "doc2")
+      TextDedup.verifyJaccard(spark, d, c2).explain("formatted")
+      time("op_verify_static_cand")(TextDedup.verifyJaccard(spark, d, c2).count())
+    }
+    time("t07_cold")(graft.operators.TextDedup.t07.fn(spark, d).count())
+    time("t07_warm")(graft.operators.TextDedup.t07.fn(spark, d).count())
+    time("s01_cold")(graft.operators.Similarity.s01.fn(spark, d).count())
+    time("s01_warm")(graft.operators.Similarity.s01.fn(spark, d).count())
+    spark.stop()
+  }
+}
