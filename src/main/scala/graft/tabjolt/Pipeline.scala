@@ -1,0 +1,75 @@
+package graft.tabjolt
+
+import java.time.LocalDate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pipeline configuration — the shape of the reference's config.json
+  * (S3 source locations, SMTP endpoint; config.json:1-24). JDBC/Vertica
+  * connection config has no analog: tables live wherever Spark reads
+  * them. */
+final case class PipelineConfig(
+    summaryLinePath: String,
+    winCounterPath: String,
+    performanceSamplesPath: String,
+    threadDetailsPath: String,
+    rejectedPath: String,
+    emailFrom: String = "graft@localhost",
+    emailTo: Seq[String] = Seq("team@localhost"),
+    emailSubject: String = "Tabjolt Daily Run Summary")
+
+/** End-to-end daily-report pipeline — the Spark re-expression of the
+  * reference's __main__ (tabjolt_email.py:345-394): load the four tables
+  * (rejected rows to the side sink), run the nine queries, render the
+  * trend chart + HTML report, hand to the email sink.
+  *
+  * The S3 download step (tabjolt_email.py:351-359) has no separate
+  * analog: Spark reads `s3a://` URIs in the *Path fields directly when a
+  * Hadoop S3 filesystem is on the classpath — pulling objects to local
+  * disk first would serialize the whole load through the driver.
+  */
+object Pipeline {
+
+  final case class TabjoltTables(summaryLine: DataFrame, winCounter: DataFrame,
+                                 performanceSamples: DataFrame, threadDetails: DataFrame)
+
+  def ingest(spark: SparkSession, cfg: PipelineConfig): TabjoltTables =
+    TabjoltTables(
+      Ingest.loadWithRejectedSink(spark, cfg.summaryLinePath, Schemas.summaryLine, ",", cfg.rejectedPath),
+      Ingest.loadWithRejectedSink(spark, cfg.winCounterPath, Schemas.winCounter, "\t", cfg.rejectedPath),
+      Ingest.loadWithRejectedSink(spark, cfg.performanceSamplesPath, Schemas.performanceSamples, ",", cfg.rejectedPath),
+      Ingest.loadWithRejectedSink(spark, cfg.threadDetailsPath, Schemas.threadDetails, "\t", cfg.rejectedPath))
+
+  /** Runs the full report for `runDate` and sends it through `sink`.
+    * Returns the rendered HTML for inspection. */
+  def runDaily(spark: SparkSession, cfg: PipelineConfig, runDate: LocalDate,
+               sink: EmailSink): String = {
+    val t = ingest(spark, cfg)
+
+    def scalarString(df: DataFrame): String =
+      df.collect().headOption.map(r => Option(r.get(0)).map(_.toString).getOrElse("")).getOrElse("No results found")
+
+    val metrics = Seq(
+      "Average time taken for tabjolt run (values are in ms):" ->
+        scalarString(Queries.dailyMetric(t.summaryLine, runDate, "Avg")),
+      "Maximum time taken for tabjolt run (values are in ms):" ->
+        scalarString(Queries.dailyMetric(t.summaryLine, runDate, "Max")),
+      "Minimum time taken for tabjolt run (values are in ms):" ->
+        scalarString(Queries.dailyMetric(t.summaryLine, runDate, "Min")),
+      "Tabjolt test cases executed at " ->
+        scalarString(Queries.latestExecution(t.winCounter)),
+      "Average Historic time taken for tabjolt run (values are in ms):" ->
+        scalarString(Queries.historicAvg(t.summaryLine)))
+
+    val chart = Report.trendChartSvg(
+      Report.trendPoints(Queries.trendSeries(t.summaryLine)))
+    val htmlBody = Report.html(
+      metrics,
+      Queries.todaysSamples(t.performanceSamples, runDate).collect().toSeq,
+      Queries.regressions(t.performanceSamples, runDate).collect().toSeq,
+      Queries.improvements(t.performanceSamples, runDate).collect().toSeq)
+
+    sink.send(MimeMessage(cfg.emailFrom, cfg.emailTo, cfg.emailSubject,
+      htmlBody, chart.getBytes("UTF-8"), "graph_cid"))
+    htmlBody
+  }
+}

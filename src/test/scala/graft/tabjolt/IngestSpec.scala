@@ -1,0 +1,63 @@
+package graft.tabjolt
+
+import java.nio.file.Files
+import graft.SparkSpec
+
+/** Rejected-row semantics of the COPY-equivalent loader
+  * (SURVEY.md §1.4): malformed rows divert, good rows load, embedded
+  * newlines in quoted fields parse (multiLine). */
+class IngestSpec extends SparkSpec {
+
+  private def tmpFile(content: String, suffix: String = ".csv"): String = {
+    val f = Files.createTempFile("graft-ingest", suffix)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  test("good rows load; over-arity rows divert to the rejected column") {
+    val path = tmpFile(
+      """Avg,12661,2024-07-30
+        |Min,12661,2024-07-30
+        |bad,row,with,way,too,many,fields,to,possibly,fit,the,three,column,schema
+        |Err,0 0.00%,2024-07-30
+        |""".stripMargin)
+    val r = Ingest.load(spark, path, Schemas.summaryLine, ",")
+    assert(r.good.count() == 3)
+    assert(r.rejectedCount == 1)
+    val rej = r.rejected.collect()(0).getString(0)
+    assert(rej.startsWith("bad,row"))
+  }
+
+  test("quoted fields with embedded newlines parse via multiLine") {
+    val path = tmpFile(
+      "12661,0,1722333530042,true,L,200,\"Site: a;\nWorkbook: multi\nline;\",T,,\"1,000\",1,5,x\n" +
+        "772,0,1722333530043,true,L,200,Site: b;,T,,99,1,5,x\n")
+    val r = Ingest.load(spark, path, Schemas.performanceSamples, ",")
+    assert(r.good.count() == 2)
+    assert(r.rejectedCount == 0)
+    val rm = r.good.filter(org.apache.spark.sql.functions.col("elapsed_time_ms") === "12661")
+      .collect()(0).getAs[String]("response_message")
+    assert(rm.contains("\n") && rm.contains("Workbook: multi"))
+  }
+
+  test("header row enters the table as data when skipHeader=false (reference behavior)") {
+    val path = tmpFile("t,lt,ts,s,lb,rc,rm,tn,dt,by,ng,na,\n" +
+      "12661,0,1722333530042,true,L,200,Site: a;,T,,99,1,5,x\n")
+    val r = Ingest.load(spark, path, Schemas.performanceSamples, ",")
+    assert(r.good.count() == 2) // header included as a data row
+    val withSkip = Ingest.load(spark, path, Schemas.performanceSamples, ",", skipHeader = true)
+    assert(withSkip.good.count() == 1)
+  }
+
+  test("rejected sink appends raw lines and the load continues") {
+    val path = tmpFile(
+      Seq("1", "H", "Memory", "c", "", "0", "2024-07-30 15:30:13").mkString("\t") + "\n" +
+        Seq("not", "a", "valid", "row", "too", "many", "fields", "here", "extra").mkString("\t") + "\n",
+      ".tsv")
+    val rejDir = Files.createTempDirectory("graft-rej").toString + "/rejected"
+    val good = Ingest.loadWithRejectedSink(spark, path, Schemas.winCounter, "\t", rejDir)
+    assert(good.count() >= 1)
+    val rejected = spark.read.text(rejDir).count()
+    assert(rejected == 1)
+  }
+}

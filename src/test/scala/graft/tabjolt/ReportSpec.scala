@@ -1,0 +1,64 @@
+package graft.tabjolt
+
+import java.time.LocalDate
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class ReportSpec extends SparkSpec {
+
+  test("SVG chart renders one marker and label per point with 1000ms grid") {
+    val pts = Seq(
+      Report.TrendPoint(LocalDate.of(2024, 7, 29), 10000),
+      Report.TrendPoint(LocalDate.of(2024, 7, 30), 12661))
+    val svg = Report.trendChartSvg(pts)
+    assert(svg.contains("<circle") && svg.split("<circle").length == 3)
+    assert(svg.contains(">12661<") && svg.contains(">10000<"))
+    assert(svg.contains(">13000<")) // y-axis headroom tick at next 1000
+  }
+
+  test("empty series renders the reference's 'No results found'") {
+    assert(Report.trendChartSvg(Nil).contains("No results found"))
+  }
+
+  test("regression cells go red above +20% and never on NULL pct") {
+    val rows = Seq(
+      Row(100.0, 200, "Site: v1;", 100.0),  // alert
+      Row(100.0, 110, "Site: v2;", 10.0),   // no alert
+      Row(0.0, 5, "Site: v0;", null))       // NULL pct: no alert, no crash
+    val html = Report.html(Seq("m" -> "1"), Nil, rows, Nil)
+    assert(html.split("color:red").length - 1 == 4) // one row of 4 cells
+    assert(html.contains("100.00%"))
+  }
+
+  test("MIME message carries html + inline image with the graph cid") {
+    val m = MimeMessage("a@x", Seq("b@y"), "subj", "<html>Hi</html>",
+      "<svg/>".getBytes, "graph_cid")
+    val s = m.render
+    assert(s.contains("Content-ID: <graph_cid>"))
+    assert(s.contains("multipart/related"))
+    assert(s.contains("<html>Hi</html>"))
+    val capture = new CaptureEmailSink
+    capture.send(m)
+    assert(capture.sent.size == 1)
+  }
+
+  test("pipeline end-to-end on fixture files (capture sink)") {
+    import java.nio.file.Files
+    def write(name: String, content: String): String = {
+      val f = Files.createTempFile(name, ".txt"); Files.writeString(f, content); f.toString
+    }
+    val cfg = PipelineConfig(
+      summaryLinePath = write("summary", "Avg,12661,2024-07-30\nMax,12661,2024-07-30\nMin,12661,2024-07-30\nErr,0 0.00%,2024-07-30\n"),
+      winCounterPath = write("wincounter", "1722333527860\tH\tMemory\tc\t\t0\t2024-07-30 15:30:13\n"),
+      performanceSamplesPath = write("samples",
+        "t,lt,ts,s,lb,rc,rm,tn,dt,by,ng,na,\n" +
+          "12661,0,1722333530042,true,Interact Viz Test,200,Site: a; View: v;,T,,99,1,5,x\n"),
+      threadDetailsPath = write("threads", "#1\tThreads: 5/5\tSamples: 1\tLatency: 10\tResp.Time: 100\tErrors: 0\n"),
+      rejectedPath = Files.createTempDirectory("rej").toString + "/rejected")
+    val sink = new CaptureEmailSink
+    val html = Pipeline.runDaily(spark, cfg, LocalDate.of(2024, 7, 30), sink)
+    assert(sink.sent.size == 1)
+    assert(html.contains("12661"))
+    assert(html.contains("Site: a; View: v;"))
+  }
+}
