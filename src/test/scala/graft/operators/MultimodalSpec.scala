@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  test("media features are deterministic and shaped correctly") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1, "image", "png", "abcd".getBytes("UTF-8")),
+      Multimodal.MediaRow(2, "audio", "wav", Array[Byte]())).toDS()
+    val f = Multimodal.extractFeatures(media).collect().sortBy(_.id)
+    val first = f(0)
+    // stride-2 sampling of [97,98,99,100] -> [97,99]
+    assert(first.n_bytes == 4)
+    assert(first.mean_level == 98.0)
+    assert(first.checksum == 97L * 31 + 99)
+    assert(math.abs(first.histogram.sum - 1.0) < 1e-9)
+    assert(first.histogram(6) == 1.0) // 97/16 = 6, 99/16 = 6
+    val empty = f(1)
+    assert(empty.n_bytes == 0 && empty.mean_level == 0.0)
+  }
+
+  test("gate query runs over documents with one feature row per doc") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Multimodal.mm01.fn(spark, sf)
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(out.count() == n)
+    // re-running yields identical checksums (determinism)
+    val a = out.collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val b = Multimodal.mm01.fn(spark, sf).collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(a == b)
+  }
+}
