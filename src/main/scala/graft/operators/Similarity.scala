@@ -33,10 +33,12 @@ object Similarity {
   private val NumQueries = 10
   private val TopK = 5
 
-  /** Deterministic sequential-fold dot product of two double-cast float
-    * arrays. */
+  /** Deterministic sequential-fold dot product — the native codegen'd
+    * [[graft.functions.DotProduct]] expression (identical fold order to
+    * `aggregate(zip_with(...))` and to the DuckDB list_reduce mirror, but
+    * a single fused loop with no per-pair allocation). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("graft_dot", a, b)
 
   /** DuckDB mirror of [[dot]]: identical fold order. */
   private def duckDot(a: String, b: String): String =
@@ -46,7 +48,8 @@ object Similarity {
     * L2 norm computed ONCE per vector before any pairwise join — casting
     * inside the pair loop would redo 64 casts per pair on both sides
     * (measured ~2x on the sf0.1 brute-force pass). */
-  private def withNorm(s: SparkSession, d: String): DataFrame =
+  private def withNorm(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
     Tables.embeddings(s, d)
       // A small parquet lands in ONE file split, which would run the whole
       // O(N^2) pair fold on one core. Spread rows across the cluster first:
@@ -58,6 +61,7 @@ object Similarity {
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+  }
 
   private def duckNormCte: String =
     s"""WITH e AS (

@@ -88,6 +88,8 @@ object Probe {
     }
     time("t07_cold")(graft.operators.TextDedup.t07.fn(spark, d).count())
     time("t07_warm")(graft.operators.TextDedup.t07.fn(spark, d).count())
+    time("t02_cold")(graft.operators.TextDedup.t02.fn(spark, d).count())
+    time("t02_warm")(graft.operators.TextDedup.t02.fn(spark, d).count())
     time("s01_cold")(graft.operators.Similarity.s01.fn(spark, d).count())
     time("s01_warm")(graft.operators.Similarity.s01.fn(spark, d).count())
     spark.stop()
