@@ -1,0 +1,207 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Exact._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second-ring operators: windowed analytics, multi-level aggregates,
+  * composite training-data curation, and the tabjolt parity queries
+  * routed through the hash gate.
+  */
+object Advanced {
+
+  /** Gap-based sessionization in batch: lag + cumulative-sum window — the
+    * relational twin of streaming.EventsStream.sessionize (cross-checked
+    * in the spec). Scale: two window passes over the same (user_id, ts)
+    * partitioning — one shuffle, reused by both. */
+  val e01 = QueryDef(
+    "e01_sessionization",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("ms", unix_millis(col("ts")))
+        .withColumn("new_s",
+          when(lag(col("ms"), 1).over(w).isNull ||
+            col("ms") - lag(col("ms"), 1).over(w) > 1800000L, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(run))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+          count(lit(1)).as("n_events"), exactSum(col("value")).as("sum_value"))
+        .orderBy(col("user_id"), col("sid"))
+    },
+    Some("""WITH flag AS (
+           |  SELECT user_id, event_id, ts, value,
+           |         CASE WHEN LAG(epoch_ms(ts)) OVER w IS NULL
+           |                OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |), sess AS (
+           |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                             ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM flag)
+           |SELECT user_id, sid, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+           |       COUNT(*) AS n_events,
+           |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM sess GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin))
+
+  /** Multi-level aggregate: ROLLUP over the star join. Subtotal rows have
+    * NULL group keys in both engines; ordering pinned NULLS FIRST
+    * explicitly (Spark's ASC default differs from DuckDB's). */
+  val q16 = QueryDef(
+    "q16_rollup",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .rollup(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), exactSum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("n_name").asc_nulls_first)
+    },
+    Some("""SELECT n_name, COUNT(*) AS n_orders,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY ROLLUP(n_name) ORDER BY n_name NULLS FIRST""".stripMargin))
+
+  /** Exact interpolated percentiles (p50/p95/p99). Both engines sort the
+    * full group and interpolate linearly — identical doubles on identical
+    * input. Scale note: exact percentile is a full sort per group; at
+    * 100 TB use approx_percentile (t-digest) and accept the error bound —
+    * kept exact here because the oracle must hash-match. */
+  val q17 = QueryDef(
+    "q17_percentiles",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+           |       quantile_cont(l_extendedprice, 0.5) AS p50,
+           |       quantile_cont(l_extendedprice, 0.95) AS p95,
+           |       quantile_cont(l_extendedprice, 0.99) AS p99
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** Embedding-cosine near-dup dedup: every vector that has a
+    * higher-similarity earlier twin maps to its lowest-id keeper.
+    * Completes the dedup family (exact / MinHash / SimHash / n-gram
+    * Jaccard / embedding). */
+  val t09 = QueryDef(
+    "t09_dedup_embedding",
+    (s, d) =>
+      Similarity.s01.fn(s, d)
+        .groupBy(col("id2").as("vec_id"))
+        .agg(min(col("id1")).as("keep_id"))
+        .orderBy(col("vec_id")),
+    Similarity.s01.oracle.map(sql =>
+      s"""WITH pairs AS ($sql)
+         |SELECT id2 AS vec_id, MIN(id1) AS keep_id
+         |FROM pairs GROUP BY id2 ORDER BY vec_id""".stripMargin))
+
+  /** Composite curation pipeline — the end-to-end shape of a
+    * training-data filter stage: quality-score gate + predicted-language
+    * gate + exact dedup, emitting the surviving doc ids. One scan, no
+    * joins; dedup is the only shuffle. */
+  val c01 = QueryDef(
+    "c01_curation",
+    (s, d) => {
+      import graft.functions.TextFunctions._
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .repartition(s.sparkContext.defaultParallelism) // materialize toks
+        .select(col("doc_id"), col("text"),
+          qualityScore(col("toks")).as("quality"),
+          langId(col("text"), col("toks")).as("pred_lang"),
+          fingerprint(col("text")).as("fp"))
+        .filter(col("quality") >= 0.7 && col("pred_lang") === "en")
+      base
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("quality")).as("quality"))
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, text,
+           |         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+           |  FROM documents
+           |), scored AS (
+           |  SELECT doc_id, text,
+           |         0.3 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+           |       + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           |       + 0.2 * (1.0 - CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS DOUBLE) / len(toks))
+           |       + 0.2 * least(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) / 5.0, 1.0)
+           |         AS quality,
+           |         CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+           |              WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+           |              WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+           |              WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+           |              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+           |              ELSE 'es' END AS pred_lang,
+           |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           |  FROM (
+           |    SELECT doc_id, text, toks,
+           |           len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS s_en,
+           |           len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+           |           len(list_filter(toks, t -> t IN ('le','la','les','et','est'))) AS s_fr,
+           |           len(list_filter(toks, t -> t IN ('el','los','las','y','es'))) AS s_es
+           |    FROM tok)
+           |)
+           |SELECT MIN(doc_id) AS doc_id, MIN(quality) AS quality
+           |FROM scored WHERE quality >= 0.7 AND pred_lang = 'en'
+           |GROUP BY fp ORDER BY doc_id""".stripMargin))
+
+  /** The reference's centerpiece Q8a (tabjolt.Queries.regressions — the
+    * REAL parity code, not a re-implementation) routed through the hash
+    * gate over a performance_samples-shaped frame derived from events.
+    * Proves the tabjolt pipeline against the DuckDB oracle, not just
+    * against fixtures. */
+  val tj01 = QueryDef(
+    "tj01_reference_regressions",
+    (s, d) => {
+      val samples = Tables.events(s, d).select(
+        floor(col("value") * 100).cast("int").cast("string").as("elapsed_time_ms"),
+        lit("0").as("latency_time_ms"),
+        unix_millis(col("ts")).cast("string").as("timestamp_ms"),
+        lit("true").as("success_indicator"),
+        col("event_type").as("request_label"),
+        lit("200").as("response_code"),
+        concat(lit("Site: g; View: "), col("event_type")).as("response_message"),
+        lit("T 1-1").as("thread_name"), lit("").as("data_type"),
+        lit("0").as("bytes_count"), lit("1").as("grp_threads"),
+        lit("1").as("all_threads"), lit("x").as("view_identity"))
+      graft.tabjolt.Queries.regressions(samples, java.time.LocalDate.of(2024, 1, 30))
+    },
+    Some("""WITH samples AS (
+           |  SELECT CAST(CAST(FLOOR(value * 100) AS INTEGER) AS VARCHAR) AS elapsed_time_ms,
+           |         CAST(epoch_ms(ts) AS VARCHAR) AS timestamp_ms,
+           |         'Site: g; View: ' || event_type AS response_message
+           |  FROM events
+           |), aa AS (
+           |  SELECT response_message AS response,
+           |         AVG(CAST(elapsed_time_ms AS INTEGER)) AS avg_elapsed_ms
+           |  FROM samples
+           |  WHERE regexp_matches(elapsed_time_ms, '^[0-9]+$')
+           |    AND response_message ILIKE '%site%' AND response_message NOT ILIKE '%null%'
+           |  GROUP BY response_message
+           |), bb AS (
+           |  SELECT CAST(elapsed_time_ms AS INTEGER) AS current_elapsed_ms, response_message
+           |  FROM samples
+           |  WHERE regexp_matches(timestamp_ms, '^[0-9]+$')
+           |    AND regexp_matches(elapsed_time_ms, '^[0-9]+$')
+           |    AND to_timestamp(CAST(timestamp_ms AS BIGINT) / 1000) >= TIMESTAMP '2024-01-30 00:00:00'
+           |    AND response_message ILIKE '%site%' AND response_message NOT ILIKE '%null%'
+           |)
+           |SELECT avg_elapsed_ms, current_elapsed_ms, response_message,
+           |       CASE WHEN avg_elapsed_ms = 0 THEN NULL
+           |            ELSE ((current_elapsed_ms - avg_elapsed_ms) / avg_elapsed_ms) * 100.0 END AS percentage_difference
+           |FROM aa LEFT OUTER JOIN bb ON aa.response = bb.response_message
+           |WHERE avg_elapsed_ms < current_elapsed_ms
+           |ORDER BY percentage_difference DESC NULLS FIRST""".stripMargin))
+
+  val catalog: Seq[QueryDef] = Seq(e01, q16, q17, t09, c01, tj01)
+}

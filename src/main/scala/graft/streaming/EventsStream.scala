@@ -72,7 +72,11 @@ object EventsStream {
                          event_type: String, value: Double)
   final case class Session(user_id: Long, start: java.sql.Timestamp,
                            end: java.sql.Timestamp, n_events: Long, sum_value: Double)
-  private final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  /** State carries the original Timestamps (micros preserved) — deriving
+    * them back from epoch millis would truncate sub-ms precision. */
+  private final case class SessionState(start: java.sql.Timestamp,
+                                        end: java.sql.Timestamp,
+                                        n: Long, sum: Double)
 
   /** Gap-based sessionization (30-min inactivity) via
     * flatMapGroupsWithState — the custom-state streaming operator
@@ -91,24 +95,21 @@ object EventsStream {
           val sessions = scala.collection.mutable.ArrayBuffer.empty[Session]
           var cur = state.getOption
           sorted.foreach { e =>
-            val t = e.ts.getTime
             cur match {
-              case Some(s) if t - s.end <= gapMs =>
-                cur = Some(s.copy(end = t, n = s.n + 1, sum = s.sum + e.value))
+              case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
+                cur = Some(s.copy(end = e.ts, n = s.n + 1, sum = s.sum + e.value))
               case Some(s) =>
-                sessions += Session(userId, new java.sql.Timestamp(s.start),
-                  new java.sql.Timestamp(s.end), s.n, s.sum)
-                cur = Some(SessionState(t, t, 1, e.value))
+                sessions += Session(userId, s.start, s.end, s.n, s.sum)
+                cur = Some(SessionState(e.ts, e.ts, 1, e.value))
               case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+                cur = Some(SessionState(e.ts, e.ts, 1, e.value))
             }
           }
           cur match {
             case Some(s) =>
               // In a bounded drain the final state flushes here; unbounded
               // it would flush on event-time timeout instead.
-              sessions += Session(userId, new java.sql.Timestamp(s.start),
-                new java.sql.Timestamp(s.end), s.n, s.sum)
+              sessions += Session(userId, s.start, s.end, s.n, s.sum)
               state.remove()
             case None =>
           }
