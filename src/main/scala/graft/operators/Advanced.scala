@@ -203,5 +203,61 @@ object Advanced {
            |WHERE avg_elapsed_ms < current_elapsed_ms
            |ORDER BY percentage_difference DESC NULLS FIRST""".stripMargin))
 
-  val catalog: Seq[QueryDef] = Seq(e01, q16, q17, t09, c01, tj01)
+  /** Vocabulary building: global token frequencies, top-k with a
+    * deterministic tiebreak. Scale: explode -> two-phase count — the
+    * shuffle carries one row per distinct token per partition (map-side
+    * combine), and the top-k is a TakeOrdered, not a full sort. */
+  val v01 = QueryDef(
+    "v01_vocab_topk",
+    (s, d) => {
+      import graft.functions.TextFunctions._
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(col("toks")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)
+    },
+    Some("""SELECT token, COUNT(*) AS cnt FROM (
+           |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS token
+           |  FROM documents)
+           |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin))
+
+  /** As-of join — for every error event, the most recent click of the
+    * same user at or before it. Composed from window functions
+    * (preference (a) of the custom-operator ladder: no custom SparkPlan
+    * needed): one sort-shuffle on (user_id, ts) and a running
+    * last-non-null, versus DuckDB's native ASOF LEFT JOIN as the oracle.
+    * At equal timestamps clicks order before errors (ASOF's >= bound);
+    * scale: a single window pass, no N x M join blowup for hot users. */
+  val j01 = QueryDef(
+    "j01_asof_join",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"),
+          when(col("event_type") === "click", 0).otherwise(1),
+          col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "error"))
+        .withColumn("click_ts",
+          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+        .withColumn("click_id",
+          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts").as("error_ts"), col("click_id"), col("click_ts"))
+        .orderBy(col("error_id"))
+    },
+    Some("""SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts,
+           |       c.event_id AS click_id, c.ts AS click_ts
+           |FROM (SELECT * FROM events WHERE event_type = 'error') e
+           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           |  ON e.user_id = c.user_id AND e.ts >= c.ts
+           |ORDER BY error_id""".stripMargin))
+
+  val catalog: Seq[QueryDef] = Seq(e01, q16, q17, t09, c01, tj01, v01, j01)
 }
