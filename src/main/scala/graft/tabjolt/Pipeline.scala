@@ -17,6 +17,41 @@ final case class PipelineConfig(
     emailTo: Seq[String] = Seq("team@localhost"),
     emailSubject: String = "Tabjolt Daily Run Summary")
 
+object PipelineConfig {
+  import com.fasterxml.jackson.databind.JsonNode
+  import scala.jdk.CollectionConverters._
+
+  /** Load from a config.json (SURVEY.md §2.1 S2). Shape:
+    * {"paths": {"summary_line": ..., "wincounter": ..., "performance_samples": ...,
+    *            "thread_details": ..., "rejected": ...},
+    *  "email": {"from": ..., "to": [...], "subject": ...}}
+    * Paths may be any Hadoop-readable URI (file://, s3a://, hdfs://). */
+  def fromJson(path: String): PipelineConfig = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(path))
+    def req(node: JsonNode, field: String): JsonNode = {
+      val n = node.get(field)
+      require(n != null, s"config: missing field '$field'")
+      n
+    }
+    val p = req(root, "paths")
+    val email = Option(root.get("email"))
+    PipelineConfig(
+      summaryLinePath = req(p, "summary_line").asText,
+      winCounterPath = req(p, "wincounter").asText,
+      performanceSamplesPath = req(p, "performance_samples").asText,
+      threadDetailsPath = req(p, "thread_details").asText,
+      rejectedPath = req(p, "rejected").asText,
+      emailFrom = email.flatMap(e => Option(e.get("from"))).map(_.asText)
+        .getOrElse("graft@localhost"),
+      emailTo = email.flatMap(e => Option(e.get("to")))
+        .map(_.elements.asScala.map(_.asText).toSeq)
+        .getOrElse(Seq("team@localhost")),
+      emailSubject = email.flatMap(e => Option(e.get("subject"))).map(_.asText)
+        .getOrElse("Tabjolt Daily Run Summary"))
+  }
+}
+
 /** End-to-end daily-report pipeline — the Spark re-expression of the
   * reference's __main__ (tabjolt_email.py:345-394): load the four tables
   * (rejected rows to the side sink), run the nine queries, render the

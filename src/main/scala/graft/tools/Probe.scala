@@ -4,6 +4,32 @@ import graft.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+/** Dumps the formatted physical plan of selected catalog queries —
+  * the `.explain("formatted")` audit loop. Usage:
+  *   sbt "runMain graft.tools.Plans q09_regression_join e01_sessionization"
+  * (no args = a default headline set). */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q09_regression_join", "q11_star_rollup", "q14_pricing_summary",
+        "e01_sessionization", "j01_asof_join", "s01_cosine_pairs")
+    val qs = graft.SparkEntry.queries
+    names.foreach { n =>
+      println(s"\n===================== $n =====================")
+      qs(n)(spark, d).explain("formatted")
+    }
+    spark.stop()
+  }
+}
+
 /** Dev-only timing probe for stage-level cost attribution. */
 object Probe {
   def main(args: Array[String]): Unit = {
