@@ -259,5 +259,27 @@ object Advanced {
            |  ON e.user_id = c.user_id AND e.ts >= c.ts
            |ORDER BY error_id""".stripMargin))
 
-  val catalog: Seq[QueryDef] = Seq(e01, q16, q17, t09, c01, tj01, v01, j01)
+  /** Semi-structured extraction: parse the JSON-ish props column with a
+    * declared schema (from_json) and aggregate on the extracted field —
+    * the schema-on-read pattern for event payloads. Codegen'd JSON parse,
+    * no UDF. */
+  val q18 = QueryDef(
+    "q18_json_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type,
+           |       COUNT(k) AS n_with_k, SUM(k) AS sum_k,
+           |       MIN(k) AS min_k, MAX(k) AS max_k
+           |FROM (SELECT event_type,
+           |             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+           |      FROM events)
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  val catalog: Seq[QueryDef] = Seq(e01, q16, q17, t09, c01, tj01, v01, j01, q18)
 }

@@ -88,6 +88,8 @@ object TextDedup {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .repartition(s.sparkContext.defaultParallelism) // materialize toks (see shingleIndex)
       .select(col("doc_id"), shingles3(col("toks")).as("sh"))
+    // (measured: caching this is slower than recomputing both branches —
+    // columnar-cache materialization breaks codegen fusion)
     // NOTE deliberately NO `.filter(size(sh) > 0)` here: Catalyst pushes
     // such a filter below the projection and into the scan, substituting
     // the whole tokenize+shingle expression into the predicate (re-running
@@ -260,6 +262,9 @@ object TextDedup {
       }
       val bands = sig.select(col("doc_id"),
         posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+        // both self-join branches consume the bands: without the cache the
+        // whole 64-min-aggregate signature pipeline runs twice
+        .cache()
       val x = bands.select(col("doc_id").as("doc1"), col("band_idx"), col("band_hash"))
       val y = bands.select(col("doc_id").as("doc2"), col("band_idx").as("bi2"), col("band_hash").as("bh2"))
       val cand = x.join(y,
