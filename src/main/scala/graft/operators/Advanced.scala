@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.Exact._
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -162,20 +163,8 @@ object Advanced {
     * against fixtures. */
   val tj01 = QueryDef(
     "tj01_reference_regressions",
-    (s, d) => {
-      val samples = Tables.events(s, d).select(
-        floor(col("value") * 100).cast("int").cast("string").as("elapsed_time_ms"),
-        lit("0").as("latency_time_ms"),
-        unix_millis(col("ts")).cast("string").as("timestamp_ms"),
-        lit("true").as("success_indicator"),
-        col("event_type").as("request_label"),
-        lit("200").as("response_code"),
-        concat(lit("Site: g; View: "), col("event_type")).as("response_message"),
-        lit("T 1-1").as("thread_name"), lit("").as("data_type"),
-        lit("0").as("bytes_count"), lit("1").as("grp_threads"),
-        lit("1").as("all_threads"), lit("x").as("view_identity"))
-      graft.tabjolt.Queries.regressions(samples, java.time.LocalDate.of(2024, 1, 30))
-    },
+    (s, d) => graft.tabjolt.Queries.regressions(
+      eventsAsSamples(s, d), java.time.LocalDate.of(2024, 1, 30)),
     Some("""WITH samples AS (
            |  SELECT CAST(CAST(FLOOR(value * 100) AS INTEGER) AS VARCHAR) AS elapsed_time_ms,
            |         CAST(epoch_ms(ts) AS VARCHAR) AS timestamp_ms,
@@ -281,5 +270,98 @@ object Advanced {
            |      FROM events)
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
-  val catalog: Seq[QueryDef] = Seq(e01, q16, q17, t09, c01, tj01, v01, j01, q18)
+  /** Q8b parity twin of tj01: the real tabjolt.Queries.improvements code
+    * (3-day window, avg > current, pct < -40, DESC NULLS FIRST) through
+    * the hash gate. */
+  val tj02 = QueryDef(
+    "tj02_reference_improvements",
+    (s, d) => graft.tabjolt.Queries.improvements(
+      eventsAsSamples(s, d), java.time.LocalDate.of(2024, 1, 30)),
+    Some("""WITH samples AS (
+           |  SELECT CAST(CAST(FLOOR(value * 100) AS INTEGER) AS VARCHAR) AS elapsed_time_ms,
+           |         CAST(epoch_ms(ts) AS VARCHAR) AS timestamp_ms,
+           |         'Site: g; View: ' || event_type AS response_message
+           |  FROM events
+           |), aa AS (
+           |  SELECT response_message AS response,
+           |         AVG(CAST(elapsed_time_ms AS INTEGER)) AS avg_elapsed_ms
+           |  FROM samples
+           |  WHERE regexp_matches(elapsed_time_ms, '^[0-9]+$')
+           |    AND response_message ILIKE '%site%' AND response_message NOT ILIKE '%null%'
+           |  GROUP BY response_message
+           |), bb AS (
+           |  SELECT CAST(elapsed_time_ms AS INTEGER) AS current_elapsed_ms, response_message
+           |  FROM samples
+           |  WHERE regexp_matches(timestamp_ms, '^[0-9]+$')
+           |    AND regexp_matches(elapsed_time_ms, '^[0-9]+$')
+           |    AND to_timestamp(CAST(timestamp_ms AS BIGINT) / 1000) >= TIMESTAMP '2024-01-27 00:00:00'
+           |    AND response_message ILIKE '%site%' AND response_message NOT ILIKE '%null%'
+           |)
+           |SELECT avg_elapsed_ms, current_elapsed_ms, response_message, percentage_difference FROM (
+           |  SELECT avg_elapsed_ms, current_elapsed_ms, response_message,
+           |         CASE WHEN avg_elapsed_ms = 0 THEN NULL
+           |              ELSE ((current_elapsed_ms - avg_elapsed_ms) / avg_elapsed_ms) * 100.0 END AS percentage_difference
+           |  FROM aa LEFT OUTER JOIN bb ON aa.response = bb.response_message
+           |  WHERE avg_elapsed_ms > current_elapsed_ms)
+           |WHERE percentage_difference < -40.0
+           |ORDER BY percentage_difference DESC NULLS FIRST""".stripMargin))
+
+  /** TF-IDF-style term weighting with a log-free rational idf
+    * (tf * N/df): pure integer-derived double arithmetic, so Spark and
+    * DuckDB agree bit-for-bit (libm ln can differ in the last ulp across
+    * engines — deliberately avoided). Top-3 terms per doc. */
+  val t10 = QueryDef(
+    "t10_tfidf_topterms",
+    (s, d) => {
+      import graft.functions.TextFunctions._
+      import org.apache.spark.sql.expressions.Window
+      val terms = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+      val n = Tables.documents(s, d).count() // tiny scalar; at scale pass in
+      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = terms.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(broadcast(df), "term")
+        .withColumn("tfidf", col("tf") * (lit(n.toDouble) / col("df")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""WITH terms AS (
+           |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS term
+           |  FROM documents
+           |), tf AS (
+           |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+           |), df AS (
+           |  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term
+           |), n AS (SELECT COUNT(*) AS n FROM documents)
+           |SELECT doc_id, term, tfidf, rank FROM (
+           |  SELECT tf.doc_id, tf.term,
+           |         tf.tf * (CAST(n.n AS DOUBLE) / df.df) AS tfidf,
+           |         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+           |           ORDER BY tf.tf * (CAST(n.n AS DOUBLE) / df.df) DESC, tf.term) AS rank
+           |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+           |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
+
+  /** Shared events -> performance_samples-shaped derivation for tj01/tj02. */
+  private def eventsAsSamples(s: SparkSession, d: String) =
+    Tables.events(s, d).select(
+      floor(col("value") * 100).cast("int").cast("string").as("elapsed_time_ms"),
+      lit("0").as("latency_time_ms"),
+      unix_millis(col("ts")).cast("string").as("timestamp_ms"),
+      lit("true").as("success_indicator"),
+      col("event_type").as("request_label"),
+      lit("200").as("response_code"),
+      concat(lit("Site: g; View: "), col("event_type")).as("response_message"),
+      lit("T 1-1").as("thread_name"), lit("").as("data_type"),
+      lit("0").as("bytes_count"), lit("1").as("grp_threads"),
+      lit("1").as("all_threads"), lit("x").as("view_identity"))
+
+  val catalog: Seq[QueryDef] =
+    Seq(e01, q16, q17, t09, c01, tj01, tj02, v01, j01, q18, t10)
 }
