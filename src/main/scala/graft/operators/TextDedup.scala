@@ -229,24 +229,24 @@ object TextDedup {
   // inverted-index result (t06) and shares its oracle.
   private val NumHashes = 64
   private val BandRows = 2
-  private val MersennePrime = 2305843009213693951L // 2^61 - 1
-  private val (hashA, hashB) = {
-    val rnd = new scala.util.Random(42)
-    (Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue - 1).toLong + 1L),
-     Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong))
-  }
 
-  /** MinHash signatures: one row per doc, NumHashes min-aggregates over the
-    * 31-bit base hash of each shingle. Universal hashing
-    * (a*x + b) mod (2^61-1) keeps everything overflow-free under ANSI
-    * semantics (operands < 2^31 so products < 2^62). */
+  /** MinHash signatures: one row per doc, NumHashes min-aggregates over
+    * per-permutation re-hashes of the shingle hash.
+    *
+    * Each permutation is `xxhash64(j, h)` — full-avalanche mixing of the
+    * permutation index with the base hash. The textbook
+    * `(a_j*h + b_j) mod p` family is a TRAP here: under ANSI arithmetic
+    * the products wrap the 2^61-1 prime at most once, so every "permutation"
+    * is quasi-monotonic in h — effectively ONE permutation repeated 64
+    * times — and a near-dup pair whose unique shingle holds the minimum h
+    * misses ALL bands (~2% of 0.99-jaccard pairs in the 20k-doc scale
+    * test; caught by the exact-twin cross-check, fixed by this rehash). */
   private[graft] def minHashSignature(s: SparkSession, d: String): DataFrame = {
-    val h31 = (xxhash64(col("shingle")).bitwiseAND(lit(0x7FFFFFFFL))).as("h")
     val mins = (0 until NumHashes).map { j =>
-      min((lit(hashA(j)) * col("h") + lit(hashB(j))) % lit(MersennePrime)).as(s"mh$j")
+      min(xxhash64(lit(j), col("h"))).as(s"mh$j")
     }
     shingleIndex(s, d)
-      .select(col("doc_id"), h31)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
   }
