@@ -46,14 +46,32 @@ class OperatorsSpec extends SparkSpec {
     assert(sim.nonEmpty)
   }
 
-  test("LSH ANN achieves >=60% top-3 recall vs brute force at sf0.001") {
+  test("multi-table LSH ANN reaches >=50% top-3 recall vs brute force at sf0.001") {
     val brute = Similarity.s02.fn(spark, sf).collect()
       .filter(_.getInt(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Similarity.s03.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & lsh).size.toDouble / brute.size
-    assert(recall >= 0.0) // informational floor; random vectors bucket sparsely
     info(f"LSH top-3 recall vs brute force: $recall%.2f")
+    // worst-case corpus for LSH (neighbors at ~60deg); T=8 x P=4 predicts ~0.8
+    assert(recall >= 0.5, f"recall $recall%.2f")
+  }
+
+  test("IVF ANN returns correctly-ranked exact cosines from probed cells") {
+    val brute = Similarity.s02.fn(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = Similarity.s04.fn(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    // cosines inside the probed cells must be the exact brute-force values
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(c => assert(c == r.getDouble(2), s"$key"))
+    }
+    val recall = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(brute.keySet.filter(k => Similarity.s02.fn(spark, sf)
+        .collect().filter(_.getInt(3) <= 3)
+        .map(x => (x.getLong(0), x.getLong(1))).contains(k))).size
+    info(s"IVF hits among brute-force top-5 pairs: $recall")
   }
 
   test("pricing summary plan pushes the shipdate filter into the parquet scan") {
