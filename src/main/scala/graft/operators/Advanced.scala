@@ -362,6 +362,62 @@ object Advanced {
       lit("0").as("bytes_count"), lit("1").as("grp_threads"),
       lit("1").as("all_threads"), lit("x").as("view_identity"))
 
+  /** Pivot: daily counts per event type as columns. Pivot values are
+    * pinned explicitly so the output schema is static (a dynamic pivot
+    * would need a pre-pass collect at scale); oracle mirrors with
+    * conditional aggregation. */
+  val q19 = QueryDef(
+    "q19_pivot",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("day")),
+    Some("""SELECT CAST(ts AS DATE) AS day,
+           |       COUNT(*) FILTER (event_type = 'click') AS click,
+           |       COUNT(*) FILTER (event_type = 'error') AS error,
+           |       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           |       COUNT(*) FILTER (event_type = 'signup') AS signup,
+           |       COUNT(*) FILTER (event_type = 'view') AS view
+           |FROM events GROUP BY 1 ORDER BY day""".stripMargin))
+
+  /** Time-series densification: per-minute error counts over one day with
+    * missing minutes zero-filled — generator + left join, the standard
+    * dashboard-feed gap-fill. Scale: the generated spine is tiny relative
+    * to the fact side and broadcast; counts aggregate before the join. */
+  val q20 = QueryDef(
+    "q20_gap_fill",
+    (s, d) => {
+      val dayStart = "2024-01-15 00:00:00"
+      val spine = s.range(1).select(explode(sequence(
+        lit(java.sql.Timestamp.valueOf(dayStart)),
+        lit(java.sql.Timestamp.valueOf("2024-01-15 23:59:00")),
+        expr("INTERVAL 1 MINUTE"))).as("minute"))
+      val counts = Tables.events(s, d)
+        .filter(col("event_type") === "error" &&
+          col("ts") >= lit(java.sql.Timestamp.valueOf(dayStart)) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00")))
+        .groupBy(date_trunc("minute", col("ts")).as("minute"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(counts, Seq("minute"), "left_outer")
+        .select(col("minute"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("minute"))
+    },
+    Some("""SELECT minute, COALESCE(n, 0) AS n FROM (
+           |  SELECT unnest(generate_series(TIMESTAMP '2024-01-15 00:00:00',
+           |                                TIMESTAMP '2024-01-15 23:59:00',
+           |                                INTERVAL 1 MINUTE)) AS minute) spine
+           |LEFT OUTER JOIN (
+           |  SELECT date_trunc('minute', ts) AS minute, COUNT(*) AS n
+           |  FROM events
+           |  WHERE event_type = 'error'
+           |    AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+           |    AND ts < TIMESTAMP '2024-01-16 00:00:00'
+           |  GROUP BY 1) c USING (minute)
+           |ORDER BY minute""".stripMargin))
+
   val catalog: Seq[QueryDef] =
-    Seq(e01, q16, q17, t09, c01, tj01, tj02, v01, j01, q18, t10)
+    Seq(e01, q16, q17, t09, c01, tj01, tj02, v01, j01, q18, t10, q19, q20)
 }
