@@ -29,14 +29,22 @@ object Bench {
     }
 
     // min of two timed runs per query: single-shot numbers swing ~2x with
-    // GC/JIT noise in a shared container; the min is the engine's cost
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // GC/JIT noise in a shared container; the min is the engine's cost.
+    // A failed query reports -1 — a broken build must not masquerade as a
+    // fast one.
+    def timeOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        -1.0
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      val a = timeOnce(name, fn)
+      val b = if (a < 0) a else math.min(a, timeOnce(name, fn))
+      name -> b
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -34,4 +34,14 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** Name -> loader for every test table, the single source of truth for
+    * per-table special handling (events' nanos timestamps). Consumers
+    * that need "all tables" (e.g. [[graft.Views]]) iterate this instead
+    * of re-listing names. */
+  val loaders: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "region" -> (region _), "nation" -> (nation _), "customer" -> (customer _),
+    "supplier" -> (supplier _), "part" -> (part _), "orders" -> (orders _),
+    "lineitem" -> (lineitem _), "events" -> (events _),
+    "documents" -> (documents _), "embeddings" -> (embeddings _))
 }

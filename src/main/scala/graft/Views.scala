@@ -11,19 +11,20 @@ import org.apache.spark.sql.SparkSession
   *   spark.sql("SELECT ... FROM lineitem JOIN orders ON ...")
   * }}}
   *
-  * Views are lazy scans; registering costs nothing until a query runs.
+  * Notes:
+  *  - registration reads each table's parquet footer (schema inference),
+  *    so it requires all table files to exist; query EXECUTION stays lazy;
+  *  - loading `events` sets `spark.sql.legacy.parquet.nanosAsLong=true`
+  *    session-wide (required to read its nanosecond timestamps — see
+  *    [[Tables.events]]); other parquet sources with TIMESTAMP_NS columns
+  *    read in the same session will then surface them as nanos longs.
   */
 object Views {
-  val names = Seq("region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings")
+  def names: Seq[String] = Tables.loaders.map(_._1)
 
   def register(spark: SparkSession, sfDir: String): Unit = {
-    names.foreach { n =>
-      val df = n match {
-        case "events" => Tables.events(spark, sfDir) // nanos-ts handling
-        case _        => Tables.read(spark, sfDir, n)
-      }
-      df.createOrReplaceTempView(n)
+    Tables.loaders.foreach { case (name, load) =>
+      load(spark, sfDir).createOrReplaceTempView(name)
     }
     functions.VectorExpressions.register(spark)
   }

@@ -66,9 +66,12 @@ object TextFunctions {
     val distinctRatio = size(array_distinct(toks)).cast("double") / n
     val stopRatio = markerCount(toks, EnStop).cast("double") / n
     val avgLen = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / n
-    lit(0.3) * least(n.cast("double") / 50.0, lit(1.0)) +
-      lit(0.3) * distinctRatio +
-      lit(0.2) * (lit(1.0) - stopRatio) +
-      lit(0.2) * least(avgLen / 5.0, lit(1.0))
+    // zero-token guard: under Spark's default ANSI mode x/0 THROWS (and
+    // DuckDB would yield NULL — diverging either way). Empty docs score 0.
+    when(n === 0, lit(0.0)).otherwise(
+      lit(0.3) * least(n.cast("double") / 50.0, lit(1.0)) +
+        lit(0.3) * distinctRatio +
+        lit(0.2) * (lit(1.0) - stopRatio) +
+        lit(0.2) * least(avgLen / 5.0, lit(1.0)))
   }
 }

@@ -132,11 +132,12 @@ object Advanced {
            |  FROM documents
            |), scored AS (
            |  SELECT doc_id, text,
+           |         CASE WHEN len(toks) = 0 THEN 0.0 ELSE
            |         0.3 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
            |       + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
            |       + 0.2 * (1.0 - CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS DOUBLE) / len(toks))
            |       + 0.2 * least(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) / 5.0, 1.0)
-           |         AS quality,
+           |         END AS quality,
            |         CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
            |              WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
            |              WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
@@ -164,7 +165,11 @@ object Advanced {
   val tj01 = QueryDef(
     "tj01_reference_regressions",
     (s, d) => graft.tabjolt.Queries.regressions(
-      eventsAsSamples(s, d), java.time.LocalDate.of(2024, 1, 30)),
+      eventsAsSamples(s, d), java.time.LocalDate.of(2024, 1, 30))
+      // parity code orders by pct only (reference fidelity); the gate
+      // needs a total order — add deterministic tiebreaks on top
+      .orderBy(col("percentage_difference").desc_nulls_first,
+        col("response_message"), col("current_elapsed_ms")),
     Some("""WITH samples AS (
            |  SELECT CAST(CAST(FLOOR(value * 100) AS INTEGER) AS VARCHAR) AS elapsed_time_ms,
            |         CAST(epoch_ms(ts) AS VARCHAR) AS timestamp_ms,
@@ -190,7 +195,7 @@ object Advanced {
            |            ELSE ((current_elapsed_ms - avg_elapsed_ms) / avg_elapsed_ms) * 100.0 END AS percentage_difference
            |FROM aa LEFT OUTER JOIN bb ON aa.response = bb.response_message
            |WHERE avg_elapsed_ms < current_elapsed_ms
-           |ORDER BY percentage_difference DESC NULLS FIRST""".stripMargin))
+           |ORDER BY percentage_difference DESC NULLS FIRST, response_message, current_elapsed_ms""".stripMargin))
 
   /** Vocabulary building: global token frequencies, top-k with a
     * deterministic tiebreak. Scale: explode -> two-phase count — the
@@ -230,8 +235,17 @@ object Advanced {
           when(col("event_type") === "click", 0).otherwise(1),
           col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .filter(col("event_type").isin("click", "error"))
+      val ev = Tables.events(s, d)
+      // collapse same-(user, ts) clicks to the max event_id: DuckDB ASOF
+      // picks an arbitrary row among duplicate right-side timestamps
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("event_id"))
+        .withColumn("event_type", lit("click"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      clicks.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .unionByName(errors)
         .withColumn("click_ts",
           last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
         .withColumn("click_id",
@@ -244,7 +258,9 @@ object Advanced {
     Some("""SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts,
            |       c.event_id AS click_id, c.ts AS click_ts
            |FROM (SELECT * FROM events WHERE event_type = 'error') e
-           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           |ASOF LEFT JOIN (SELECT user_id, ts, MAX(event_id) AS event_id
+           |                FROM events WHERE event_type = 'click'
+           |                GROUP BY user_id, ts) c
            |  ON e.user_id = c.user_id AND e.ts >= c.ts
            |ORDER BY error_id""".stripMargin))
 
@@ -256,6 +272,10 @@ object Advanced {
     "q18_json_extract",
     (s, d) =>
       Tables.events(s, d)
+        // guard malformed/overflow payloads: Spark from_json nulls them
+        // silently but DuckDB json_extract ERRORS — screen both sides
+        // with the same regexp (bounded digits keep k inside INT range)
+        .filter(col("props").rlike("^\\{\"k\": [0-9]{1,9}\\}$"))
         .select(col("event_type"),
           from_json(col("props"), lit("k INT")).getField("k").as("k"))
         .groupBy(col("event_type"))
@@ -267,7 +287,8 @@ object Advanced {
            |       MIN(k) AS min_k, MAX(k) AS max_k
            |FROM (SELECT event_type,
            |             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-           |      FROM events)
+           |      FROM events
+           |      WHERE regexp_matches(props, '^\{"k": [0-9]{1,9}\}$'))
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
   /** Q8b parity twin of tj01: the real tabjolt.Queries.improvements code
@@ -276,7 +297,9 @@ object Advanced {
   val tj02 = QueryDef(
     "tj02_reference_improvements",
     (s, d) => graft.tabjolt.Queries.improvements(
-      eventsAsSamples(s, d), java.time.LocalDate.of(2024, 1, 30)),
+      eventsAsSamples(s, d), java.time.LocalDate.of(2024, 1, 30))
+      .orderBy(col("percentage_difference").desc_nulls_first,
+        col("response_message"), col("current_elapsed_ms")),
     Some("""WITH samples AS (
            |  SELECT CAST(CAST(FLOOR(value * 100) AS INTEGER) AS VARCHAR) AS elapsed_time_ms,
            |         CAST(epoch_ms(ts) AS VARCHAR) AS timestamp_ms,
@@ -304,7 +327,7 @@ object Advanced {
            |  FROM aa LEFT OUTER JOIN bb ON aa.response = bb.response_message
            |  WHERE avg_elapsed_ms > current_elapsed_ms)
            |WHERE percentage_difference < -40.0
-           |ORDER BY percentage_difference DESC NULLS FIRST""".stripMargin))
+           |ORDER BY percentage_difference DESC NULLS FIRST, response_message, current_elapsed_ms""".stripMargin))
 
   /** TF-IDF-style term weighting with a log-free rational idf
     * (tf * N/df): pure integer-derived double arithmetic, so Spark and
@@ -321,8 +344,9 @@ object Advanced {
         .select(col("doc_id"), explode(col("toks")).as("term"))
       val n = Tables.documents(s, d).count() // tiny scalar; at scale pass in
       val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = terms.select(col("doc_id"), col("term")).distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // df derived FROM tf (one row per doc-term already) — avoids a
+      // second tokenize+explode pass over the corpus
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
       tf.join(broadcast(df), "term")

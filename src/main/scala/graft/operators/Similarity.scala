@@ -70,8 +70,12 @@ object Similarity {
        |  FROM embeddings
        |)""".stripMargin
 
+  /** Zero-norm guard: under the default ANSI session x/0 throws (and
+    * DuckDB yields NULL). A zero vector has no direction — cosine is NULL,
+    * dropped by thresholds and ranked last by `desc` (both engines default
+    * DESC NULLS LAST), so behavior matches the oracle exactly. */
   private def cosine(dotAb: Column, n1: Column, n2: Column): Column =
-    dotAb / (n1 * n2)
+    when(n1 === 0.0 || n2 === 0.0, lit(null)).otherwise(dotAb / (n1 * n2))
 
   // ---------------------------------------------------------------- catalog
 
@@ -172,13 +176,13 @@ object Similarity {
         .orderBy(col("cos").desc, col("neighbor_id"))
       q.join(c, col("qt") === col("tbl") && col("qb") === col("bucket") &&
           col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id")).distinct()
-        .join(withNorm(s, d).select(col("vec_id").as("query_id"),
-          col("embedding").as("qe"), col("nrm").as("qn")), "query_id")
-        .join(withNorm(s, d).select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("ne"), col("nrm").as("nn")), "neighbor_id")
+        // compute the cosine BEFORE deduping the multi-table hits: the
+        // value is identical per duplicate, so distinct() collapses them —
+        // and we avoid re-joining two fresh withNorm scans (each a full
+        // re-scan + norm recomputation) just to recover the vectors
         .select(col("query_id"), col("neighbor_id"),
           cosine(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
+        .distinct()
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .orderBy(col("query_id"), col("rank"))

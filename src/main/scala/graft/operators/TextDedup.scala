@@ -150,11 +150,12 @@ object TextDedup {
     },
     Some(TokCte + """
       |SELECT doc_id, len(toks) AS n_tokens,
+      |       CASE WHEN len(toks) = 0 THEN 0.0 ELSE
       |       0.3 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
       |     + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
       |     + 0.2 * (1.0 - CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS DOUBLE) / len(toks))
       |     + 0.2 * least(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) / 5.0, 1.0)
-      |       AS quality
+      |       END AS quality
       |FROM tok ORDER BY doc_id""".stripMargin))
 
   /** Language identification by marker-stopword scoring. */

@@ -43,14 +43,27 @@ object EventsStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Hourly per-type aggregate as a streaming query, drained synchronously
-    * with AvailableNow into a memory sink and returned as a DataFrame.
-    * On static input this equals the batch GROUP BY time_bucket — which is
-    * exactly what the DuckDB oracle checks. */
+  /** Watermarked hourly aggregate as an unbounded streaming plan: Append
+    * mode emits each window once the watermark passes it and evicts its
+    * state — the production shape for continuous ingest (pair with a
+    * durable sink + checkpointLocation). */
+  def hourlyAggStream(spark: SparkSession, sfDir: String): DataFrame =
+    source(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+
+  /** Hourly per-type aggregate drained synchronously with AvailableNow
+    * into a memory sink and returned as a DataFrame. Uses Complete mode
+    * WITHOUT a watermark: in Complete mode the watermark evicts nothing
+    * (all windows are retained by definition), so declaring one would
+    * only misstate the contract — the bounded drain needs every window
+    * anyway, including the last open one. The unbounded/state-evicting
+    * form is [[hourlyAggStream]]. On static input this equals the batch
+    * GROUP BY time_bucket — exactly what the DuckDB oracle checks. */
   def hourlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "graft_stream_hourly"
     val agg = source(spark, sfDir)
-      .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
     val q = agg.writeStream

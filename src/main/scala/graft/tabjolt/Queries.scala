@@ -22,6 +22,14 @@ object Queries {
 
   private def lits(d: LocalDate): Column = lit(java.sql.Date.valueOf(d))
 
+  /** All string->numeric/temporal casts in this module are try_cast:
+    * the tables are stringly-typed with dirty rows screened at query time
+    * (SURVEY.md §1.3), and under Spark's default ANSI mode a plain cast
+    * on a stray non-numeric row would kill the whole report job instead
+    * of ignoring the row. try_cast degrades to NULL — Vertica-tolerant
+    * behavior, and immune to predicate reordering evaluating a cast
+    * before its regexp guard. */
+
   /** Numeric-validity guard: REGEXP_LIKE(col,'^[0-9]+$')
     * (tabjolt_email.py:383-387). Screens out the JTL header row that was
     * loaded as data, among other garbage. */
@@ -37,19 +45,19 @@ object Queries {
     * integer div would truncate sub-second fractions and flip
     * midnight-boundary rows (SURVEY.md §7.4). */
   private def epochMsToTs(c: Column): Column =
-    timestamp_seconds(c.cast("long") / lit(1000))
+    timestamp_seconds(c.try_cast("long") / lit(1000))
 
   /** Q1/Q2/Q3 — today's Avg/Max/Min summary value
     * (tabjolt_email.py:375-377). */
   def dailyMetric(summary: DataFrame, runDate: LocalDate, metric: String): DataFrame =
     summary
-      .filter(col("summary_timestamp").cast("date") === lits(runDate) &&
+      .filter(col("summary_timestamp").try_cast("date") === lits(runDate) &&
         col("summary_metrix") === metric)
       .select(col("summary_value"))
 
   /** Q4 — latest test-execution timestamp (tabjolt_email.py:378). */
   def latestExecution(winCounter: DataFrame): DataFrame =
-    winCounter.agg(max(col("summary_timestamp").cast("timestamp")).as("max_ts"))
+    winCounter.agg(max(col("summary_timestamp").try_cast("timestamp")).as("max_ts"))
 
   /** Q5 — historic average of the daily Avg, CAST(AVG(x) AS INTEGER)
     * (tabjolt_email.py:379). Vertica's double->int cast rounds half-up;
@@ -61,15 +69,15 @@ object Queries {
   def historicAvg(summary: DataFrame): DataFrame =
     summary
       .filter(col("summary_metrix") === "Avg")
-      .agg(round(avg(col("summary_value").cast("double")), 0).cast("int")
+      .agg(round(avg(col("summary_value").try_cast("double")), 0).cast("int")
         .as("average_summary_value"))
 
   /** Q6 — day-wise Avg series for the trend graph (tabjolt_email.py:86). */
   def trendSeries(summary: DataFrame): DataFrame =
     summary
       .filter(col("summary_metrix") === "Avg")
-      .select(col("summary_timestamp").cast("date").as("summary_timestamp"),
-        col("summary_value").cast("int").as("summary_value"))
+      .select(col("summary_timestamp").try_cast("date").as("summary_timestamp"),
+        col("summary_value").try_cast("int").as("summary_value"))
       .orderBy(col("summary_timestamp"))
 
   /** Q7 — today's per-request samples, site views only, slowest first
@@ -79,7 +87,7 @@ object Queries {
       .filter(isNumeric(col("timestamp_ms")) &&
         epochMsToTs(col("timestamp_ms")) >= lits(runDate).cast("timestamp") &&
         siteViews(col("response_message")))
-      .select(col("elapsed_time_ms").cast("int").as("elapsed_time"),
+      .select(col("elapsed_time_ms").try_cast("int").as("elapsed_time"),
         col("latency_time_ms"), col("success_indicator"),
         col("request_label"), col("response_message"))
       .orderBy(col("elapsed_time").desc)
@@ -90,7 +98,7 @@ object Queries {
     samples
       .filter(isNumeric(col("elapsed_time_ms")) && siteViews(col("response_message")))
       .groupBy(col("response_message").as("response"))
-      .agg(avg(col("elapsed_time_ms").cast("int")).as("avg_elapsed_ms"))
+      .agg(avg(col("elapsed_time_ms").try_cast("int")).as("avg_elapsed_ms"))
 
   /** Current samples — the `bb` inline view; `from` is runDate for Q8a,
     * runDate-3d for Q8b (tabjolt_email.py:385 vs 387). */
@@ -99,7 +107,7 @@ object Queries {
       .filter(isNumeric(col("timestamp_ms")) && isNumeric(col("elapsed_time_ms")) &&
         epochMsToTs(col("timestamp_ms")) >= lits(from).cast("timestamp") &&
         siteViews(col("response_message")))
-      .select(col("elapsed_time_ms").cast("int").as("current_elapsed_ms"),
+      .select(col("elapsed_time_ms").try_cast("int").as("current_elapsed_ms"),
         col("response_message"))
 
   /** The aa LEFT OUTER JOIN bb + CASE pct-diff core shared by Q8a/Q8b.
