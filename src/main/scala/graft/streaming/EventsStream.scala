@@ -86,15 +86,22 @@ object EventsStream {
   final case class Session(user_id: Long, start: java.sql.Timestamp,
                            end: java.sql.Timestamp, n_events: Long, sum_value: Double)
   /** State carries the original Timestamps (micros preserved) — deriving
-    * them back from epoch millis would truncate sub-ms precision. */
-  private final case class SessionState(start: java.sql.Timestamp,
-                                        end: java.sql.Timestamp,
-                                        n: Long, sum: Double)
+    * them back from epoch millis would truncate sub-ms precision.
+    * Package-visible (not private): the state encoder's generated code
+    * must construct it. */
+  final case class SessionState(start: java.sql.Timestamp,
+                                end: java.sql.Timestamp,
+                                n: Long, sum: Double)
 
   /** Gap-based sessionization (30-min inactivity) via
-    * flatMapGroupsWithState — the custom-state streaming operator
-    * (KeyValueGroupedDataset). Works identically over a bounded stream
-    * (AvailableNow) and an unbounded one (state evicted on timeout). */
+    * flatMapGroupsWithState — BOUNDED-DRAIN form: every session,
+    * including the still-open one, is flushed at the END OF EACH
+    * MICRO-BATCH. That makes it exactly equal to the batch sessionizer
+    * when the drain is a single micro-batch (a batch Dataset, or
+    * MemoryStream/AvailableNow delivering one batch) — but a session
+    * spanning a micro-batch boundary would be fragmented. For continuous
+    * multi-batch input use [[sessionizeUnbounded]], which carries open
+    * sessions across batches and closes them by event-time timeout. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60 * 1000L
@@ -120,13 +127,58 @@ object EventsStream {
           }
           cur match {
             case Some(s) =>
-              // In a bounded drain the final state flushes here; unbounded
-              // it would flush on event-time timeout instead.
+              // bounded-drain contract: flush the open session too
               sessions += Session(userId, s.start, s.end, s.n, s.sum)
               state.remove()
             case None =>
           }
           sessions.iterator
+      }
+  }
+
+  /** Unbounded sessionization: open sessions persist in state across
+    * micro-batches and close either when a later event exceeds the gap or
+    * when the event-time watermark passes end+gap (EventTimeTimeout) —
+    * state is evicted on close, so it stays bounded on infinite input.
+    * The input must carry a watermark on `ts` (delay chosen by the
+    * caller's lateness tolerance). */
+  def sessionizeUnbounded(events: Dataset[Event], gapMinutes: Int = 30,
+                          watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.start, s.end, s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sessions = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
+                  cur = Some(s.copy(end = e.ts, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  sessions += Session(userId, s.start, s.end, s.n, s.sum)
+                  cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout must be beyond the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.end.getTime + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            sessions.iterator
+          }
       }
   }
 }

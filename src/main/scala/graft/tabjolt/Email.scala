@@ -1,6 +1,7 @@
 package graft.tabjolt
 
 import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.net.InetSocketAddress
 import java.util.Base64
 
 /** SMTP email sink (reference: SMTP_SSL + MIME multipart with an inline
@@ -8,9 +9,9 @@ import java.util.Base64
   *
   * Behind a trait so the pipeline and tests capture instead of send
   * (SURVEY.md §2.1 S9). The MIME assembly is dependency-free; the socket
-  * client speaks just enough RFC 5321 for a login+send — the container
-  * has no mail jars and zero egress, so tests exercise [[MimeMessage]]
-  * and [[CaptureEmailSink]] only.
+  * client speaks just enough RFC 5321 for a login+send. Tests exercise
+  * [[MimeMessage]], [[CaptureEmailSink]], and the socket dialogue against
+  * an in-process fake server (SmtpSpec) — the container has zero egress.
   */
 trait EmailSink {
   def send(message: MimeMessage): Unit
@@ -23,30 +24,43 @@ final case class MimeMessage(from: String, to: Seq[String], subject: String,
 
   /** RFC 2045 multipart/related: HTML part + inline image with
     * Content-ID, the structure the reference builds
-    * (tabjolt_email.py:327-333). */
+    * (tabjolt_email.py:327-333). Every line is CRLF-terminated — the body
+    * (which may carry bare \n from table cells with embedded newlines) is
+    * normalized, so RFC 5321 DATA rules and dot-stuffing hold on every
+    * line. */
   def render: String = {
     val b64 = Base64.getMimeEncoder(76, "\r\n".getBytes)
       .encodeToString(inlineImage)
-    s"""From: $from\r
-       |To: ${to.mkString(", ")}\r
-       |Subject: $subject\r
-       |MIME-Version: 1.0\r
-       |Content-Type: multipart/related; boundary="$boundary"\r
-       |\r
-       |--$boundary\r
-       |Content-Type: text/html; charset=utf-8\r
-       |\r
-       |$htmlBody\r
-       |--$boundary\r
-       |Content-Type: $imageMime\r
-       |Content-Transfer-Encoding: base64\r
-       |Content-ID: <$imageCid>\r
-       |Content-Disposition: inline\r
-       |\r
-       |$b64\r
-       |--$boundary--\r
-       |""".stripMargin
+    val headerAndBody = Seq(
+      s"From: $from",
+      s"To: ${to.mkString(", ")}",
+      s"Subject: $subject",
+      "MIME-Version: 1.0",
+      s"""Content-Type: multipart/related; boundary="$boundary"""",
+      "",
+      s"--$boundary",
+      "Content-Type: text/html; charset=utf-8",
+      "",
+      htmlBody,
+      s"--$boundary",
+      s"Content-Type: $imageMime",
+      "Content-Transfer-Encoding: base64",
+      s"Content-ID: <$imageCid>",
+      "Content-Disposition: inline",
+      "",
+      b64,
+      s"--$boundary--",
+      "")
+    // normalize ALL line endings (incl. \n inside htmlBody/b64) to CRLF
+    headerAndBody.mkString("\n").replace("\r\n", "\n").split("\n", -1)
+      .mkString("\r\n")
   }
+
+  /** The DATA payload with RFC 5321 dot-stuffing applied per line. */
+  def renderForData: String =
+    render.split("\r\n", -1)
+      .map(l => if (l.startsWith(".")) "." + l else l)
+      .mkString("\r\n")
 }
 
 /** Test/capture sink — records messages instead of sending. */
@@ -55,17 +69,29 @@ final class CaptureEmailSink extends EmailSink {
   override def send(message: MimeMessage): Unit = sent += message
 }
 
-/** Plain-socket SMTP client (STARTTLS-less; for an SSL endpoint wrap with
-  * SSLSocketFactory). Untested in this container (zero egress) — kept
-  * minimal and isolated behind the trait. */
+/** Plain-socket SMTP client. SSL connections enable HTTPS-style endpoint
+  * identification (hostname verification) — a raw SSLSocket validates the
+  * chain but not the peer identity by default. Connect and read timeouts
+  * bound a stalled server. */
 final class SmtpEmailSink(host: String, port: Int,
                           user: Option[String], password: Option[String],
-                          useSsl: Boolean = true) extends EmailSink {
+                          useSsl: Boolean = true,
+                          timeoutMs: Int = 30000) extends EmailSink {
   override def send(message: MimeMessage): Unit = {
     val socket =
-      if (useSsl)
-        javax.net.ssl.SSLSocketFactory.getDefault.createSocket(host, port)
-      else new java.net.Socket(host, port)
+      if (useSsl) {
+        val s = javax.net.ssl.SSLSocketFactory.getDefault.createSocket(host, port)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        val params = s.getSSLParameters
+        params.setEndpointIdentificationAlgorithm("HTTPS")
+        s.setSSLParameters(params)
+        s
+      } else {
+        val s = new java.net.Socket()
+        s.connect(new InetSocketAddress(host, port), timeoutMs)
+        s
+      }
+    socket.setSoTimeout(timeoutMs)
     try {
       val in = new BufferedReader(new InputStreamReader(socket.getInputStream))
       val out = new PrintWriter(socket.getOutputStream, true)
@@ -87,7 +113,7 @@ final class SmtpEmailSink(host: String, port: Int,
       cmd(s"MAIL FROM:<${message.from}>", "250")
       message.to.foreach(r => cmd(s"RCPT TO:<$r>", "250"))
       cmd("DATA", "354")
-      out.print(message.render.replace("\r\n.", "\r\n.."))
+      out.print(message.renderForData)
       cmd("\r\n.", "250")
       cmd("QUIT", "221")
     } finally socket.close()

@@ -26,8 +26,16 @@ import org.apache.spark.sql.types.StructType
   */
 object Ingest {
 
-  final case class LoadResult(good: DataFrame, rejected: DataFrame) {
+  /** `parsed` is cached: Spark disallows queries whose only referenced
+    * column from a raw CSV is the corrupt-record column (SPARK-38523) —
+    * and that includes pruned plans like `good.count()`, whose sole
+    * reference is the corrupt-null filter. The cache must therefore live
+    * as long as EITHER frame is queried; call [[LoadResult.cleanup]] when
+    * done with both, or the cache pins the table for the session. */
+  final case class LoadResult(good: DataFrame, rejected: DataFrame,
+                              private val parsed: DataFrame) {
     def rejectedCount: Long = rejected.count()
+    def cleanup(): Unit = parsed.unpersist()
   }
 
   /** Raw schema'd delimited read; rows that fail parse land in
@@ -56,7 +64,7 @@ object Ingest {
       .drop(Schemas.Rejected)
     val rejected = parsed.filter(col(Schemas.Rejected).isNotNull)
       .select(col(Schemas.Rejected))
-    LoadResult(good, rejected)
+    LoadResult(good, rejected, parsed)
   }
 
   /** Full COPY-equivalent: good rows returned, rejected raw rows appended
@@ -67,6 +75,8 @@ object Ingest {
                            skipHeader: Boolean = false): DataFrame = {
     val r = load(spark, path, schema, delimiter, skipHeader)
     r.rejected.write.mode("append").text(rejectedPath)
+    // NOT cleaned up here: the returned `good` still needs the cached
+    // parse (see LoadResult doc). Pipeline.runDaily cleans up at the end.
     r.good
   }
 }

@@ -65,14 +65,25 @@ object PipelineConfig {
 object Pipeline {
 
   final case class TabjoltTables(summaryLine: DataFrame, winCounter: DataFrame,
-                                 performanceSamples: DataFrame, threadDetails: DataFrame)
+                                 performanceSamples: DataFrame, threadDetails: DataFrame,
+                                 loads: Seq[Ingest.LoadResult]) {
+    /** Release the ingest caches (call when done querying the tables). */
+    def cleanup(): Unit = loads.foreach(_.cleanup())
+  }
 
-  def ingest(spark: SparkSession, cfg: PipelineConfig): TabjoltTables =
-    TabjoltTables(
-      Ingest.loadWithRejectedSink(spark, cfg.summaryLinePath, Schemas.summaryLine, ",", cfg.rejectedPath),
-      Ingest.loadWithRejectedSink(spark, cfg.winCounterPath, Schemas.winCounter, "\t", cfg.rejectedPath),
-      Ingest.loadWithRejectedSink(spark, cfg.performanceSamplesPath, Schemas.performanceSamples, ",", cfg.rejectedPath),
-      Ingest.loadWithRejectedSink(spark, cfg.threadDetailsPath, Schemas.threadDetails, "\t", cfg.rejectedPath))
+  def ingest(spark: SparkSession, cfg: PipelineConfig): TabjoltTables = {
+    def one(path: String, schema: org.apache.spark.sql.types.StructType,
+            delim: String): Ingest.LoadResult = {
+      val r = Ingest.load(spark, path, schema, delim)
+      r.rejected.write.mode("append").text(cfg.rejectedPath)
+      r
+    }
+    val sl = one(cfg.summaryLinePath, Schemas.summaryLine, ",")
+    val wc = one(cfg.winCounterPath, Schemas.winCounter, "\t")
+    val ps = one(cfg.performanceSamplesPath, Schemas.performanceSamples, ",")
+    val td = one(cfg.threadDetailsPath, Schemas.threadDetails, "\t")
+    TabjoltTables(sl.good, wc.good, ps.good, td.good, Seq(sl, wc, ps, td))
+  }
 
   /** Runs the full report for `runDate` and sends it through `sink`.
     * Returns the rendered HTML for inspection. */
@@ -97,14 +108,20 @@ object Pipeline {
 
     val chart = Report.trendChartSvg(
       Report.trendPoints(Queries.trendSeries(t.summaryLine)))
+    // Collects are bounded: per-view aggregates are small by construction,
+    // but todaysSamples is one row PER REQUEST SAMPLE — on a heavy test
+    // day that is unbounded, so the render keeps the top maxRenderRows
+    // slowest (the query is already sorted slowest-first).
+    val maxRenderRows = 10000
     val htmlBody = Report.html(
       metrics,
-      Queries.todaysSamples(t.performanceSamples, runDate).collect().toSeq,
-      Queries.regressions(t.performanceSamples, runDate).collect().toSeq,
-      Queries.improvements(t.performanceSamples, runDate).collect().toSeq)
+      Queries.todaysSamples(t.performanceSamples, runDate).limit(maxRenderRows).collect().toSeq,
+      Queries.regressions(t.performanceSamples, runDate).limit(maxRenderRows).collect().toSeq,
+      Queries.improvements(t.performanceSamples, runDate).limit(maxRenderRows).collect().toSeq)
 
     sink.send(MimeMessage(cfg.emailFrom, cfg.emailTo, cfg.emailSubject,
       htmlBody, chart.getBytes("UTF-8"), "graph_cid"))
+    t.cleanup()
     htmlBody
   }
 }

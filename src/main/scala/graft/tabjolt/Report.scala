@@ -14,10 +14,12 @@ object Report {
     * (tabjolt_email.py:89-94). */
   final case class TrendPoint(date: LocalDate, value: Int)
 
+  /** Rows whose date or value failed the try_cast (dirty summary rows —
+    * tolerated by design, SURVEY.md §1.3) are skipped, not crashed on. */
   def trendPoints(series: DataFrame): Seq[TrendPoint] =
-    series.collect().toSeq.map { r =>
-      TrendPoint(r.getDate(0).toLocalDate, r.getInt(1))
-    }
+    series.collect().toSeq
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => TrendPoint(r.getDate(0).toLocalDate, r.getInt(1)))
 
   /** Dependency-free SVG line chart standing in for the matplotlib PNG
     * (tabjolt_email.py:92-112): circle markers, per-point value labels,
@@ -26,11 +28,15 @@ object Report {
     val w = 1000; val h = 600; val mL = 80; val mB = 110; val mT = 40; val mR = 30
     if (points.isEmpty) return s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h"><text x="40" y="40">No results found</text></svg>"""
     val maxV = points.map(_.value).max
-    val yMax = ((maxV / 1000) + 1) * 1000
+    // Long arithmetic (an Int-overflowing value would invert the axis) and
+    // a grid step that caps the line count at ~20 regardless of magnitude
+    // — an absurd value must not render a million grid lines.
+    val yMax = (maxV.toLong / 1000L + 1L) * 1000L
+    val step = math.max(1000L, (yMax / 20L / 1000L) * 1000L)
     val xs = points.indices.map(i =>
       mL + (if (points.size == 1) 0.0 else i.toDouble * (w - mL - mR) / (points.size - 1)))
-    def y(v: Int): Double = (h - mB) - v.toDouble / yMax * (h - mB - mT)
-    val grid = (0 to yMax by 1000).map { v =>
+    def y(v: Long): Double = (h - mB) - v.toDouble / yMax * (h - mB - mT)
+    val grid = (0L to yMax by step).map { v =>
       f"""<line x1="$mL" y1="${y(v)}%.1f" x2="${w - mR}" y2="${y(v)}%.1f" stroke="#ddd"/><text x="${mL - 8}" y="${y(v) + 4}%.1f" text-anchor="end" font-size="11">$v</text>"""
     }.mkString("\n")
     val path = xs.zip(points).map { case (x, p) => f"$x%.1f,${y(p.value)}%.1f" }.mkString(" ")

@@ -8,7 +8,10 @@ class StreamingSpec extends SparkSpec {
 
   import EventsStream.{Event, Session}
 
-  private def ts(minute: Int) = new java.sql.Timestamp(minute * 60000L)
+  // base well past epoch 0: an event time equal to the initial watermark
+  // (epoch 0) would be dropped as late by watermarked operators
+  private val Base = 1600000000000L
+  private def ts(minute: Int) = new java.sql.Timestamp(Base + minute * 60000L)
 
   test("sessionize splits on the 30-minute gap and aggregates within sessions") {
     import spark.implicits._
@@ -31,6 +34,35 @@ class StreamingSpec extends SparkSpec {
     assert(first.start == ts(0) && first.end == ts(10))
     assert(sessions(1).n_events == 1 && sessions(1).sum_value == 5.0)
     assert(sessions(2).user_id == 9)
+  }
+
+  test("unbounded sessionizer carries an open session across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventsStream.sessionizeUnbounded(mem.toDS(), gapMinutes = 30,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sessions_unbounded")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: user 7 events at min 0 and 10 (open session)
+    mem.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(10), 7, "view", 2.0))
+    q.processAllAvailable()
+    // batch 2: min 15 — within the gap; a batch-boundary-flushing
+    // implementation would have fragmented [0,10] + [15,15]
+    mem.addData(Event(3, ts(15), 7, "click", 4.0))
+    q.processAllAvailable()
+    // batch 3: far-future event advances the watermark past 15+30min,
+    // firing the event-time timeout that closes user 7's session
+    mem.addData(Event(9, ts(1000), 9, "view", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(10, ts(2000), 9, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val u7 = spark.table("sessions_unbounded").as[Session].collect()
+      .filter(_.user_id == 7)
+    assert(u7.length == 1, s"expected one unfragmented session, got ${u7.toSeq}")
+    assert(u7.head.start == ts(0) && u7.head.end == ts(15) && u7.head.n_events == 3)
+    assert(u7.head.sum_value == 7.0)
   }
 
   test("streaming hourly agg equals the batch groupBy on the same data") {
