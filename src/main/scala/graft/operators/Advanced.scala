@@ -442,6 +442,22 @@ object Advanced {
            |  GROUP BY 1) c USING (minute)
            |ORDER BY minute""".stripMargin))
 
+  /** CUBE: all grouping combinations of (event_type, day-of-month).
+    * Subtotal rows carry NULL keys in both engines; ordering pinned
+    * NULLS FIRST explicitly. */
+  val q21 = QueryDef(
+    "q21_cube",
+    (s, d) =>
+      Tables.events(s, d)
+        .cube(col("event_type"), dayofmonth(col("ts")).as("dom"))
+        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first, col("dom").asc_nulls_first),
+    Some("""SELECT event_type, day(ts) AS dom, COUNT(*) AS n,
+           |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM events
+           |GROUP BY CUBE (event_type, day(ts))
+           |ORDER BY event_type NULLS FIRST, dom NULLS FIRST""".stripMargin))
+
   val catalog: Seq[QueryDef] =
-    Seq(e01, q16, q17, t09, c01, tj01, tj02, v01, j01, q18, t10, q19, q20)
+    Seq(e01, q16, q17, t09, c01, tj01, tj02, v01, j01, q18, t10, q19, q20, q21)
 }

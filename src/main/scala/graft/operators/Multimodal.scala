@@ -50,9 +50,24 @@ object Multimodal {
   def decodeStub(payload: Array[Byte]): Array[Int] =
     payload.map(b => (b & 0xFF))
 
-  /** STUB resize / frame-sample: keep every `stride`-th sample. */
+  /** STUB frame-sample: keep every `stride`-th sample. */
   def frameSampleStub(samples: Array[Int], stride: Int): Array[Int] =
     samples.grouped(stride).map(_.head).toArray
+
+  /** STUB resize: average-pool the sample array down to `target` cells
+    * (the shape a real image resize kernel has; deterministic). */
+  def resizeStub(samples: Array[Int], target: Int): Array[Int] = {
+    if (samples.isEmpty || target <= 0) Array.empty
+    else {
+      val n = math.min(target, samples.length)
+      Array.tabulate(n) { i =>
+        val from = i * samples.length / n
+        val until = math.max(from + 1, (i + 1) * samples.length / n)
+        val slice = samples.slice(from, until)
+        slice.sum / slice.length
+      }
+    }
+  }
 
   /** Batch feature extraction over partition iterators — decode, sample,
     * 16-bucket level histogram, checksum, mean. */

@@ -21,6 +21,13 @@ class MultimodalSpec extends SparkSpec {
     assert(empty.n_bytes == 0 && empty.mean_level == 0.0)
   }
 
+  test("resize stub average-pools deterministically and handles edges") {
+    assert(Multimodal.resizeStub(Array(10, 20, 30, 40), 2).toSeq == Seq(15, 35))
+    assert(Multimodal.resizeStub(Array(10, 20), 4).toSeq == Seq(10, 20)) // no upsample
+    assert(Multimodal.resizeStub(Array.empty[Int], 4).isEmpty)
+    assert(Multimodal.resizeStub(Array(1, 2, 3), 0).isEmpty)
+  }
+
   test("gate query runs over documents with one feature row per doc") {
     val sf = "/root/testdata/sf0.001"
     val out = Multimodal.mm01.fn(spark, sf)
