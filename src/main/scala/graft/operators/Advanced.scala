@@ -58,14 +58,18 @@ object Advanced {
       o.join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .rollup(col("n_name"))
-        .agg(count(lit(1)).as("n_orders"), exactSum(col("o_totalprice")).as("revenue"))
-        .orderBy(col("n_name").asc_nulls_first)
+        .agg(count(lit(1)).as("n_orders"), exactSum(col("o_totalprice")).as("revenue"),
+          grouping_id().as("gid"))
+        // gid distinguishes a NULL data key from a subtotal row — without
+        // it the order of those two rows is unpinned across engines
+        .orderBy(col("gid"), col("n_name").asc_nulls_first)
     },
     Some("""SELECT n_name, COUNT(*) AS n_orders,
-           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           |       GROUPING(n_name) AS gid
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |JOIN nation ON c_nationkey = n_nationkey
-           |GROUP BY ROLLUP(n_name) ORDER BY n_name NULLS FIRST""".stripMargin))
+           |GROUP BY ROLLUP(n_name) ORDER BY gid, n_name NULLS FIRST""".stripMargin))
 
   /** Exact interpolated percentiles (p50/p95/p99). Both engines sort the
     * full group and interpolate linearly — identical doubles on identical
@@ -450,13 +454,15 @@ object Advanced {
     (s, d) =>
       Tables.events(s, d)
         .cube(col("event_type"), dayofmonth(col("ts")).as("dom"))
-        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
-        .orderBy(col("event_type").asc_nulls_first, col("dom").asc_nulls_first),
+        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("event_type").asc_nulls_first, col("dom").asc_nulls_first),
     Some("""SELECT event_type, day(ts) AS dom, COUNT(*) AS n,
-           |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           |       GROUPING(event_type, day(ts)) AS gid
            |FROM events
            |GROUP BY CUBE (event_type, day(ts))
-           |ORDER BY event_type NULLS FIRST, dom NULLS FIRST""".stripMargin))
+           |ORDER BY gid, event_type NULLS FIRST, dom NULLS FIRST""".stripMargin))
 
   val catalog: Seq[QueryDef] =
     Seq(e01, q16, q17, t09, c01, tj01, tj02, v01, j01, q18, t10, q19, q20, q21)

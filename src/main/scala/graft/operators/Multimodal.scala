@@ -61,8 +61,9 @@ object Multimodal {
     else {
       val n = math.min(target, samples.length)
       Array.tabulate(n) { i =>
-        val from = i * samples.length / n
-        val until = math.max(from + 1, (i + 1) * samples.length / n)
+        // Long intermediate: i * length overflows Int for MB-scale payloads
+        val from = (i.toLong * samples.length / n).toInt
+        val until = math.max(from + 1, ((i + 1).toLong * samples.length / n).toInt)
         val slice = samples.slice(from, until)
         slice.sum / slice.length
       }

@@ -163,7 +163,13 @@ object EventsStream {
             sorted.foreach { e =>
               cur match {
                 case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
-                  cur = Some(s.copy(end = e.ts, n = s.n + 1, sum = s.sum + e.value))
+                  // out-of-order events (late but within watermark) from a
+                  // previous batch may precede the session bounds: extend
+                  // with min/max, never move end backwards (an inverted
+                  // session would also fire the timeout early)
+                  val start = if (e.ts.before(s.start)) e.ts else s.start
+                  val end = if (e.ts.after(s.end)) e.ts else s.end
+                  cur = Some(SessionState(start, end, s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   sessions += Session(userId, s.start, s.end, s.n, s.sum)
                   cur = Some(SessionState(e.ts, e.ts, 1, e.value))

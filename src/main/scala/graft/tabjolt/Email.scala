@@ -51,9 +51,10 @@ final case class MimeMessage(from: String, to: Seq[String], subject: String,
       b64,
       s"--$boundary--",
       "")
-    // normalize ALL line endings (incl. \n inside htmlBody/b64) to CRLF
-    headerAndBody.mkString("\n").replace("\r\n", "\n").split("\n", -1)
-      .mkString("\r\n")
+    // normalize ALL line endings (incl. \n and lone \r inside
+    // htmlBody — multiLine-ingested cells can carry either) to CRLF
+    headerAndBody.mkString("\n").replace("\r\n", "\n").replace('\r', '\n')
+      .split("\n", -1).mkString("\r\n")
   }
 
   /** The DATA payload with RFC 5321 dot-stuffing applied per line. */
@@ -78,19 +79,21 @@ final class SmtpEmailSink(host: String, port: Int,
                           useSsl: Boolean = true,
                           timeoutMs: Int = 30000) extends EmailSink {
   override def send(message: MimeMessage): Unit = {
+    // connect with a timeout FIRST (the SSL factory's (host, port)
+    // overload connects without one), then layer TLS on top
+    val plain = new java.net.Socket()
+    plain.connect(new InetSocketAddress(host, port), timeoutMs)
     val socket =
       if (useSsl) {
-        val s = javax.net.ssl.SSLSocketFactory.getDefault.createSocket(host, port)
+        val s = javax.net.ssl.SSLSocketFactory.getDefault
+          .asInstanceOf[javax.net.ssl.SSLSocketFactory]
+          .createSocket(plain, host, port, true)
           .asInstanceOf[javax.net.ssl.SSLSocket]
         val params = s.getSSLParameters
         params.setEndpointIdentificationAlgorithm("HTTPS")
         s.setSSLParameters(params)
         s
-      } else {
-        val s = new java.net.Socket()
-        s.connect(new InetSocketAddress(host, port), timeoutMs)
-        s
-      }
+      } else plain
     socket.setSoTimeout(timeoutMs)
     try {
       val in = new BufferedReader(new InputStreamReader(socket.getInputStream))

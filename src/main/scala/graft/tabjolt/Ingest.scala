@@ -67,16 +67,15 @@ object Ingest {
     LoadResult(good, rejected, parsed)
   }
 
-  /** Full COPY-equivalent: good rows returned, rejected raw rows appended
-    * to the side file (the `rejected.txt` analog). */
+  /** Full COPY-equivalent: rejected raw rows appended to the side file
+    * (the `rejected.txt` analog), the LoadResult returned so the caller
+    * can query `good` and release the cache via cleanup() when done. */
   def loadWithRejectedSink(spark: SparkSession, path: String,
                            schema: StructType, delimiter: String,
                            rejectedPath: String,
-                           skipHeader: Boolean = false): DataFrame = {
+                           skipHeader: Boolean = false): LoadResult = {
     val r = load(spark, path, schema, delimiter, skipHeader)
     r.rejected.write.mode("append").text(rejectedPath)
-    // NOT cleaned up here: the returned `good` still needs the cached
-    // parse (see LoadResult doc). Pipeline.runDaily cleans up at the end.
-    r.good
+    r
   }
 }

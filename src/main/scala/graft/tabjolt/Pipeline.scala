@@ -73,11 +73,8 @@ object Pipeline {
 
   def ingest(spark: SparkSession, cfg: PipelineConfig): TabjoltTables = {
     def one(path: String, schema: org.apache.spark.sql.types.StructType,
-            delim: String): Ingest.LoadResult = {
-      val r = Ingest.load(spark, path, schema, delim)
-      r.rejected.write.mode("append").text(cfg.rejectedPath)
-      r
-    }
+            delim: String): Ingest.LoadResult =
+      Ingest.loadWithRejectedSink(spark, path, schema, delim, cfg.rejectedPath)
     val sl = one(cfg.summaryLinePath, Schemas.summaryLine, ",")
     val wc = one(cfg.winCounterPath, Schemas.winCounter, "\t")
     val ps = one(cfg.performanceSamplesPath, Schemas.performanceSamples, ",")
@@ -90,6 +87,7 @@ object Pipeline {
   def runDaily(spark: SparkSession, cfg: PipelineConfig, runDate: LocalDate,
                sink: EmailSink): String = {
     val t = ingest(spark, cfg)
+    try {
 
     def scalarString(df: DataFrame): String =
       df.collect().headOption.map(r => Option(r.get(0)).map(_.toString).getOrElse("")).getOrElse("No results found")
@@ -121,7 +119,7 @@ object Pipeline {
 
     sink.send(MimeMessage(cfg.emailFrom, cfg.emailTo, cfg.emailSubject,
       htmlBody, chart.getBytes("UTF-8"), "graph_cid"))
-    t.cleanup()
     htmlBody
+    } finally t.cleanup() // release ingest caches on every path
   }
 }

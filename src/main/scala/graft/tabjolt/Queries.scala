@@ -69,7 +69,7 @@ object Queries {
   def historicAvg(summary: DataFrame): DataFrame =
     summary
       .filter(col("summary_metrix") === "Avg")
-      .agg(round(avg(col("summary_value").try_cast("double")), 0).cast("int")
+      .agg(round(avg(col("summary_value").try_cast("double")), 0).try_cast("int")
         .as("average_summary_value"))
 
   /** Q6 — day-wise Avg series for the trend graph (tabjolt_email.py:86). */

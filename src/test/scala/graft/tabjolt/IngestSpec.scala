@@ -55,8 +55,9 @@ class IngestSpec extends SparkSpec {
         Seq("not", "a", "valid", "row", "too", "many", "fields", "here", "extra").mkString("\t") + "\n",
       ".tsv")
     val rejDir = Files.createTempDirectory("graft-rej").toString + "/rejected"
-    val good = Ingest.loadWithRejectedSink(spark, path, Schemas.winCounter, "\t", rejDir)
-    assert(good.count() >= 1)
+    val result = Ingest.loadWithRejectedSink(spark, path, Schemas.winCounter, "\t", rejDir)
+    assert(result.good.count() >= 1)
+    result.cleanup()
     val rejected = spark.read.text(rejDir).count()
     assert(rejected == 1)
   }
