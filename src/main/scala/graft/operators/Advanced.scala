@@ -38,8 +38,9 @@ object Advanced {
            |                OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
            |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
            |), sess AS (
-           |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           |                             ROWS UNBOUNDED PRECEDING) AS sid
+           |  -- CAST: DuckDB SUM(INTEGER) yields HUGEINT; Spark emits BIGINT.
+           |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
            |  FROM flag)
            |SELECT user_id, sid, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
            |       COUNT(*) AS n_events,
@@ -287,7 +288,8 @@ object Advanced {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type")),
     Some("""SELECT event_type,
-           |       COUNT(k) AS n_with_k, SUM(k) AS sum_k,
+           |       -- CAST: DuckDB SUM(INTEGER) yields HUGEINT; Spark emits BIGINT.
+           |       COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
            |       MIN(k) AS min_k, MAX(k) AS max_k
            |FROM (SELECT event_type,
            |             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

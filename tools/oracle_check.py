@@ -18,6 +18,35 @@ import pyarrow as pa
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def canon_type(t):
+    """Canonical type class, matching the driver's type-sensitive hash.
+
+    Distinguishes decimal from integer (DuckDB HUGEINT arrives as
+    decimal128(38,0) — the round-1 e01/q18 false-pass class) while
+    unifying noise the driver demonstrably tolerates: round-1 queries
+    with int32-vs-int64 columns (q12, q21, s02, t01, t03, t10) all
+    hash-matched, so integer/float widths and timestamp unit/tz unify.
+    """
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    return str(t)
+
 def norm_cell(v):
     if v is None:
         return "NULL"
@@ -40,8 +69,9 @@ def read_spark(outdir, name):
     files = [f for f in os.listdir(d) if f.endswith(".parquet")]
     t = pa.concat_tables([pq.read_table(os.path.join(d, f)) for f in sorted(files)])
     cols = t.column_names
+    types = {c: canon_type(t.schema.field(c).type) for c in cols}
     rows = list(zip(*[t.column(c).to_pylist() for c in cols])) if t.num_rows else []
-    return cols, rows
+    return cols, types, rows
 
 def main(outdir, sfdir):
     con = duckdb.connect()
@@ -54,15 +84,19 @@ def main(outdir, sfdir):
     for name in sorted(os.listdir(outdir)):
         if not os.path.isdir(os.path.join(outdir, name)):
             continue
-        scols, srows = read_spark(outdir, name)
+        scols, stypes, srows = read_spark(outdir, name)
         if name not in oracle:
             print(f"  {name}: rows-only check, {len(srows)} rows " +
                   ("OK" if len(srows) > 0 else "EMPTY (suspicious)"))
             continue
         try:
-            res = con.execute(oracle[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # Arrow fetch so DuckDB types survive (fetchall() stringifies
+            # HUGEINT and BIGINT identically — round-1 false pass).
+            dt = con.execute(oracle[name]).arrow()
+            dcols = dt.column_names
+            dtypes = {c: canon_type(dt.schema.field(c).type) for c in dcols}
+            drows = (list(zip(*[dt.column(c).to_pylist() for c in dcols]))
+                     if dt.num_rows else [])
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             fail += 1
@@ -70,6 +104,11 @@ def main(outdir, sfdir):
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"schema {sorted(scols)} vs {sorted(dcols)}")
+        else:
+            tdiff = [f"{c}: spark={stypes[c]} duck={dtypes[c]}"
+                     for c in sorted(scols) if stypes[c] != dtypes[c]]
+            if tdiff:
+                problems.append("type mismatch " + "; ".join(tdiff))
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if not problems:
