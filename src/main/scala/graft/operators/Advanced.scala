@@ -96,11 +96,15 @@ object Advanced {
   /** Embedding-cosine near-dup dedup: every vector that has a
     * higher-similarity earlier twin maps to its lowest-id keeper.
     * Completes the dedup family (exact / MinHash / SimHash / n-gram
-    * Jaccard / embedding). */
+    * Jaccard / embedding). Pairs come from the LSH bucket join
+    * ([[Similarity.lshPairs]] — hash join on (tbl, bucket), O(N*T)
+    * shuffle), exact-verified by the native dot product; the all-pairs
+    * s01 stays as the oracle so the gate proves LSH recall is
+    * exhaustive at this threshold. */
   val t09 = QueryDef(
     "t09_dedup_embedding",
     (s, d) =>
-      Similarity.s01.fn(s, d)
+      Similarity.lshPairs(s, d)
         .groupBy(col("id2").as("vec_id"))
         .agg(min(col("id1")).as("keep_id"))
         .orderBy(col("vec_id")),

@@ -155,6 +155,57 @@ object Similarity {
       }.reduce(_ + _)
     }: _*)
 
+  // Dedup-tuned LSH banding, separate from the ANN tables above. The
+  // dedup contract is exhaustiveness at the s01 threshold (every pair
+  // with cos >= 0.38 must collide in >= 1 table), which at theta ~ 68deg
+  // needs many short tables: p_bit = 1 - theta/pi ~ 0.62, so per-table
+  // collision = 0.62^P and miss = (1 - 0.62^P)^T. P=2/T=32 puts the
+  // worst-case per-pair miss at ~6e-8; planes are fixed-seed, so recall
+  // is DETERMINISTIC per corpus and pinned vs s01 in OperatorsSpec at
+  // sf0.001 (and checked against the oracle at sf0.01/sf0.1 before
+  // shipping). On this near-random corpus LSH cannot also be selective
+  // at so low a threshold — real dedup corpora sit at cos >= 0.9 where
+  // the same banding prunes hard — but the SHAPE is the 100 TB one: an
+  // O(N*T) bucket shuffle + hash join, never an all-pairs nested loop.
+  private val DedupTables = 32
+  private val DedupPlanes = 2
+  private val dedupPlanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(11)
+    Array.fill(DedupTables * DedupPlanes, Dim)(rnd.nextGaussian())
+  }
+
+  private def dedupBuckets(emb: Column): Column =
+    array((0 until DedupTables).map { t =>
+      (0 until DedupPlanes).map { j =>
+        val planeLit = array(dedupPlanes(t * DedupPlanes + j).map(lit(_)): _*)
+        when(dot(emb, planeLit) > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** Candidate-generation twin of s01 with the same output contract
+    * (id1 < id2, cos >= threshold, one row per pair) but pairs produced
+    * by the multi-table LSH bucket join — the t07 MinHash pattern
+    * applied to embeddings. Candidate generation is a hash join on
+    * (tbl, bucket); the exact cosine (native graft_dot) verifies each
+    * candidate once, before distinct() collapses multi-table hits (the
+    * value is identical per duplicate, same fold order). s01 stays as
+    * the all-pairs oracle baseline. */
+  def lshPairs(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, d)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(dedupBuckets(col("embedding"))).as(Seq("tbl", "bucket")))
+    val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+      col("nrm").as("n1"), col("tbl"), col("bucket"))
+    val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+      col("nrm").as("n2"), col("tbl").as("tbl2"), col("bucket").as("bucket2"))
+    a.join(b, col("tbl") === col("tbl2") && col("bucket") === col("bucket2") &&
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        cosine(dot(col("e1"), col("e2")), col("n1"), col("n2")).as("cos"))
+      .filter(col("cos") >= CosineThreshold)
+      .distinct()
+  }
+
   /** LSH-bucketed ANN: candidates share a (table, bucket) with the query;
     * top-3 by exact cosine within the candidate union. Approximate by
     * construction (recall floor pinned in the test suite) => rows-only

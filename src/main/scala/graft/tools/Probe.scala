@@ -121,3 +121,31 @@ object Probe {
     spark.stop()
   }
 }
+
+/** One-off evidence tool: lshPairs (t09 candidate generator) vs the
+  * all-pairs s01 baseline at an arbitrary SF dir. The dedup banding must
+  * reach recall 1.0 — t09's gate oracle is derived from s01. */
+object RecallCheck {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Similarity
+    val t0 = System.nanoTime()
+    val exact = Similarity.s01.fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t1 = System.nanoTime()
+    val lsh = Similarity.lshPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t2 = System.nanoTime()
+    println(s"RECALLCHECK dir=$d exact=${exact.size} (${(t1-t0)/1e9}%.2fs) " +
+      s"lsh=${lsh.size} (${(t2-t1)/1e9}s) missed=${exact.diff(lsh).size} invented=${lsh.diff(exact).size}")
+    if (exact.diff(lsh).nonEmpty) println("MISSED: " + exact.diff(lsh).take(10))
+    spark.stop()
+  }
+}

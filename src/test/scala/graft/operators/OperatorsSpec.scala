@@ -46,6 +46,20 @@ class OperatorsSpec extends SparkSpec {
     assert(sim.nonEmpty)
   }
 
+  test("dedup LSH pair generation is exhaustive vs all-pairs s01 at sf0.001") {
+    // t09 hash-matches an all-pairs oracle, so lshPairs' recall must be
+    // EXACTLY 1.0 on this corpus — not approximately. Planes are
+    // fixed-seed, so this is deterministic; P=2 x T=32 banding puts the
+    // worst-case per-pair miss at ~6e-8 for cos >= 0.38.
+    val exact = Similarity.s01.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact,
+      s"missed=${exact.diff(lsh)} invented=${lsh.diff(exact)}")
+    assert(exact.nonEmpty)
+  }
+
   test("multi-table LSH ANN reaches >=50% top-3 recall vs brute force at sf0.001") {
     val brute = Similarity.s02.fn(spark, sf).collect()
       .filter(_.getInt(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
