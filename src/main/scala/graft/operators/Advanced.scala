@@ -352,7 +352,11 @@ object Advanced {
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(col("toks")).as("term"))
-      val n = Tables.documents(s, d).count() // tiny scalar; at scale pass in
+      // corpus size N stays IN the plan (1-row aggregate, broadcast
+      // cross join — the oracle's CROSS JOIN n) instead of an eager
+      // driver-side .count() that serialized a scan before the job
+      val n = Tables.documents(s, d)
+        .agg(count(lit(1)).cast("double").as("n"))
       val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       // df derived FROM tf (one row per doc-term already) — avoids a
       // second tokenize+explode pass over the corpus
@@ -360,7 +364,8 @@ object Advanced {
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
       tf.join(broadcast(df), "term")
-        .withColumn("tfidf", col("tf") * (lit(n.toDouble) / col("df")))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf") * (col("n") / col("df")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))

@@ -81,7 +81,10 @@ object Queries {
       .orderBy(col("summary_timestamp"))
 
   /** Q7 — today's per-request samples, site views only, slowest first
-    * (tabjolt_email.py:383). */
+    * (tabjolt_email.py:383). Vertica DESC defaults to NULLS FIRST, and
+    * Q7 guards only the timestamp cast, so a non-numeric
+    * elapsed_time_ms (NULL after try_cast) sorts before the slowest
+    * real sample — matched here with desc_nulls_first. */
   def todaysSamples(samples: DataFrame, runDate: LocalDate): DataFrame =
     samples
       .filter(isNumeric(col("timestamp_ms")) &&
@@ -90,7 +93,7 @@ object Queries {
       .select(col("elapsed_time_ms").try_cast("int").as("elapsed_time"),
         col("latency_time_ms"), col("success_indicator"),
         col("request_label"), col("response_message"))
-      .orderBy(col("elapsed_time").desc)
+      .orderBy(col("elapsed_time").desc_nulls_first)
 
   /** Per-view historical average — the `aa` inline view of Q8a/Q8b
     * (tabjolt_email.py:385). */

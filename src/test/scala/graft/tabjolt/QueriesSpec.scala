@@ -82,6 +82,18 @@ class QueriesSpec extends SparkSpec {
     assert(got.forall(r => r.getString(4).contains("Site")))
   }
 
+  test("Q7 sorts a NULL elapsed_time first, like Vertica DESC") {
+    // reference Q7 guards only the timestamp cast (tabjolt_email.py:383):
+    // a row with numeric timestamp but non-numeric elapsed_time_ms
+    // reaches the sort as NULL and Vertica's DESC puts NULLs first
+    import spark.implicits._
+    val withBadElapsed = samplesDf.union(Seq(
+      row("fast", Today.toString, V1)).toDF(samplesDf.columns: _*))
+    val got = Queries.todaysSamples(withBadElapsed, runDate).collect()
+    assert(got.head.isNullAt(0), "NULL elapsed_time must sort first")
+    assert(got.tail.map(_.getInt(0)).toSeq == Seq(200, 50))
+  }
+
   test("Q8a regression pct-diff and ordering") {
     val got = Queries.regressions(samplesDf, runDate).collect()
     // v1 has avg (100+100+200+50)/4 = 112.5; currents today: 200 (+77.78%)
