@@ -38,6 +38,18 @@ object Ingest {
     def cleanup(): Unit = parsed.unpersist()
   }
 
+  /** An empty table with `schema` — what a load resolves to when its
+    * source is missing and the caller tolerates it (the reference skips
+    * absent files and runs on what loaded, tabjolt_email.py:371-375). */
+  def emptyLoad(spark: SparkSession, schema: StructType): LoadResult = {
+    val good = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val rejected = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new StructType().add(Schemas.Rejected, org.apache.spark.sql.types.StringType))
+    LoadResult(good, rejected, good) // unpersist on a non-cached frame is a no-op
+  }
+
   /** Raw schema'd delimited read; rows that fail parse land in
     * [[Schemas.Rejected]]. */
   def read(spark: SparkSession, path: String, schema: StructType,

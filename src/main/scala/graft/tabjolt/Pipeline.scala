@@ -3,10 +3,29 @@ package graft.tabjolt
 import java.time.LocalDate
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** SMTP endpoint settings — field-for-field the reference's `smtp`
+  * config section (config.json:9-16: sender_email, smtp_username,
+  * smtp_password, smtp_server, smtp_port, recipient_emails). */
+final case class SmtpConfig(
+    server: String,
+    port: Int,
+    username: Option[String],
+    password: Option[String],
+    senderEmail: String,
+    recipients: Seq[String],
+    ssl: Boolean = true) {
+  /** A live sink on this endpoint (SMTP_SSL + LOGIN, like
+    * tabjolt_email.py:336-337). */
+  def sink(timeoutMs: Int = 30000): SmtpEmailSink =
+    new SmtpEmailSink(server, port, username, password, ssl, timeoutMs)
+}
+
 /** Pipeline configuration — the shape of the reference's config.json
   * (S3 source locations, SMTP endpoint; config.json:1-24). JDBC/Vertica
   * connection config has no analog: tables live wherever Spark reads
-  * them. */
+  * them. `fetch` is the download stage (tabjolt_email.py:351-359):
+  * (src, dest) pairs staged before load, each failure logged and
+  * skipped, never fatal. */
 final case class PipelineConfig(
     summaryLinePath: String,
     winCounterPath: String,
@@ -15,7 +34,9 @@ final case class PipelineConfig(
     rejectedPath: String,
     emailFrom: String = "graft@localhost",
     emailTo: Seq[String] = Seq("team@localhost"),
-    emailSubject: String = "Tabjolt Daily Run Summary")
+    emailSubject: String = "Tabjolt Daily Run Summary",
+    smtp: Option[SmtpConfig] = None,
+    fetch: Seq[(String, String)] = Nil)
 
 object PipelineConfig {
   import com.fasterxml.jackson.databind.JsonNode
@@ -24,7 +45,14 @@ object PipelineConfig {
   /** Load from a config.json (SURVEY.md §2.1 S2). Shape:
     * {"paths": {"summary_line": ..., "wincounter": ..., "performance_samples": ...,
     *            "thread_details": ..., "rejected": ...},
-    *  "email": {"from": ..., "to": [...], "subject": ...}}
+    *  "email": {"from": ..., "to": [...], "subject": ...},
+    *  "smtp":  {"smtp_server": ..., "smtp_port": 465, "smtp_username": ...,
+    *            "smtp_password": ..., "sender_email": ...,
+    *            "recipient_emails": [...], "ssl": true},
+    *  "fetch": [{"src": ..., "dest": ...}, ...]}
+    * The `smtp` field names are the reference's own (config.json:9-16);
+    * when `email` is absent, from/to default to the smtp sender and
+    * recipients, as the reference wires them (tabjolt_email.py:336-339).
     * Paths may be any Hadoop-readable URI (file://, s3a://, hdfs://). */
   def fromJson(path: String): PipelineConfig = {
     val root = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -34,8 +62,22 @@ object PipelineConfig {
       require(n != null, s"config: missing field '$field'")
       n
     }
+    def strings(n: JsonNode): Seq[String] = n.elements.asScala.map(_.asText).toSeq
     val p = req(root, "paths")
     val email = Option(root.get("email"))
+    val smtp = Option(root.get("smtp")).map { s =>
+      SmtpConfig(
+        server = req(s, "smtp_server").asText,
+        port = req(s, "smtp_port").asInt,
+        username = Option(s.get("smtp_username")).map(_.asText),
+        password = Option(s.get("smtp_password")).map(_.asText),
+        senderEmail = req(s, "sender_email").asText,
+        recipients = Option(s.get("recipient_emails")).map(strings).getOrElse(Nil),
+        ssl = Option(s.get("ssl")).forall(_.asBoolean))
+    }
+    val fetch = Option(root.get("fetch")).map(_.elements.asScala.map { f =>
+      (req(f, "src").asText, req(f, "dest").asText)
+    }.toSeq).getOrElse(Nil)
     PipelineConfig(
       summaryLinePath = req(p, "summary_line").asText,
       winCounterPath = req(p, "wincounter").asText,
@@ -43,13 +85,47 @@ object PipelineConfig {
       threadDetailsPath = req(p, "thread_details").asText,
       rejectedPath = req(p, "rejected").asText,
       emailFrom = email.flatMap(e => Option(e.get("from"))).map(_.asText)
+        .orElse(smtp.map(_.senderEmail))
         .getOrElse("graft@localhost"),
-      emailTo = email.flatMap(e => Option(e.get("to")))
-        .map(_.elements.asScala.map(_.asText).toSeq)
+      emailTo = email.flatMap(e => Option(e.get("to"))).map(strings)
+        .orElse(smtp.map(_.recipients).filter(_.nonEmpty))
         .getOrElse(Seq("team@localhost")),
       emailSubject = email.flatMap(e => Option(e.get("subject"))).map(_.asText)
-        .getOrElse("Tabjolt Daily Run Summary"))
+        .getOrElse("Tabjolt Daily Run Summary"),
+      smtp = smtp,
+      fetch = fetch)
   }
+}
+
+/** The download stage — the Spark-side analog of the reference's
+  * per-file S3 pull (tabjolt_email.py:17-31, 358-359): each (src, dest)
+  * is copied through the Hadoop FileSystem API (so `file://`, `s3a://`,
+  * `hdfs://` all work when the FS is on the classpath), and a failed
+  * fetch LOGS AND CONTINUES — the reference prints the boto3 error and
+  * moves to the next file; the pipeline then runs on whatever staged. */
+object Fetch {
+  final case class FetchResult(src: String, dest: String, error: Option[String]) {
+    def ok: Boolean = error.isEmpty
+  }
+
+  def fetchAll(spark: SparkSession, files: Seq[(String, String)]): Seq[FetchResult] =
+    files.map { case (src, dest) =>
+      try {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val srcPath = new org.apache.hadoop.fs.Path(src)
+        val destPath = new org.apache.hadoop.fs.Path(dest)
+        org.apache.hadoop.fs.FileUtil.copy(
+          srcPath.getFileSystem(conf), srcPath,
+          destPath.getFileSystem(conf), destPath,
+          /*deleteSource=*/ false, /*overwrite=*/ true, conf)
+        FetchResult(src, dest, None)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // reference semantics: print and continue (tabjolt_email.py:28-31)
+          System.err.println(s"[graft.Fetch] error fetching $src -> $dest: $e")
+          FetchResult(src, dest, Some(e.toString))
+      }
+    }
 }
 
 /** End-to-end daily-report pipeline — the Spark re-expression of the
@@ -71,10 +147,19 @@ object Pipeline {
     def cleanup(): Unit = loads.foreach(_.cleanup())
   }
 
+  /** Loads the four source tables. A source that fails to resolve (file
+    * deleted, fetch failed) logs and yields an EMPTY table rather than
+    * aborting the run — the reference skips missing files and reports on
+    * whatever loaded (tabjolt_email.py:371-375). */
   def ingest(spark: SparkSession, cfg: PipelineConfig): TabjoltTables = {
     def one(path: String, schema: org.apache.spark.sql.types.StructType,
             delim: String): Ingest.LoadResult =
-      Ingest.loadWithRejectedSink(spark, path, schema, delim, cfg.rejectedPath)
+      try Ingest.loadWithRejectedSink(spark, path, schema, delim, cfg.rejectedPath)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft.Pipeline] source not loaded: $path ($e)")
+          Ingest.emptyLoad(spark, schema)
+      }
     val sl = one(cfg.summaryLinePath, Schemas.summaryLine, ",")
     val wc = one(cfg.winCounterPath, Schemas.winCounter, "\t")
     val ps = one(cfg.performanceSamplesPath, Schemas.performanceSamples, ",")
@@ -82,10 +167,19 @@ object Pipeline {
     TabjoltTables(sl.good, wc.good, ps.good, td.good, Seq(sl, wc, ps, td))
   }
 
+  /** Runs the full daily pipeline against the sink the config names —
+    * the reference's __main__ entry shape (config-driven SMTP,
+    * tabjolt_email.py:345-394). Requires an `smtp` config section. */
+  def runDaily(spark: SparkSession, cfg: PipelineConfig, runDate: LocalDate): String =
+    runDaily(spark, cfg, runDate,
+      cfg.smtp.map(_.sink()).getOrElse(sys.error(
+        "config has no smtp section; pass an EmailSink explicitly")))
+
   /** Runs the full report for `runDate` and sends it through `sink`.
     * Returns the rendered HTML for inspection. */
   def runDaily(spark: SparkSession, cfg: PipelineConfig, runDate: LocalDate,
                sink: EmailSink): String = {
+    Fetch.fetchAll(spark, cfg.fetch) // stage remote sources; failures logged, non-fatal
     val t = ingest(spark, cfg)
     try {
 

@@ -42,6 +42,40 @@ class ReportSpec extends SparkSpec {
     assert(capture.sent.size == 1)
   }
 
+  test("fetch stage copies what it can and logs-and-continues on failure") {
+    import java.nio.file.Files
+    val src = Files.createTempFile("fetch-src", ".csv")
+    Files.writeString(src, "a,b\n")
+    val destDir = Files.createTempDirectory("fetch-dest")
+    val results = Fetch.fetchAll(spark, Seq(
+      (src.toString, s"$destDir/ok.csv"),
+      ("/nonexistent/missing.csv", s"$destDir/missing.csv")))
+    assert(results.map(_.ok) == Seq(true, false))
+    assert(Files.readString(java.nio.file.Path.of(s"$destDir/ok.csv")) == "a,b\n")
+    assert(results(1).error.nonEmpty)
+  }
+
+  test("a missing source yields an empty table and the report still sends") {
+    import java.nio.file.Files
+    def write(name: String, content: String): String = {
+      val f = Files.createTempFile(name, ".txt"); Files.writeString(f, content); f.toString
+    }
+    val cfg = PipelineConfig(
+      summaryLinePath = write("summary", "Avg,12661,2024-07-30\n"),
+      winCounterPath = "/nonexistent/wincounter.tsv", // fetch failed upstream
+      performanceSamplesPath = write("samples",
+        "t,lt,ts,s,lb,rc,rm,tn,dt,by,ng,na,\n" +
+          "12661,0,1722333530042,true,Interact Viz Test,200,Site: a; View: v;,T,,99,1,5,x\n"),
+      threadDetailsPath = write("threads", "#1\tThreads: 5/5\tSamples: 1\tLatency: 10\tResp.Time: 100\tErrors: 0\n"),
+      rejectedPath = Files.createTempDirectory("rej").toString + "/rejected")
+    val sink = new CaptureEmailSink
+    val html = Pipeline.runDaily(spark, cfg, LocalDate.of(2024, 7, 30), sink)
+    assert(sink.sent.size == 1, "report must send despite the missing source")
+    assert(html.contains("12661"))
+    // the wincounter-driven metric falls back to the reference's empty text
+    assert(html.contains("No results found"))
+  }
+
   test("pipeline end-to-end on fixture files (capture sink)") {
     import java.nio.file.Files
     def write(name: String, content: String): String = {
