@@ -198,8 +198,16 @@ object Pipeline {
       "Average Historic time taken for tabjolt run (values are in ms):" ->
         scalarString(Queries.historicAvg(t.summaryLine)))
 
-    val chart = Report.trendChartSvg(
-      Report.trendPoints(Queries.trendSeries(t.summaryLine)))
+    // PNG to match the reference's matplotlib sink (tabjolt_email.py:329-333);
+    // SVG fallback only if the JVM raster path is unavailable
+    val trendPts = Report.trendPoints(Queries.trendSeries(t.summaryLine))
+    val (chartBytes, chartMime) =
+      try (Report.trendChartPng(trendPts), "image/png")
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft.Pipeline] PNG raster failed, falling back to SVG: $e")
+          (Report.trendChartSvg(trendPts).getBytes("UTF-8"), "image/svg+xml")
+      }
     // Collects are bounded: per-view aggregates are small by construction,
     // but todaysSamples is one row PER REQUEST SAMPLE — on a heavy test
     // day that is unbounded, so the render keeps the top maxRenderRows
@@ -212,7 +220,7 @@ object Pipeline {
       Queries.improvements(t.performanceSamples, runDate).limit(maxRenderRows).collect().toSeq)
 
     sink.send(MimeMessage(cfg.emailFrom, cfg.emailTo, cfg.emailSubject,
-      htmlBody, chart.getBytes("UTF-8"), "graph_cid"))
+      htmlBody, chartBytes, "graph_cid", chartMime))
     htmlBody
     } finally t.cleanup() // release ingest caches on every path
   }

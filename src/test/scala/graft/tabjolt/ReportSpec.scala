@@ -20,6 +20,28 @@ class ReportSpec extends SparkSpec {
     assert(Report.trendChartSvg(Nil).contains("No results found"))
   }
 
+  test("PNG chart decodes at 1000x600 with the marker pixel in line-blue") {
+    val pts = Seq(
+      Report.TrendPoint(LocalDate.of(2024, 7, 29), 10000),
+      Report.TrendPoint(LocalDate.of(2024, 7, 30), 12661))
+    val png = Report.trendChartPng(pts)
+    // PNG magic
+    assert((png(0) & 0xff) == 0x89 && new String(png.slice(1, 4)) == "PNG")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 1000 && img.getHeight == 600)
+    // background
+    assert((img.getRGB(5, 5) & 0xffffff) == 0xffffff)
+    // last point's marker center: x = mL + (w-mL-mR) = 970;
+    // yMax = 13000, y = (600-110) - 12661/13000*(600-110-40) ≈ 51.7
+    val cy = math.round((600 - 110) - 12661.0 / 13000 * (600 - 110 - 40)).toInt
+    assert((img.getRGB(970, cy) & 0xffffff) == 0x1f77b4,
+      f"marker pixel was 0x${img.getRGB(970, cy) & 0xffffff}%06x")
+    // empty series still encodes a valid image with the fallback text
+    val empty = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Report.trendChartPng(Nil)))
+    assert(empty.getWidth == 1000 && empty.getHeight == 600)
+  }
+
   test("regression cells go red above +20% and never on NULL pct") {
     val rows = Seq(
       Row(100.0, 200, "Site: v1;", 100.0),  // alert
@@ -94,5 +116,8 @@ class ReportSpec extends SparkSpec {
     assert(sink.sent.size == 1)
     assert(html.contains("12661"))
     assert(html.contains("Site: a; View: v;"))
+    // the inline chart goes out as PNG, like the reference's matplotlib part
+    assert(sink.sent.head.imageMime == "image/png")
+    assert(sink.sent.head.render.contains("Content-Type: image/png"))
   }
 }
