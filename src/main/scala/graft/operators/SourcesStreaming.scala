@@ -41,6 +41,28 @@ object SourcesStreaming {
     },
     Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"))
 
+  /** S4 (tab-delimited bulk load — the reference's wincounter/thread
+    * tables load with DELIMITER '\t', tabjolt_email.py:366-369) proven
+    * through the gate: same lossless round-trip as r01 but tab-separated
+    * end to end. */
+  val r02 = QueryDef(
+    "r02_tsv_roundtrip",
+    (s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_tsv_" +
+        Integer.toHexString(d.hashCode)
+      Tables.documents(s, d)
+        .select(col("doc_id").cast("string"), col("text"), col("lang"),
+          col("source"), col("n_chars").cast("string"))
+        .write.mode("overwrite").option("sep", "\t")
+        .option("quoteAll", "true").csv(out)
+      val loaded = Ingest.load(s, out, csvSchema, "\t")
+      loaded.good
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"))
+
   val st01 = QueryDef(
     "st01_stream_hourly_agg",
     (s, d) => graft.streaming.EventsStream.hourlyAgg(s, d),
@@ -49,5 +71,5 @@ object SourcesStreaming {
            |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin))
 
-  val catalog: Seq[QueryDef] = Seq(r01, st01)
+  val catalog: Seq[QueryDef] = Seq(r01, r02, st01)
 }
