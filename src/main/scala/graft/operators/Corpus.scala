@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond per-row scoring and pair generation: duplicate CLUSTERS (not
+  * just pairs), deterministic train/val/test splits, percentile-based
+  * quality cuts, and PII scrubbing.
+  *
+  * Scale design (100 TB):
+  *  - duplicate clustering is iterative hash-min label propagation —
+  *    each round is one join + one min-aggregate on (vertex, label)
+  *    pairs, converging in O(cluster diameter) rounds (near-dup clusters
+  *    are shallow; the alternating large-star/small-star variant halves
+  *    rounds if ever needed). Lineage is cut per round with
+  *    localCheckpoint, or the plan tree grows exponentially;
+  *  - the split is a pure per-row hash comparison — no shuffle, no RNG
+  *    state, reproducible on any cluster size, stable under re-runs and
+  *    backfills (the property that matters for train/test hygiene);
+  *  - the quality cut is one window per language — a single shuffle on
+  *    lang (salt the window key if one language dominates the corpus);
+  *  - PII scrubbing is per-row regexp_replace, codegen'd, no shuffle.
+  */
+object Corpus {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  // ------------------------------------------------------- t11: dup clusters
+
+  /** Connected components by iterative hash-min label propagation:
+    * every vertex starts labeled with itself; each round pushes labels
+    * across edges and keeps the minimum; fixpoint = components. */
+  private[operators] def connectedComponents(und: DataFrame): DataFrame = {
+    // und: (src, dst), already symmetrized. Materialize once — it feeds
+    // every round's join AND the initial vertex set.
+    val edges = und.localCheckpoint()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val prop = edges.join(labels, edges("src") === labels("v"))
+        .select(edges("dst").as("v"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("v")).agg(min(col("label")).as("label"))
+        .localCheckpoint() // cut lineage: iterative joins stack plans
+      converged = next
+        .join(labels.withColumnRenamed("label", "prev"), "v")
+        .filter(col("label") =!= col("prev"))
+        .isEmpty
+      labels = next
+    }
+    labels
+  }
+
+  /** Near-duplicate CLUSTERS from the t06/t07 pair stream: connected
+    * components over jaccard >= 0.6 edges, each doc labeled with the
+    * minimum doc_id of its component — the form a dedup pipeline
+    * actually consumes (keep one doc per cluster, drop the rest).
+    * Oracle: DuckDB recursive CTE computing the same transitive
+    * closure + min-label. */
+  val t11 = QueryDef(
+    "t11_dup_clusters",
+    (s, d) => {
+      val pairs = TextDedup.t06.fn(s, d).select(col("doc1"), col("doc2"))
+      val und = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+        .unionByName(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+      connectedComponents(und)
+        .select(col("v").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some((TextDedup.ShingleCte + s""",
+      |pairs AS (
+      |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |edges AS (
+      |  SELECT doc1, doc2
+      |  FROM pairs JOIN sz x ON x.doc_id = doc1 JOIN sz y ON y.doc_id = doc2
+      |  WHERE inter * 1.0 / (x.n + y.n - inter) >= ${TextDedup.JaccardThreshold}
+      |),
+      |und AS (SELECT doc1 AS a, doc2 AS b FROM edges
+      |        UNION ALL SELECT doc2, doc1 FROM edges),
+      |reach AS (
+      |  SELECT a AS v, a AS label FROM und
+      |  UNION
+      |  SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.v
+      |)
+      |SELECT v AS doc_id, MIN(label) AS cluster_id
+      |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin)
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")))
+
+  // --------------------------------------------------- t12: stratified split
+
+  /** Deterministic train/val/test assignment: compare the first hex byte
+    * of md5(doc_id) against fixed thresholds (0xe6/256 ~ 90%, 0xf3/256 ~
+    * 95%). Pure per-row compute — no RNG, no shuffle, identical on every
+    * cluster size and re-run, and a document never migrates between
+    * splits when the corpus grows (the hygiene property sample() lacks). */
+  val t12 = QueryDef(
+    "t12_stratified_split",
+    (s, d) => {
+      val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          when(bucket < "e6", "train").when(bucket < "f3", "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, source,
+           |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+           |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+           |            ELSE 'test' END AS split
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------- t13: quality-quartile cut
+
+  /** Per-language quality cut: keep each language's top quality quartile
+    * (ntile(4) = 1 over quality DESC with doc_id tiebreak — rank-based,
+    * so no cross-engine percentile-interpolation drift). One window
+    * shuffle on lang. */
+  val t13 = QueryDef(
+    "t13_quality_cut",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"), qualityScore(col("toks")).as("quality"))
+        .withColumn("tile", ntile(4).over(w))
+        .filter(col("tile") === 1)
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(TextDedup.TokCte + s""",
+      |scored AS (
+      |  SELECT doc_id, lang, $QualityRef AS quality FROM tok
+      |)
+      |SELECT doc_id, lang, quality FROM (
+      |  SELECT doc_id, lang, quality,
+      |         ntile(4) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS tile
+      |  FROM scored)
+      |WHERE tile = 1 ORDER BY doc_id""".stripMargin))
+
+  private def QualityRef: String = TextDedup.QualitySql
+
+  // ----------------------------------------------------------- t14: PII scrub
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
+  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrubbing: emails, phone numbers, IPv4 literals replaced with
+    * typed placeholder tokens; per-row counts retained for audit. The
+    * patterns are RE2-compatible so the DuckDB oracle runs the identical
+    * automaton; output carries md5(scrubbed) rather than the full text
+    * (the gate compares fingerprints, the pipeline would write the
+    * scrubbed column itself). */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        IpRe, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  val t14 = QueryDef(
+    "t14_pii_scrub",
+    (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+          regexp_count(col("text"), lit(IpRe)).as("n_ips"),
+          md5(scrub(col("text")).cast("binary")).as("scrub_fp"))
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+            |       len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+            |       len(regexp_extract_all(text, '$IpRe')) AS n_ips,
+            |       md5(regexp_replace(
+            |             regexp_replace(
+            |               regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+            |               '$IpRe', '<IP>', 'g'),
+            |             '$PhoneRe', '<PHONE>', 'g')) AS scrub_fp
+            |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val catalog: Seq[QueryDef] = Seq(t11, t12, t13, t14)
+}

@@ -71,5 +71,43 @@ object SourcesStreaming {
            |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin))
 
-  val catalog: Seq[QueryDef] = Seq(r01, r02, st01)
+  /** Streaming exact dedup: the t05 fingerprint aggregate computed by a
+    * Structured Streaming query over a file stream of documents, drained
+    * with AvailableNow into a memory sink. Complete mode: the dedup state
+    * (one row per distinct fingerprint) is the product, not an artifact —
+    * in production the same plan feeds a key-value sink and the state
+    * store is RocksDB-backed. Equals the batch t05 exactly, so it shares
+    * its oracle. */
+  val st02 = QueryDef(
+    "st02_stream_dedup",
+    (s, d) => {
+      import graft.functions.TextFunctions.fingerprint
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      val docSchema = StructType(Seq(
+        StructField("doc_id", org.apache.spark.sql.types.LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", org.apache.spark.sql.types.LongType)))
+      val name = "graft_stream_dedup"
+      val agg = s.readStream
+        .schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("fp"))
+    },
+    Some("""SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+           |       MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+           |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin))
+
+  val catalog: Seq[QueryDef] = Seq(r01, r02, st01, st02)
 }

@@ -24,11 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
-  private val JaccardThreshold = 0.6
+  private[operators] val JaccardThreshold = 0.6
 
   /** Shared DuckDB CTE: tokenized documents (mirror of
     * [[graft.functions.TextFunctions.tokens]]). */
-  private val TokCte =
+  private[operators] val TokCte =
     """WITH tok AS (
       |  SELECT doc_id, lang, text, n_chars,
       |         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
@@ -36,7 +36,7 @@ object TextDedup {
       |)""".stripMargin
 
   /** DuckDB CTE for distinct 3-token shingles + per-doc shingle counts. */
-  private val ShingleCte =
+  private[operators] val ShingleCte =
     TokCte + """,
       |sh AS (
       |  SELECT DISTINCT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
@@ -137,6 +137,17 @@ object TextDedup {
            |       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** DuckDB mirror of [[graft.functions.TextFunctions.qualityScore]] over
+    * a `toks` list column — shared by t03 and the percentile curation cut
+    * (Corpus.t13), so the two oracles can never drift apart. */
+  private[operators] val QualitySql =
+    """CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+      |       0.3 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+      |     + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+      |     + 0.2 * (1.0 - CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS DOUBLE) / len(toks))
+      |     + 0.2 * least(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) / 5.0, 1.0)
+      |       END""".stripMargin
+
   /** Quality scoring: volume, diversity, stopword balance, token length. */
   val t03 = QueryDef(
     "t03_quality_score",
@@ -148,14 +159,9 @@ object TextDedup {
           qualityScore(col("toks")).as("quality"))
         .orderBy(col("doc_id"))
     },
-    Some(TokCte + """
+    Some(TokCte + s"""
       |SELECT doc_id, len(toks) AS n_tokens,
-      |       CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-      |       0.3 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
-      |     + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
-      |     + 0.2 * (1.0 - CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS DOUBLE) / len(toks))
-      |     + 0.2 * least(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) / 5.0, 1.0)
-      |       END AS quality
+      |       $QualitySql AS quality
       |FROM tok ORDER BY doc_id""".stripMargin))
 
   /** Language identification by marker-stopword scoring. */

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+
+  test("connected components labels each vertex with its component minimum") {
+    import spark.implicits._
+    // two chains and a triangle: {1,2,3,4}, {10,11}, {20,21,22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc1", "doc2")
+    val und = pairs.select($"doc1".as("src"), $"doc2".as("dst"))
+      .unionByName(pairs.select($"doc2".as("src"), $"doc1".as("dst")))
+    val got = Corpus.connectedComponents(und)
+      .orderBy("v").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connected components converges on a long path (diameter > 2 rounds)") {
+    import spark.implicits._
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val und = pairs.select($"doc1".as("src"), $"doc2".as("dst"))
+      .unionByName(pairs.select($"doc2".as("src"), $"doc1".as("dst")))
+    val labels = Corpus.connectedComponents(und).as[(Long, Long)].collect()
+    assert(labels.length == 12 && labels.forall(_._2 == 1L))
+  }
+
+  test("scrub replaces emails, phones, and IPs with typed placeholders") {
+    import spark.implicits._
+    val got = Seq(
+      "write alice.b+tag@corp-mail.io today",
+      "server at 10.0.42.7 port 80",
+      "call +1 555-123-4567 or 555 987 6543",
+      "clean text stays clean").toDF("text")
+      .select(Corpus.scrub($"text")).as[String].collect().toSeq
+    assert(got == Seq(
+      "write <EMAIL> today",
+      "server at <IP> port 80",
+      "call +1 <PHONE> or <PHONE>",
+      "clean text stays clean"))
+  }
+
+  test("split assignment is per-row stable: a subset gets identical labels") {
+    val d = "/root/testdata/sf0.001"
+    val all = Corpus.t12.fn(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // recompute on a filtered corpus — labels must not depend on the rest
+    val half = graft.Tables.documents(spark, d).filter(col("doc_id") % 2 === 0)
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val sub = half.select(col("doc_id"),
+        when(bucket < "e6", "train").when(bucket < "f3", "val")
+          .otherwise("test").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(sub.nonEmpty && sub.forall { case (id, s) => all(id) == s })
+    // all three splits are populated at 500 docs
+    assert(all.values.toSet == Set("train", "val", "test"))
+  }
+}
