@@ -339,6 +339,46 @@ object Advanced {
            |WHERE percentage_difference < -40.0
            |ORDER BY percentage_difference DESC NULLS FIRST, response_message, current_elapsed_ms""".stripMargin))
 
+  /** The reference's centerpiece Q8a submitted as LITERAL ANSI SQL
+    * through `spark.sql` over a registered view — proving the SQL API
+    * surface, not just the DataFrame one: a reference user can paste
+    * their Vertica query with dialect-level edits only (RLIKE for
+    * REGEXP_LIKE, timestamp_seconds for TO_TIMESTAMP, a pinned run
+    * date for CURRENT_DATE) and get the hash-identical result
+    * (tabjolt_email.py:385). Catalyst plans it identically to the
+    * DataFrame form (same Aggregate -> BroadcastHashJoin -> Sort). */
+  val tj03 = QueryDef(
+    "tj03_sql_surface",
+    (s, d) => {
+      eventsAsSamples(s, d).createOrReplaceTempView("tj_performance_samples")
+      s.sql("""
+        SELECT avg_elapsed_ms, current_elapsed_ms, response_message,
+               CASE WHEN avg_elapsed_ms = 0 THEN NULL
+                    ELSE ((current_elapsed_ms - avg_elapsed_ms) / avg_elapsed_ms) * 100.0
+               END AS percentage_difference
+        FROM (
+          SELECT AVG(CAST(elapsed_time_ms AS INT)) AS avg_elapsed_ms,
+                 response_message AS response
+          FROM tj_performance_samples
+          WHERE elapsed_time_ms RLIKE '^[0-9]+$'
+            AND response_message ILIKE '%site%'
+            AND response_message NOT ILIKE '%null%'
+          GROUP BY response_message
+        ) aa LEFT OUTER JOIN (
+          SELECT CAST(elapsed_time_ms AS INT) AS current_elapsed_ms, response_message
+          FROM tj_performance_samples
+          WHERE timestamp_ms RLIKE '^[0-9]+$'
+            AND elapsed_time_ms RLIKE '^[0-9]+$'
+            AND timestamp_seconds(CAST(timestamp_ms AS BIGINT) / 1000) >= DATE'2024-01-30'
+            AND response_message ILIKE '%site%'
+            AND response_message NOT ILIKE '%null%'
+        ) bb ON aa.response = bb.response_message
+        WHERE avg_elapsed_ms < current_elapsed_ms
+        ORDER BY percentage_difference DESC NULLS FIRST, response_message, current_elapsed_ms
+        """)
+    },
+    tj01.oracle)
+
   /** TF-IDF-style term weighting with a log-free rational idf
     * (tf * N/df): pure integer-derived double arithmetic, so Spark and
     * DuckDB agree bit-for-bit (libm ln can differ in the last ulp across
@@ -476,5 +516,5 @@ object Advanced {
            |ORDER BY gid, event_type NULLS FIRST, dom NULLS FIRST""".stripMargin))
 
   val catalog: Seq[QueryDef] =
-    Seq(e01, q16, q17, t09, c01, tj01, tj02, v01, j01, q18, t10, q19, q20, q21)
+    Seq(e01, q16, q17, t09, c01, tj01, tj02, tj03, v01, j01, q18, t10, q19, q20, q21)
 }

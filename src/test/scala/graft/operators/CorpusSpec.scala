@@ -42,6 +42,20 @@ class CorpusSpec extends SparkSpec {
       "clean text stays clean"))
   }
 
+  test("split and scrub plans shuffle only for the output sort; quality cut once") {
+    val d = "/root/testdata/sf0.001"
+    def hashExchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "hashpartitioning".r.findAllIn(
+        df.queryExecution.executedPlan.toString).length
+    // t12/t14 are pure per-row compute: the ONLY exchange is the final
+    // rangepartitioning sort — a hashpartitioning would mean an
+    // accidental aggregate/join shuffle
+    assert(hashExchanges(Corpus.t12.fn(spark, d)) == 0)
+    assert(hashExchanges(Corpus.t14.fn(spark, d)) == 0)
+    // t13 shuffles exactly once: the per-language window
+    assert(hashExchanges(Corpus.t13.fn(spark, d)) == 1)
+  }
+
   test("split assignment is per-row stable: a subset gets identical labels") {
     val d = "/root/testdata/sf0.001"
     val all = Corpus.t12.fn(spark, d).collect()
