@@ -318,6 +318,59 @@ object Relational {
              countDistinct(col("l_suppkey")).as("n_supps")),
     Some("SELECT COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem"))
 
+  /** Semi/anti join — EXISTS / NOT EXISTS re-expressed as Spark's
+    * left_semi/left_anti join types: customers partitioned by whether
+    * they have orders. Scale: both sides shuffle once on the key and the
+    * semi form never materializes order columns (the build side carries
+    * keys only); at 100 TB this is the idiom for "filter a fact table by
+    * membership in another" without a full join's row blowup. */
+  val q22 = QueryDef(
+    "q22_semi_anti_join",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey")).withColumn("has_orders", lit(true))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey")).withColumn("has_orders", lit(false))
+      semi.unionByName(anti).orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+           |       EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders
+           |FROM customer ORDER BY c_custkey""".stripMargin))
+
+  /** Range join — per error event, clicks by the same user in the
+    * preceding 5 minutes. The equi-key (user_id) carries the shuffle;
+    * the time range is a residual join predicate evaluated inside the
+    * matched key group, so the plan is a hash/sort-merge join on user,
+    * never a cross product. (A band join with NO equi-key would need
+    * the bucketed-interval overlap trick — bucket both sides by
+    * floor(ts/5min) and probe adjacent buckets.) */
+  val j02 = QueryDef(
+    "j02_range_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("u2"), col("ts").as("click_ts"))
+      errors.join(clicks,
+          col("user_id") === col("u2") &&
+            col("click_ts") >= col("ts") - expr("INTERVAL 5 MINUTES") &&
+            col("click_ts") < col("ts"),
+          "left_outer")
+        .groupBy(col("event_id"))
+        .agg(count(col("click_ts")).as("n_recent_clicks"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT e.event_id, COUNT(c.ts) AS n_recent_clicks
+           |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+           |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+           |  ON e.user_id = c.user_id
+           | AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts
+           |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin))
+
   val catalog: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
+      q14, q15, q22, j02)
 }
