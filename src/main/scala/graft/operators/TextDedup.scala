@@ -212,6 +212,11 @@ object TextDedup {
   val t06 = QueryDef(
     "t06_jaccard_pairs",
     (s, d) => {
+      // The index has three consumers (sz + both self-join sides), but
+      // materializing it (localCheckpoint) measured a wash at sf0.1
+      // (1.41s vs 1.46s): ReuseExchange already dedups the self-join
+      // sides, and the block-store residency would leak across queries.
+      // Keep the declarative form.
       val sh = shingleIndex(s, d)
       val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
