@@ -25,6 +25,7 @@ object Bench {
     if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmupDir).count() catch { case _: Throwable => }
+        Lifecycle.release(spark)
       }
     }
 
@@ -32,14 +33,21 @@ object Bench {
     // GC/JIT noise in a shared container; the min is the engine's cost.
     // A failed query reports -1 — a broken build must not masquerade as a
     // fast one.
+    // Release per-query state AFTER stopping the clock: the measurement is
+    // the query's cost, and the release prevents cache/checkpoint/memory-
+    // sink residue from one query inflating every later one (the round-2
+    // q16-q21 3-6x regression — see Lifecycle).
     def timeOnce(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        -1.0
-      }
+      val dt =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
+        }
+      Lifecycle.release(spark)
+      dt
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val a = timeOnce(name, fn)

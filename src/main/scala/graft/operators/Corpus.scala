@@ -30,29 +30,54 @@ object Corpus {
 
   // ------------------------------------------------------- t11: dup clusters
 
+  /** Eager localCheckpoint + handles to the RDD blocks it pinned, so a
+    * superseded round's blocks can be freed mid-iteration.
+    * `Dataset.unpersist` only clears catalog-cache entries; checkpoint
+    * blocks live as persisted RDDs, reachable via
+    * `SparkContext.getPersistentRDDs` — diff around the (eager) call. */
+  private def checkpointPinned(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint() // eager: blocks materialize here
+    val pinned = sc.getPersistentRDDs.collect {
+      case (id, r) if !before.contains(id) => r
+    }.toSeq
+    (out, pinned)
+  }
+
   /** Connected components by iterative hash-min label propagation:
     * every vertex starts labeled with itself; each round pushes labels
-    * across edges and keeps the minimum; fixpoint = components. */
+    * across edges and keeps the minimum; fixpoint = components.
+    * Superseded label checkpoints (and the edge frame, after
+    * convergence) are unpersisted as soon as nothing references them —
+    * block-store residency stays at two label generations + edges,
+    * independent of round count. The FINAL labels checkpoint backs the
+    * returned frame and is released by Lifecycle.release sweep. */
   private[operators] def connectedComponents(und: DataFrame): DataFrame = {
     // und: (src, dst), already symmetrized. Materialize once — it feeds
     // every round's join AND the initial vertex set.
-    val edges = und.localCheckpoint()
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("label", col("v"))
-      .localCheckpoint()
+    val (edges, edgeBlocks) = checkpointPinned(und)
+    var (labels, labelBlocks) = checkpointPinned(
+      edges.select(col("src").as("v")).distinct()
+        .withColumn("label", col("v")))
     var converged = false
     while (!converged) {
       val prop = edges.join(labels, edges("src") === labels("v"))
         .select(edges("dst").as("v"), col("label"))
-      val next = labels.unionByName(prop)
-        .groupBy(col("v")).agg(min(col("label")).as("label"))
-        .localCheckpoint() // cut lineage: iterative joins stack plans
+      val (next, nextBlocks) = checkpointPinned(
+        labels.unionByName(prop)
+          .groupBy(col("v")).agg(min(col("label")).as("label"))) // cut lineage: iterative joins stack plans
       converged = next
         .join(labels.withColumnRenamed("label", "prev"), "v")
         .filter(col("label") =!= col("prev"))
         .isEmpty
+      // the convergence probe above materialized; the previous round's
+      // labels are unreachable from here on — free their blocks now
+      labelBlocks.foreach(_.unpersist(blocking = false))
       labels = next
+      labelBlocks = nextBlocks
     }
+    edgeBlocks.foreach(_.unpersist(blocking = false))
     labels
   }
 
@@ -96,24 +121,34 @@ object Corpus {
 
   // --------------------------------------------------- t12: stratified split
 
-  /** Deterministic train/val/test assignment: compare the first hex byte
-    * of md5(doc_id) against fixed thresholds (0xe6/256 ~ 90%, 0xf3/256 ~
-    * 95%). Pure per-row compute — no RNG, no shuffle, identical on every
-    * cluster size and re-run, and a document never migrates between
-    * splits when the corpus grows (the hygiene property sample() lacks). */
+  /** The split's hash bucket: first hex byte of md5 over the STRATUM KEY
+    * `source|doc_id`, compared to fixed thresholds (0xe6/256 ~ 90%,
+    * 0xf3/256 ~ 95%). Hashing within the (source, doc_id) pair makes the
+    * assignment hash-uniform INSIDE each source stratum, so every source
+    * lands ~90/5/5 — not just the corpus in aggregate (a global-hash
+    * split can starve a small stratum of val/test entirely). */
+  private def splitBucket: Column =
+    substring(md5(concat_ws("|", col("source"), col("doc_id").cast("string"))
+      .cast("binary")), 1, 2)
+
+  private[operators] def splitCol: Column =
+    when(splitBucket < "e6", "train").when(splitBucket < "f3", "val")
+      .otherwise("test")
+
+  /** Deterministic stratified train/val/test assignment. Pure per-row
+    * compute — no RNG, no shuffle, identical on every cluster size and
+    * re-run, and a document never migrates between splits when the
+    * corpus grows (the hygiene property sample() lacks); per-stratum
+    * proportions are pinned in CorpusSpec. */
   val t12 = QueryDef(
     "t12_stratified_split",
-    (s, d) => {
-      val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    (s, d) =>
       docs(s, d)
-        .select(col("doc_id"), col("source"),
-          when(bucket < "e6", "train").when(bucket < "f3", "val")
-            .otherwise("test").as("split"))
-        .orderBy(col("doc_id"))
-    },
+        .select(col("doc_id"), col("source"), splitCol.as("split"))
+        .orderBy(col("doc_id")),
     Some("""SELECT doc_id, source,
-           |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
-           |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+           |       CASE WHEN substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+           |            WHEN substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
            |            ELSE 'test' END AS split
            |FROM documents ORDER BY doc_id""".stripMargin))
 

@@ -32,6 +32,7 @@ object SourcesStreaming {
           col("source"), col("n_chars").cast("string"))
         .write.mode("overwrite").option("quoteAll", "true").csv(out)
       val loaded = Ingest.load(s, out, csvSchema, ",")
+      graft.Lifecycle.defer(loaded.cleanup()) // Ingest contract: release the parse cache
       // rejected must be empty for a lossless round-trip; surface any
       // reject as a row-count mismatch versus the oracle
       loaded.good
@@ -56,6 +57,7 @@ object SourcesStreaming {
         .write.mode("overwrite").option("sep", "\t")
         .option("quoteAll", "true").csv(out)
       val loaded = Ingest.load(s, out, csvSchema, "\t")
+      graft.Lifecycle.defer(loaded.cleanup())
       loaded.good
         .select(col("doc_id").cast("long").as("doc_id"), col("text"),
           col("lang"), col("source"), col("n_chars").cast("long").as("n_chars"))
@@ -103,6 +105,9 @@ object SourcesStreaming {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // the memory sink pins every batch's result in driver memory via the
+      // temp view — drop it once the harness has consumed the frame
+      graft.Lifecycle.defer { s.catalog.dropTempView(name); () }
       s.table(name).orderBy(col("fp"))
     },
     Some("""SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,

@@ -277,6 +277,7 @@ object TextDedup {
         // both self-join branches consume the bands: without the cache the
         // whole 64-min-aggregate signature pipeline runs twice
         .cache()
+      graft.Lifecycle.defer(bands.unpersist())
       val x = bands.select(col("doc_id").as("doc1"), col("band_idx"), col("band_hash"))
       val y = bands.select(col("doc_id").as("doc2"), col("band_idx").as("bi2"), col("band_hash").as("bh2"))
       val cand = x.join(y,

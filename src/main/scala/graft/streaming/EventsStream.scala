@@ -73,6 +73,8 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // release the memory-sink view after the harness consumes the result
+    graft.Lifecycle.defer { spark.catalog.dropTempView(name); () }
     spark.table(name)
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))

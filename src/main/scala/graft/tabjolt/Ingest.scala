@@ -87,7 +87,12 @@ object Ingest {
                            rejectedPath: String,
                            skipHeader: Boolean = false): LoadResult = {
     val r = load(spark, path, schema, delimiter, skipHeader)
-    r.rejected.write.mode("append").text(rejectedPath)
+    // A sink failure (e.g. unwritable rejectedPath) must not orphan the
+    // parse cache: callers that catch-and-substitute an empty load never
+    // see this LoadResult, so its cleanup handle would be lost for the
+    // session. Release before rethrowing.
+    try r.rejected.write.mode("append").text(rejectedPath)
+    catch { case e: Throwable => r.cleanup(); throw e }
     r
   }
 }

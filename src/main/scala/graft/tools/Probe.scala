@@ -143,8 +143,8 @@ object RecallCheck {
     val lsh = Similarity.lshPairs(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val t2 = System.nanoTime()
-    println(s"RECALLCHECK dir=$d exact=${exact.size} (${(t1-t0)/1e9}%.2fs) " +
-      s"lsh=${lsh.size} (${(t2-t1)/1e9}s) missed=${exact.diff(lsh).size} invented=${lsh.diff(exact).size}")
+    println(f"RECALLCHECK dir=$d exact=${exact.size} (${(t1 - t0) / 1e9}%.2fs) " +
+      f"lsh=${lsh.size} (${(t2 - t1) / 1e9}%.2fs) missed=${exact.diff(lsh).size} invented=${lsh.diff(exact).size}")
     if (exact.diff(lsh).nonEmpty) println("MISSED: " + exact.diff(lsh).take(10))
     spark.stop()
   }
