@@ -62,13 +62,28 @@ class CorpusSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     // recompute on a filtered corpus — labels must not depend on the rest
     val half = graft.Tables.documents(spark, d).filter(col("doc_id") % 2 === 0)
-    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
-    val sub = half.select(col("doc_id"),
-        when(bucket < "e6", "train").when(bucket < "f3", "val")
-          .otherwise("test").as("split"))
+    val sub = half.select(col("doc_id"), Corpus.splitCol.as("split"))
       .collect().map(r => r.getLong(0) -> r.getString(1))
     assert(sub.nonEmpty && sub.forall { case (id, s) => all(id) == s })
     // all three splits are populated at 500 docs
     assert(all.values.toSet == Set("train", "val", "test"))
+  }
+
+  test("split is stratified: every source lands near 90/5/5, not just the corpus") {
+    val d = "/root/testdata/sf0.001"
+    val bySource = Corpus.t12.fn(spark, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("tr"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 20 strata of 25 docs: binomial noise is wide at n=25, but a
+    // NON-stratified hash could starve a stratum outright — pin that
+    // every stratum exists and none falls below 60% train
+    assert(bySource.length == 20)
+    assert(bySource.forall { case (_, n, tr) => n == 25 && tr >= 15 })
+    // corpus-level proportions hold the 90/5/5 design within ±4pp
+    val total = bySource.map(_._2).sum.toDouble
+    val train = bySource.map(_._3).sum.toDouble
+    assert(math.abs(train / total - 0.90) < 0.04)
   }
 }
