@@ -209,15 +209,20 @@ object Advanced {
   /** Vocabulary building: global token frequencies, top-k with a
     * deterministic tiebreak. Scale: explode -> two-phase count — the
     * shuffle carries one row per distinct token per partition (map-side
-    * combine), and the top-k is a TakeOrdered, not a full sort. */
+    * combine), and the top-k is a TakeOrdered, not a full sort.
+    * No pre-explode repartition: tokenize+explode is light per-row work
+    * (unlike the shingle pipelines, where the exchange pays for itself),
+    * so the exchange costs more than it buys at bench SF (0.45s -> 0.27s
+    * without it), and at real scale the scan's file splits parallelize
+    * the map side anyway. explode(tokens(text)) is a single Generate —
+    * the generator input is evaluated once per input row, so there is no
+    * CollapseProject re-evaluation hazard here. */
   val v01 = QueryDef(
     "v01_vocab_topk",
     (s, d) => {
       import graft.functions.TextFunctions._
       Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(explode(col("toks")).as("token"))
+        .select(explode(tokens(col("text"))).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token"))
@@ -430,7 +435,7 @@ object Advanced {
            |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
 
   /** Shared events -> performance_samples-shaped derivation for tj01/tj02. */
-  private def eventsAsSamples(s: SparkSession, d: String) =
+  private[operators] def eventsAsSamples(s: SparkSession, d: String) =
     Tables.events(s, d).select(
       floor(col("value") * 100).cast("int").cast("string").as("elapsed_time_ms"),
       lit("0").as("latency_time_ms"),

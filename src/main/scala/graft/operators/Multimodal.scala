@@ -91,8 +91,13 @@ object Multimodal {
   }
 
   /** Gate entry: end-to-end media pipeline over documents. The decode is
-    * stubbed (no codecs in-container) => rows-only check; invariants are
-    * pinned in the ScalaTest suite. */
+    * stubbed (no codecs in-container), but the stub is deterministic
+    * arithmetic over utf-8 payload bytes — so the gate output is the
+    * DuckDB-expressible feature subset (n_bytes + mean over the stride-2
+    * samples), hash-checked against an oracle that recomputes the same
+    * bytes via hex(encode(text)). The checksum (a wrapping Long fold —
+    * DuckDB errors on BIGINT overflow where the JVM wraps) and the
+    * histogram stay pinned in the ScalaTest suite instead. */
   val mm01 = QueryDef(
     "mm01_multimodal_features",
     (s, d) => {
@@ -102,11 +107,31 @@ object Multimodal {
         .as[MediaRow]
       extractFeatures(media)
         .toDF()
-        .select(col("id"), col("modality"), col("n_bytes"), col("checksum"),
-          col("mean_level"))
+        .select(col("id"), col("modality"), col("n_bytes"), col("mean_level"))
         .orderBy(col("id"))
     },
-    None)
+    Some("""WITH media AS (
+      |  SELECT doc_id AS id,
+      |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS modality,
+      |         encode(text) AS payload
+      |  FROM documents
+      |), b AS (
+      |  SELECT id, modality, CAST(octet_length(payload) AS INTEGER) AS n_bytes,
+      |         hex(payload) AS h
+      |  FROM media
+      |), samp AS (
+      |  -- byte 2i of the payload = hex chars [4i+1, 4i+2]: the stride-2
+      |  -- frame sampling of the stub decode
+      |  SELECT id AS sid, CAST(('0x' || substr(h, CAST(i * 4 + 1 AS INTEGER), 2)) AS INTEGER) AS s
+      |  FROM (SELECT id, h, unnest(range((n_bytes + 1) // 2)) AS i FROM b)
+      |)
+      |SELECT b.id, b.modality, b.n_bytes,
+      |       COALESCE(CAST(SUM(s) AS DOUBLE) / COUNT(s), 0.0) AS mean_level
+      |FROM b LEFT JOIN samp ON b.id = samp.sid
+      |GROUP BY b.id, b.modality, b.n_bytes
+      |ORDER BY id""".stripMargin))
 
   val catalog: Seq[QueryDef] = Seq(mm01)
 }

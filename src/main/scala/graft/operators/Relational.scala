@@ -318,22 +318,23 @@ object Relational {
              countDistinct(col("l_suppkey")).as("n_supps")),
     Some("SELECT COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem"))
 
-  /** Semi/anti join — EXISTS / NOT EXISTS re-expressed as Spark's
-    * left_semi/left_anti join types: customers partitioned by whether
-    * they have orders. Scale: both sides shuffle once on the key and the
-    * semi form never materializes order columns (the build side carries
-    * keys only); at 100 TB this is the idiom for "filter a fact table by
-    * membership in another" without a full join's row blowup. */
+  /** Semi/anti join — EXISTS / NOT EXISTS over orders, resolved in ONE
+    * pass: distinct order custkeys left-joined to customer, membership =
+    * join-key non-null. A semi + anti pair would scan orders twice and
+    * union; this scans each table once, with the distinct collapsing
+    * orders to at most one row per key before the join (the build side
+    * carries keys only). At 100 TB this is the idiom for "flag a fact
+    * table by membership in another" without a full join's row blowup —
+    * one shuffle per side on the key, broadcastable when the key set is
+    * small. */
   val q22 = QueryDef(
     "q22_semi_anti_join",
     (s, d) => {
       val c = Tables.customer(s, d)
-      val o = Tables.orders(s, d)
-      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
-        .select(col("c_custkey")).withColumn("has_orders", lit(true))
-      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-        .select(col("c_custkey")).withColumn("has_orders", lit(false))
-      semi.unionByName(anti).orderBy(col("c_custkey"))
+      val ok = Tables.orders(s, d).select(col("o_custkey")).distinct()
+      c.join(ok, c("c_custkey") === ok("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_custkey").isNotNull.as("has_orders"))
+        .orderBy(col("c_custkey"))
     },
     Some("""SELECT c_custkey,
            |       EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders

@@ -250,15 +250,49 @@ object Similarity {
   object IvfIndex {
     val K = 16
 
-    private def indexDir(d: String): String =
-      s"${sys.props("java.io.tmpdir")}/graft_ivf_${Integer.toHexString(d.hashCode)}_k$K"
+    /** Corpus fingerprint: name, length and mtime of every part of the
+      * embeddings source. A regenerated corpus at the SAME path changes
+      * the fingerprint, so the index can never silently serve stale
+      * centroids/assignments (the d.hashCode scheme it replaces could —
+      * and two paths can collide on a 32-bit hashCode). */
+    private[operators] def corpusFingerprint(d: String): String = {
+      val root = new java.io.File(s"$d/embeddings.parquet")
+      val parts = if (root.isDirectory) root.listFiles().sortBy(_.getName) else Array(root)
+      val desc = parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    }
 
-    /** (centroids, assigned) — building first if this corpus has no
-      * persisted index yet. The `centroids/_SUCCESS` marker gates reuse;
-      * it is written last, so a torn build rebuilds. */
+    private[operators] def indexDirFor(d: String): String =
+      s"${sys.props("java.io.tmpdir")}/graft_ivf_${corpusFingerprint(d)}_k$K"
+
+    private def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+      f.delete(); ()
+    }
+
+    /** (centroids, assigned) — building first if this corpus fingerprint
+      * has no persisted index yet. The build goes into a private temp
+      * dir and is published with an atomic directory rename, so a
+      * concurrent JVM either sees the complete index or none at all —
+      * never a half-written one — and racing builders converge on one
+      * winner (the loser discards its copy). The `centroids/_SUCCESS`
+      * marker (written last within the build) additionally gates out a
+      * torn leftover from a crashed pre-rename build. */
     def ensure(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-      val dir = indexDir(d)
-      if (!new java.io.File(s"$dir/centroids/_SUCCESS").exists()) build(s, d, dir)
+      val dir = new java.io.File(indexDirFor(d))
+      if (!new java.io.File(dir, "centroids/_SUCCESS").exists()) {
+        val tmp = new java.io.File(dir.getParentFile,
+          s"${dir.getName}.build-${java.util.UUID.randomUUID()}")
+        build(s, d, tmp.getAbsolutePath)
+        if (!tmp.renameTo(dir)) {
+          // rename fails only if dir now exists: either a concurrent
+          // build won (use theirs) or a torn pre-rename leftover is in
+          // the way (replace it)
+          if (new java.io.File(dir, "centroids/_SUCCESS").exists()) deleteRec(tmp)
+          else { deleteRec(dir); if (!tmp.renameTo(dir)) deleteRec(tmp) }
+        }
+      }
       (s.read.parquet(s"$dir/centroids"), s.read.parquet(s"$dir/assigned"))
     }
 

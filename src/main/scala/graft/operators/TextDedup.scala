@@ -213,10 +213,13 @@ object TextDedup {
     "t06_jaccard_pairs",
     (s, d) => {
       // The index has three consumers (sz + both self-join sides), but
-      // materializing it (localCheckpoint) measured a wash at sf0.1
-      // (1.41s vs 1.46s): ReuseExchange already dedups the self-join
-      // sides, and the block-store residency would leak across queries.
-      // Keep the declarative form.
+      // materializing it is a wash — re-measured round 4 UNDER the
+      // Lifecycle-clean harness: recompute 1.37-1.62s vs cache()+defer
+      // 1.46-1.66s vs localCheckpoint 1.40-1.51s at sf0.1 (all within
+      // run-to-run noise; ReuseExchange already dedups the self-join
+      // sides). Attaching the per-doc count before the explode to skip
+      // the sz pass entirely measured 22s — the carried array is
+      // re-evaluated per generated row. Keep the declarative form.
       val sh = shingleIndex(s, d)
       val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
@@ -288,22 +291,34 @@ object TextDedup {
     },
     Some(JaccardPairsSql))
 
-  /** SimHash near-dup pairs: 64-bit signature per doc (sign of the
-    * per-bit vote over shingle hashes), candidates via 16-bit chunk
-    * banding, kept when Hamming distance <= 6. Not SQL-expressible
-    * (xxhash64 has no DuckDB equivalent) => rows-only check here;
-    * cross-validated against exact Jaccard in the ScalaTest suite. */
+  /** 60-bit md5-derived shingle hash, computable bit-identically in
+    * DuckDB (`CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`) — which is
+    * what makes the whole SimHash pipeline oracle-able. 15 hex chars,
+    * not 16: a full 64-bit value can exceed Long.MaxValue and the ANSI
+    * cast of conv's decimal string would throw. */
+  private val SimHashBits = 60
+  private def shingleHash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** SimHash near-dup pairs: 60-bit signature per doc (sign of the
+    * per-bit vote over md5-derived shingle hashes), candidates via
+    * 16-bit chunk banding, kept when Hamming distance <= 6. The oracle
+    * replicates the banding semantics exactly (a pair must share a chunk
+    * AND pass the Hamming cut — 6 flipped bits can straddle all 4
+    * chunks, so the chunk condition is not implied); at oracle scale an
+    * all-pairs join with the same predicate is exact. Cross-validated
+    * against exact Jaccard in the ScalaTest suite. */
   val t08 = QueryDef(
     "t08_simhash_pairs",
     (s, d) => {
-      val sh = shingleIndex(s, d).withColumn("h", xxhash64(col("shingle")))
-      val bitVotes = (0 until 64).map { i =>
+      val sh = shingleIndex(s, d).withColumn("h", shingleHash60(col("shingle")))
+      val bitVotes = (0 until SimHashBits).map { i =>
         sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$i")
       }
       val sig = sh.groupBy(col("doc_id"))
         .agg(bitVotes.head, bitVotes.tail: _*)
         .select(col("doc_id"),
-          (0 until 64).map(i =>
+          (0 until SimHashBits).map(i =>
             when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
             .reduce(_.bitwiseOR(_)).as("sig"))
       val chunks = sig.select(col("doc_id"), col("sig"),
@@ -319,7 +334,34 @@ object TextDedup {
         .select(col("doc1"), col("doc2"), col("hamming"))
         .orderBy(col("doc1"), col("doc2"))
     },
-    None)
+    Some {
+      val votes = (0 until SimHashBits)
+        .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+        .mkString(",\n      |         ")
+      val sigBits = (0 until SimHashBits)
+        .map(i => s"CASE WHEN v$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END")
+        .mkString(" + ")
+      val chunkEq = (0 until 4)
+        .map(c => s"((a.sig >> ${c * 16}) & 65535) = ((b.sig >> ${c * 16}) & 65535)")
+        .mkString(" OR ")
+      s"""$ShingleCte,
+      |hashed AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+      |  FROM sh
+      |),
+      |votes AS (
+      |  SELECT doc_id,
+      |         $votes
+      |  FROM hashed GROUP BY doc_id
+      |),
+      |sig AS (SELECT doc_id, $sigBits AS sig FROM votes)
+      |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+      |       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE ($chunkEq)
+      |  AND bit_count(xor(a.sig, b.sig)) <= 6
+      |ORDER BY doc1, doc2""".stripMargin
+    })
 
   val catalog: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
 }

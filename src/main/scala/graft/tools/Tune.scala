@@ -1,0 +1,113 @@
+package graft.tools
+
+import graft.{Lifecycle, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only A/B harness for plan variants, timed the way Bench times
+  * (min of two cold runs, Lifecycle.release outside the clock). */
+object Tune {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timeMin(name: String)(f: => DataFrame): Unit = {
+      def once: Double = {
+        val t0 = System.nanoTime()
+        val n = f.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Lifecycle.release(spark)
+        if (n < 0) -1 else dt
+      }
+      once // warmup
+      val dt = math.min(once, once)
+      println(f"TUNE $name%-28s $dt%7.3fs")
+    }
+
+    // ------------------------------------------------ t06 variants
+    import graft.operators.TextDedup
+
+    def t06From(sh: DataFrame): DataFrame = {
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
+      val inter = a.join(b, a("shingle") === b("shingle") && col("doc1") < col("doc2"))
+        .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
+        .join(sz.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
+        .withColumn("jaccard", col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("doc1"), col("doc2"), col("jaccard"))
+        .orderBy(col("doc1"), col("doc2"))
+    }
+
+    timeMin("t06_current")(TextDedup.t06.fn(spark, d))
+    timeMin("t06_cache_index") {
+      val sh = TextDedup.shingleIndex(spark, d).cache()
+      Lifecycle.defer(sh.unpersist())
+      t06From(sh)
+    }
+    timeMin("t06_checkpoint_index") {
+      t06From(TextDedup.shingleIndex(spark, d).localCheckpoint())
+    }
+
+    timeMin("t06_inline_n") {
+      // single-pass: per-doc distinct-shingle count attached BEFORE the
+      // explode (costs a 2nd shingles3 eval per row; saves the whole
+      // sz recompute pipeline). Join carries n1/n2 through.
+      val sh = Tables.documents(spark, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), shingles3(col("toks")).as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("n"),
+          explode(col("sh")).as("shingle"))
+      val a = sh.select(col("doc_id").as("doc1"), col("n").as("n1"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc2"), col("n").as("n2"), col("shingle"))
+      a.join(b, a("shingle") === b("shingle") && col("doc1") < col("doc2"))
+        .groupBy(col("doc1"), col("doc2"))
+        .agg(count(lit(1)).as("inter"), min(col("n1")).as("n1"), min(col("n2")).as("n2"))
+        .withColumn("jaccard", col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("doc1"), col("doc2"), col("jaccard"))
+        .orderBy(col("doc1"), col("doc2"))
+    }
+
+    // ------------------------------------------------ v01 variants
+    timeMin("v01_current")(graft.operators.Advanced.v01.fn(spark, d))
+    timeMin("v01_direct_explode") {
+      Tables.documents(spark, d)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(20)
+    }
+    timeMin("v01_no_repart") {
+      Tables.documents(spark, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(explode(col("toks")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(20)
+    }
+
+    // ------------------------------------------------ q22 variants
+    timeMin("q22_current")(graft.operators.Relational.q22.fn(spark, d))
+    timeMin("q22_single_join") {
+      val c = Tables.customer(spark, d)
+      val ok = Tables.orders(spark, d).select(col("o_custkey")).distinct()
+      c.join(ok, c("c_custkey") === ok("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_custkey").isNotNull.as("has_orders"))
+        .orderBy(col("c_custkey"))
+    }
+    spark.stop()
+  }
+}

@@ -33,9 +33,19 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.mm01.fn(spark, sf)
     val n = graft.Tables.documents(spark, sf).count()
     assert(out.count() == n)
-    // re-running yields identical checksums (determinism)
-    val a = out.collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
-    val b = Multimodal.mm01.fn(spark, sf).collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
-    assert(a == b)
+  }
+
+  test("checksum/histogram (the non-oracle-able features) are deterministic") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    def features = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(graft.Tables.documents(spark, sf))
+        .as[Multimodal.MediaRow])
+    val a = features.collect().map(f => (f.id, f.checksum, f.histogram.toSeq)).sortBy(_._1).toSeq
+    val b = features.collect().map(f => (f.id, f.checksum, f.histogram.toSeq)).sortBy(_._1).toSeq
+    assert(a == b && a.nonEmpty)
+    // histogram buckets are a probability mass: non-negative, sum ~1
+    a.foreach { case (id, _, h) =>
+      assert(h.forall(_ >= 0.0) && math.abs(h.sum - 1.0) < 1e-9, s"doc $id") }
   }
 }

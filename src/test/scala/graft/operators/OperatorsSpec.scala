@@ -88,6 +88,24 @@ class OperatorsSpec extends SparkSpec {
     info(s"IVF hits among brute-force top-5 pairs: $recall")
   }
 
+  test("IVF index is rebuilt when the corpus at the same path is regenerated") {
+    val scratch = java.nio.file.Files.createTempDirectory("ivf_corpus").toFile
+    val src = spark.read.parquet(s"$sf/embeddings.parquet")
+    src.write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+    val dir1 = Similarity.IvfIndex.indexDirFor(scratch.getAbsolutePath)
+    val (_, a1) = Similarity.IvfIndex.ensure(spark, scratch.getAbsolutePath)
+    val n1 = a1.count()
+    assert(new java.io.File(dir1, "centroids/_SUCCESS").exists())
+    // regenerate the corpus at the SAME path with different content: the
+    // fingerprint must change and ensure() must serve the NEW data, not
+    // the stale persisted index
+    src.limit(100).write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+    val dir2 = Similarity.IvfIndex.indexDirFor(scratch.getAbsolutePath)
+    assert(dir1 != dir2, "fingerprint did not change with the corpus")
+    val (_, a2) = Similarity.IvfIndex.ensure(spark, scratch.getAbsolutePath)
+    assert(n1 > 100 && a2.count() == 100)
+  }
+
   test("pricing summary plan pushes the shipdate filter into the parquet scan") {
     val plan = Relational.q14.fn(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
