@@ -174,13 +174,17 @@ object Similarity {
     Array.fill(DedupTables * DedupPlanes, Dim)(rnd.nextGaussian())
   }
 
-  private def dedupBuckets(emb: Column): Column =
-    array((0 until DedupTables).map { t =>
-      (0 until DedupPlanes).map { j =>
-        val planeLit = array(dedupPlanes(t * DedupPlanes + j).map(lit(_)): _*)
+  private def signBuckets(emb: Column, planes: Array[Array[Double]],
+                          tables: Int, perTable: Int): Column =
+    array((0 until tables).map { t =>
+      (0 until perTable).map { j =>
+        val planeLit = array(planes(t * perTable + j).map(lit(_)): _*)
         when(dot(emb, planeLit) > 0, lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _)
     }: _*)
+
+  private def dedupBuckets(emb: Column): Column =
+    signBuckets(emb, dedupPlanes, DedupTables, DedupPlanes)
 
   /** Candidate-generation twin of s01 with the same output contract
     * (id1 < id2, cos >= threshold, one row per pair) but pairs produced
@@ -190,10 +194,24 @@ object Similarity {
     * candidate once, before distinct() collapses multi-table hits (the
     * value is identical per duplicate, same fold order). s01 stays as
     * the all-pairs oracle baseline. */
-  def lshPairs(s: SparkSession, d: String): DataFrame = {
+  def lshPairs(s: SparkSession, d: String): DataFrame =
+    lshPairsTuned(s, d, CosineThreshold, dedupPlanes, DedupTables, DedupPlanes)
+
+  /** [[lshPairs]] with banding chosen by the caller — the knob a real
+    * deployment turns with its duplicate threshold: the gate's
+    * cos >= 0.38 on near-random vectors needs T=32 coarse 2-plane
+    * tables for exhaustive recall (4 buckets/table => candidates ~
+    * T/4 x all-pairs: recall-exhaustive but NOT selective, measured in
+    * ScaleSmoke), while a realistic dedup cut (cos >= 0.9, theta <=
+    * 26deg) tolerates 8-plane tables whose 256 buckets prune candidates
+    * by orders of magnitude at the same miss bound. */
+  def lshPairsTuned(s: SparkSession, d: String, threshold: Double,
+                    planes: Array[Array[Double]],
+                    tables: Int, perTable: Int): DataFrame = {
     val e = withNorm(s, d)
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        posexplode(dedupBuckets(col("embedding"))).as(Seq("tbl", "bucket")))
+        posexplode(signBuckets(col("embedding"), planes, tables, perTable))
+          .as(Seq("tbl", "bucket")))
     val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"),
       col("nrm").as("n1"), col("tbl"), col("bucket"))
     val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"),
@@ -202,8 +220,14 @@ object Similarity {
         col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         cosine(dot(col("e1"), col("e2")), col("n1"), col("n2")).as("cos"))
-      .filter(col("cos") >= CosineThreshold)
+      .filter(col("cos") >= threshold)
       .distinct()
+  }
+
+  /** Fixed-seed gaussian plane family for [[lshPairsTuned]]. */
+  def makePlanes(tables: Int, perTable: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables * perTable, Dim)(rnd.nextGaussian())
   }
 
   /** LSH-bucketed ANN: candidates share a (table, bucket) with the query;

@@ -44,6 +44,52 @@ object ScaleSmoke {
       val (tLsh, nLsh) = time(graft.operators.TextDedup.t07.fn(spark, dir).count())
       println(f"SCALE docs=${n0 * k}%7d exact=${tExact}%6.1fs ($nExact pairs)  lsh=${tLsh}%6.1fs ($nLsh pairs)")
     }
+
+    // ---- embedding path: s01 all-pairs vs Similarity.lshPairs ----
+    // The text version of this experiment caught a real algorithmic bug
+    // (the quasi-monotonic minhash permutations); the embedding path gets
+    // the same scrutiny: replicas are near-duplicates of their original
+    // (one component shifted), so cross-replica pairs sit near cos=1 and
+    // any banding miss shows up as recall < 1 against the exact twin.
+    val emb0 = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val e0 = emb0.count()
+    Seq(1, 4, 12).foreach { k =>
+      val dir = s"/tmp/graft_scale_emb_${k}x"
+      val copies = (0 until k).map { i =>
+        if (i == 0) emb0
+        else emb0.select(
+          (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, idx) =>
+            when(idx === 0, (x + lit(0.05 * i)).cast("float")).otherwise(x))
+            .as("embedding"),
+          col("label"))
+      }
+      copies.reduce(_ unionAll _).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      def timeCollect(df: org.apache.spark.sql.DataFrame): (Double, Set[(Long, Long)]) = {
+        val t0 = System.nanoTime()
+        val rows = df.select(col("id1"), col("id2")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (tExact, exact) = timeCollect(graft.operators.Similarity.s01.fn(spark, dir))
+      val (tLsh, lsh) = timeCollect(graft.operators.Similarity.lshPairs(spark, dir))
+      val recall = if (exact.isEmpty) 1.0 else (exact & lsh).size.toDouble / exact.size
+      println(f"SCALE-EMB vecs=${e0 * k}%7d exact=${tExact}%6.1fs (${exact.size} pairs)  " +
+        f"lsh=${tLsh}%6.1fs (${lsh.size} pairs)  recall=$recall%.4f  " +
+        f"invented=${(lsh -- exact).size}")
+      // realistic dedup cut: cos >= 0.9 lets the banding go sharp
+      // (T=16 x P=8 => 256 buckets/table) — same join shape, candidates
+      // pruned by orders of magnitude instead of ~T/4 x all-pairs
+      val planes98 = graft.operators.Similarity.makePlanes(16, 8, seed = 23)
+      val (tTuned, tuned) = timeCollect(
+        graft.operators.Similarity.lshPairsTuned(spark, dir, 0.9, planes98, 16, 8))
+      val (tExact09, exact09) = timeCollect(
+        graft.operators.Similarity.s01.fn(spark, dir).filter(col("cos") >= 0.9))
+      val recall09 = if (exact09.isEmpty) 1.0 else (exact09 & tuned).size.toDouble / exact09.size
+      println(f"SCALE-EMB-09 vecs=${e0 * k}%7d exact=${tExact09}%6.1fs (${exact09.size} pairs)  " +
+        f"lsh(T16,P8)=${tTuned}%6.1fs (${tuned.size} pairs)  recall=$recall09%.4f")
+    }
     spark.stop()
   }
 }
