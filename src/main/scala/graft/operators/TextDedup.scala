@@ -363,5 +363,72 @@ object TextDedup {
       |ORDER BY doc1, doc2""".stripMargin
     })
 
-  val catalog: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
+  /** Benchmark decontamination — the train/eval hygiene pass every LLM
+    * data pipeline runs: corpus documents sharing >= 5 distinct 3-token
+    * shingles with any benchmark document are flagged with the overlap
+    * count. The benchmark stand-in is a deterministic ~5% slice of
+    * documents (doc_id % 20 == 7); a real deployment feeds the eval-set
+    * table instead.
+    *
+    * Scale: the join is corpus-shingles x BENCHMARK-shingles — eval sets
+    * are tiny relative to a 100 TB corpus, so the benchmark side
+    * broadcasts and the corpus side never shuffles for the join; only
+    * the per-(doc, bench) overlap count aggregates. Exactly the t06
+    * inverted-index shape with one side bounded. */
+  val t15 = QueryDef(
+    "t15_decontamination",
+    (s, d) => {
+      val sh = shingleIndex(s, d)
+      val bench = sh.filter(col("doc_id") % 20 === 7)
+        .select(col("doc_id").as("bench_id"), col("shingle"))
+      val corpus = sh.filter(col("doc_id") % 20 =!= 7)
+      corpus.join(broadcast(bench), "shingle")
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .orderBy(col("doc_id"), col("bench_id"))
+    },
+    Some(ShingleCte + """
+      |SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+      |FROM (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 7) c
+      |JOIN (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 20 = 7) b
+      |  ON c.shingle = b.shingle
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 5
+      |ORDER BY doc_id, bench_id""".stripMargin))
+
+  /** Intra-document repetition ratio — the repeated-n-gram quality
+    * signal (the Gopher/C4-style filter): 1 - distinct/total 3-token
+    * shingles. Pure per-row compute, no shuffle; the repartition sits
+    * between tokenize and shingle for the usual CollapseProject reason
+    * (see shingleIndex). */
+  val t16 = QueryDef(
+    "t16_repetition_ratio",
+    (s, d) => {
+      val toksCol = tokens(col("text"))
+      docs(s, d)
+        .select(col("doc_id"), toksCol.as("toks"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          greatest(size(col("toks")) - 2, lit(0)).as("n_shingles"),
+          size(shingles3(col("toks"))).as("n_distinct"))
+        .withColumn("rep_ratio",
+          when(col("n_shingles") === 0, lit(0.0))
+            .otherwise(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles")))
+        .orderBy(col("doc_id"))
+    },
+    Some(TokCte + """
+      |SELECT doc_id,
+      |       CAST(GREATEST(len(toks) - 2, 0) AS INTEGER) AS n_shingles,
+      |       CAST(CASE WHEN len(toks) >= 3 THEN len(list_distinct(
+      |              list_transform(range(len(toks) - 2),
+      |                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))
+      |            ELSE 0 END AS INTEGER) AS n_distinct,
+      |       CASE WHEN len(toks) < 3 THEN 0.0
+      |            ELSE 1.0 - CAST(CASE WHEN len(toks) >= 3 THEN len(list_distinct(
+      |                   list_transform(range(len(toks) - 2),
+      |                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))
+      |                 ELSE 0 END AS DOUBLE) / (len(toks) - 2) END AS rep_ratio
+      |FROM tok ORDER BY doc_id""".stripMargin))
+
+  val catalog: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t15, t16)
 }

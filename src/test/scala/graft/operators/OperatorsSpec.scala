@@ -106,6 +106,16 @@ class OperatorsSpec extends SparkSpec {
     assert(n1 > 100 && a2.count() == 100)
   }
 
+  test("decontamination broadcasts the benchmark shingle side") {
+    val plan = TextDedup.t15.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("repetition ratio is per-row: no aggregate/join shuffle in the plan") {
+    val plan = TextDedup.t16.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), s"unexpected shuffle in:\n$plan")
+  }
+
   test("pricing summary plan pushes the shipdate filter into the parquet scan") {
     val plan = Relational.q14.fn(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
