@@ -222,5 +222,68 @@ object Corpus {
             |             '$PhoneRe', '<PHONE>', 'g')) AS scrub_fp
             |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val catalog: Seq[QueryDef] = Seq(t11, t12, t13, t14)
+  // ---------------------------------------------- t17: per-source quota
+
+  /** Per-source quota sampling — the domain-mixing downsampler: every
+    * source keeps at most K documents, chosen by deterministic hash
+    * order (md5 of the doc id) so the sample is stable across runs and
+    * cluster sizes and unbiased within the source. One window shuffle
+    * on source; rank-based, so no RNG state and no global pass. */
+  val t17 = QueryDef(
+    "t17_quota_sample",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val quota = 15
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      docs(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= quota)
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, source, rk FROM (
+           |  SELECT doc_id, source,
+           |         ROW_NUMBER() OVER (PARTITION BY source
+           |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           |  FROM documents)
+           |WHERE rk <= 15 ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------- t18: sequence packing
+
+  /** Greedy sequence packing — assign each document the id of the
+    * fixed-token-budget training sequence it starts in, via a running
+    * token count. Packing is PER SOURCE: the window shuffles once on
+    * source and each stratum packs independently — a single global
+    * cumulative sum would serialize the corpus through one partition at
+    * 100 TB (at real scale the stratum key is (source, shard)). */
+  val t18 = QueryDef(
+    "t18_sequence_packing",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val seqLen = 2048
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("doc_id"), col("source"), size(tokens(col("text"))).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("seq_id", floor((col("cum") - col("n_tokens")) / lit(seqLen)))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("seq_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, source,
+      |         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, CAST(len(toks) AS INTEGER) AS n_tokens,
+      |       CAST(FLOOR((cum - len(toks)) / 2048.0) AS BIGINT) AS seq_id
+      |FROM (
+      |  SELECT doc_id, source, toks,
+      |         SUM(len(toks)) OVER (PARTITION BY source ORDER BY doc_id
+      |                              ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM tok)
+      |ORDER BY doc_id""".stripMargin))
+
+  val catalog: Seq[QueryDef] = Seq(t11, t12, t13, t14, t17, t18)
 }
