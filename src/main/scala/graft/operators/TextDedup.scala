@@ -62,40 +62,39 @@ object TextDedup {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
-  /** (doc_id, shingle) exploded distinct shingle index.
-    * The explicit repartition spreads the tokenize+shingle explosion
-    * across cores — a small single-file scan would otherwise pin the
-    * whole per-row pipeline to one task (cost measured 4.7s -> 0.2s at
-    * sf0.1). At 100 TB the scan's file splits provide this naturally. */
-  private[graft] def shingleIndex(s: SparkSession, d: String): DataFrame =
+  /** (doc_id, shingle) exploded distinct shingle index, via the native
+    * one-pass [[graft.functions.ShingleSet]] kernel (byte-identical to
+    * the `shingles3(tokens(text))` HOF chain — pinned in
+    * TextExpressionsSpec — and ~1.5x faster end-to-end on t06: 1.63s ->
+    * 1.10s at sf0.1). Being a single opaque expression it also needs no
+    * protective exchange between tokenize and shingle (the HOF form did,
+    * or CollapseProject re-ran the tokenizer per element — PLANS.md).
+    * The repartition that remains is parallelism only: a small
+    * single-file scan would pin the whole per-row pipeline to one task
+    * (measured 4.7s -> 0.2s at sf0.1); at 100 TB the scan's file splits
+    * provide this naturally. */
+  private[graft] def shingleIndex(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextExpressions.register(s)
     docs(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      // The repartition is BETWEEN tokenize and shingle on purpose, and
-      // not only for parallelism: the exchange materializes `toks`, so
-      // CollapseProject cannot substitute the tokenize expression into
-      // every element_at() of the shingle lambda (which would re-run the
-      // regex split per shingle — measured ~10x on this stage).
       .repartition(s.sparkContext.defaultParallelism)
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(shingles3(col("toks"))).as("shingle"))
+      .select(col("doc_id"),
+        explode(call_function("graft_shingles", col("text"))).as("shingle"))
+  }
 
   /** Exact Jaccard >= threshold on candidate pairs given a (doc1, doc2)
     * candidate DataFrame. Joins the per-doc shingle sets (one row per doc
     * — broadcastable at moderate doc counts; at extreme scale replace with
     * a semi-join back into the index). */
   private[graft] def verifyJaccard(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+    graft.functions.TextExpressions.register(s)
     val sets = docs(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .repartition(s.sparkContext.defaultParallelism) // materialize toks (see shingleIndex)
-      .select(col("doc_id"), shingles3(col("toks")).as("sh"))
+      .repartition(s.sparkContext.defaultParallelism) // parallelism (see shingleIndex)
+      .select(col("doc_id"), call_function("graft_shingles", col("text")).as("sh"))
     // (measured: caching this is slower than recomputing both branches —
-    // columnar-cache materialization breaks codegen fusion)
-    // NOTE deliberately NO `.filter(size(sh) > 0)` here: Catalyst pushes
-    // such a filter below the projection and into the scan, substituting
-    // the whole tokenize+shingle expression into the predicate (re-running
-    // the regex split per element_at — measured 12s -> 1s on this stage).
-    // Shingle-less docs never appear in candidates, so the filter is
-    // redundant anyway.
+    // columnar-cache materialization breaks codegen fusion. The native
+    // kernel is also immune to the old filter-pushdown substitution trap,
+    // but a `size(sh) > 0` filter stays redundant: shingle-less docs
+    // never appear in candidates.)
     val s1 = sets.select(col("doc_id").as("doc1"), col("sh").as("sh1"))
     val s2 = sets.select(col("doc_id").as("doc2"), col("sh").as("sh2"))
     cand.join(s1, "doc1").join(s2, "doc2")
@@ -398,19 +397,17 @@ object TextDedup {
 
   /** Intra-document repetition ratio — the repeated-n-gram quality
     * signal (the Gopher/C4-style filter): 1 - distinct/total 3-token
-    * shingles. Pure per-row compute, no shuffle; the repartition sits
-    * between tokenize and shingle for the usual CollapseProject reason
-    * (see shingleIndex). */
+    * shingles. Pure per-row compute, no shuffle, no protective exchange:
+    * `size(tokens(text))` evaluates the tokenizer once, and the distinct
+    * count comes from the opaque native kernel. */
   val t16 = QueryDef(
     "t16_repetition_ratio",
     (s, d) => {
-      val toksCol = tokens(col("text"))
+      graft.functions.TextExpressions.register(s)
       docs(s, d)
-        .select(col("doc_id"), toksCol.as("toks"))
-        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
-          greatest(size(col("toks")) - 2, lit(0)).as("n_shingles"),
-          size(shingles3(col("toks"))).as("n_distinct"))
+          greatest(size(tokens(col("text"))) - 2, lit(0)).as("n_shingles"),
+          size(call_function("graft_shingles", col("text"))).as("n_distinct"))
         .withColumn("rep_ratio",
           when(col("n_shingles") === 0, lit(0.0))
             .otherwise(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles")))

@@ -82,6 +82,15 @@ object Tune {
         .orderBy(col("doc1"), col("doc2"))
     }
 
+    timeMin("t06_native_shingles") {
+      graft.functions.TextExpressions.register(spark)
+      val sh = Tables.documents(spark, d)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(call_function("graft_shingles", col("text"))).as("shingle"))
+      t06From(sh)
+    }
+
     // ------------------------------------------------ v01 variants
     timeMin("v01_current")(graft.operators.Advanced.v01.fn(spark, d))
     timeMin("v01_direct_explode") {

@@ -1,0 +1,42 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextExpressionsSpec extends SparkSpec {
+
+  test("graft_shingles equals shingles3(tokens(text)) on the full corpus") {
+    TextExpressions.register(spark)
+    import TextFunctions._
+    // materialize toks across an exchange so the HOF reference itself is
+    // evaluated the non-degenerate way (see shingleIndex)
+    val both = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .repartition(8)
+      .select(col("doc_id"),
+        call_function("graft_shingles", col("text")).as("native"),
+        shingles3(col("toks")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("graft_shingles edge cases: null, empty, short, messy whitespace, dups") {
+    TextExpressions.register(spark)
+    val rows = spark.sql("""
+      SELECT graft_shingles(CAST(NULL AS STRING)) AS a,
+             graft_shingles('') AS b,
+             graft_shingles('one two') AS c,
+             graft_shingles('  A  b\tC   ') AS d,
+             graft_shingles('x y x y x y x') AS e
+    """).collect()(0)
+    assert(rows.getSeq[String](0) == Seq.empty)
+    assert(rows.getSeq[String](1) == Seq.empty)
+    assert(rows.getSeq[String](2) == Seq.empty)
+    assert(rows.getSeq[String](3) == Seq("a b c"))
+    // duplicates collapse to first occurrence order
+    assert(rows.getSeq[String](4) == Seq("x y x", "y x y"))
+  }
+}
