@@ -36,20 +36,37 @@ object TextKernels extends Serializable {
 
   private val Whitespace = java.util.regex.Pattern.compile("\\s+")
 
-  def shingleSet(text: UTF8String): ArrayData = {
-    if (text == null) return new GenericArrayData(Array.empty[Any])
+  /** Non-empty whitespace tokens of trim+lower text (the `tokens` HOF
+    * chain in one pass). */
+  private def splitTokens(text: UTF8String): Array[String] = {
     val norm = text.trim().toLowerCase.toString
     val raw = Whitespace.split(norm, -1)
     // drop empties (a leading separator yields one)
     var n = 0
     var i = 0
     while (i < raw.length) { if (!raw(i).isEmpty) n += 1; i += 1 }
-    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    if (n == raw.length) return raw
     val toks = new Array[String](n)
     i = 0; var j = 0
     while (i < raw.length) { if (!raw(i).isEmpty) { toks(j) = raw(i); j += 1 }; i += 1 }
+    toks
+  }
+
+  def tokenArray(text: UTF8String): ArrayData = {
+    val toks = splitTokens(text)
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def shingleSet(text: UTF8String): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val toks = splitTokens(text)
+    val n = toks.length
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](math.max(8, (n - 2) * 2))
-    i = 0
+    var i = 0
     while (i <= n - 3) {
       val sb = new java.lang.StringBuilder(
         toks(i).length + toks(i + 1).length + toks(i + 2).length + 2)
@@ -96,13 +113,42 @@ case class ShingleSet(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_tokens(text)` — the non-empty whitespace tokens of
+  * trim+lower text as a single native expression. Null-intercepting like
+  * the HOF chain it replaces (`filter(split(lower(trim(c)), '\\s+'),
+  * _ <> '')`): null text -> null array. */
+case class TokenArray(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.tokenArray(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("textKernels", TextKernels,
+      TextKernels.getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernel.tokenArray($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   val shinglesInfo = new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingles")
+  val tokensInfo = new ExpressionInfo(classOf[TokenArray].getName, "graft_tokens")
 
-  /** Idempotently register graft_shingles (same pattern as
+  /** Idempotently register the text kernels (same pattern as
     * [[VectorExpressions.register]]). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_shingles"), shinglesInfo,
       (exprs: Seq[Expression]) => ShingleSet(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_tokens"), tokensInfo,
+      (exprs: Seq[Expression]) => TokenArray(exprs.head))
+  }
 }

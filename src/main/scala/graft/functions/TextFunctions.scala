@@ -17,8 +17,18 @@ object TextFunctions {
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
   /** Whitespace tokens of the normalized text, empty strings dropped.
-    * Mirror: `list_filter(string_split_regex(lower(trim(x)), '\s+'), t -> t <> '')`. */
+    * Mirror: `list_filter(string_split_regex(lower(trim(x)), '\s+'), t -> t <> '')`.
+    * Implemented by the native one-pass [[TokenArray]] kernel (byte-equal
+    * to the HOF chain — pinned in TextExpressionsSpec — with the split
+    * pattern precompiled instead of recompiled per row, which the
+    * built-in `split` cannot avoid). */
   def tokens(c: Column): Column =
+    org.apache.spark.sql.GraftColumns.column(
+      TokenArray(org.apache.spark.sql.GraftColumns.expression(c)))
+
+  /** The composable reference form of [[tokens]], kept for the
+    * bit-compatibility cross-check. */
+  private[graft] def tokensHof(c: Column): Column =
     filter(split(lower(trim(c)), "\\s+"), t => t =!= "")
 
   /** Deterministic document fingerprint: md5 of the normalized text.

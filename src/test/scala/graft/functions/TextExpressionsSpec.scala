@@ -23,6 +23,29 @@ class TextExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("native tokens equals the HOF chain on the full corpus + edge cases") {
+    import TextFunctions._
+    val both = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), tokens(col("text")).as("native"),
+        tokensHof(col("text")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"doc ${r.getLong(0)}")
+    }
+    val edges = Seq(null, "", "   ", "  A\t\nb  ", "x").zipWithIndex
+    import spark.implicits._
+    val df = edges.map { case (t, i) => (i, t) }.toDF("i", "text")
+      .select(col("i"), tokens(col("text")).as("native"), tokensHof(col("text")).as("hof"))
+      .collect()
+    df.foreach { r =>
+      assert((r.isNullAt(1) && r.isNullAt(2)) ||
+        r.getSeq[String](1) == r.getSeq[String](2), s"case ${r.getInt(0)}")
+    }
+    // null propagates as null (not empty) exactly like the HOF form
+    assert(df.find(_.getInt(0) == 0).exists(r => r.isNullAt(1) && r.isNullAt(2)))
+  }
+
   test("graft_shingles edge cases: null, empty, short, messy whitespace, dups") {
     TextExpressions.register(spark)
     val rows = spark.sql("""
