@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass kernel for the tokenize -> 3-shingle -> distinct pipeline.
@@ -38,6 +38,8 @@ object TextKernels extends Serializable {
 
   /** Non-empty whitespace tokens of trim+lower text (the `tokens` HOF
     * chain in one pass). */
+  private[functions] def tokens(text: UTF8String): Array[String] = splitTokens(text)
+
   private def splitTokens(text: UTF8String): Array[String] = {
     val norm = text.trim().toLowerCase.toString
     val raw = Whitespace.split(norm, -1)
@@ -79,6 +81,71 @@ object TextKernels extends Serializable {
     i = 0
     while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
     new GenericArrayData(out)
+  }
+}
+
+/** Compatibility-exact kernel for [[TextStats]] — see the expression
+  * Scaladoc for the parity contract. */
+object TextStatsKernel extends Serializable {
+  import TextFunctions.{EnStop, DeStop, FrStop, EsStop}
+
+  private val En = EnStop.toSet
+  private val De = DeStop.toSet
+  private val Fr = FrStop.toSet
+  private val Es = EsStop.toSet
+
+  /** (n_tokens, quality, pred_lang) in one pass over the tokens.
+    * Null text reproduces the HOF chain's degenerate values exactly:
+    * n_tokens/quality NULL, and pred_lang "es" (every `when` condition
+    * evaluates NULL, so the chain falls through to the otherwise). */
+  def stats(text: UTF8String): InternalRow = {
+    if (text == null)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](null, null, UTF8String.fromString("es")))
+    val toks = TextKernels.tokens(text)
+    val n = toks.length
+    // CJK fast path scans the ORIGINAL text, like rlike does
+    val s = text.toString
+    var hasCjk = false
+    var ci = 0
+    while (ci < s.length && !hasCjk) {
+      val cp = s.codePointAt(ci)
+      if (cp >= 0x4e00 && cp <= 0x9fff) hasCjk = true
+      ci += Character.charCount(cp)
+    }
+    var nDistinct = 0
+    val seen = new java.util.HashSet[String](math.max(8, n * 2))
+    var nStop = 0; var sEn = 0; var sDe = 0; var sFr = 0; var sEs = 0
+    var lenSum = 0
+    var i = 0
+    while (i < n) {
+      val t = toks(i)
+      if (seen.add(t)) nDistinct += 1
+      if (En.contains(t)) { nStop += 1; sEn += 1 }
+      if (De.contains(t)) sDe += 1
+      if (Fr.contains(t)) sFr += 1
+      if (Es.contains(t)) sEs += 1
+      // Spark length() counts code points (UTF8String.numChars)
+      lenSum += t.codePointCount(0, t.length)
+      i += 1
+    }
+    val quality =
+      if (n == 0) 0.0
+      else
+        0.3 * math.min(n.toDouble / 50.0, 1.0) +
+          0.3 * (nDistinct.toDouble / n) +
+          0.2 * (1.0 - nStop.toDouble / n) +
+          0.2 * math.min(lenSum.toDouble / n / 5.0, 1.0)
+    val m = math.max(math.max(sEn, sDe), math.max(sFr, sEs))
+    val lang =
+      if (hasCjk) "zh"
+      else if (m == 0) "unknown"
+      else if (sEn == m) "en"
+      else if (sDe == m) "de"
+      else if (sFr == m) "fr"
+      else "es"
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, quality, UTF8String.fromString(lang)))
   }
 }
 
@@ -137,9 +204,51 @@ case class TokenArray(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_textstats(text)` — struct(n_tokens, quality, pred_lang) fused
+  * into one token pass. The composable forms walk the token array once
+  * per statistic through per-element lambda dispatch (qualityScore: 4
+  * passes, langId: 4 marker scans + a regex); this kernel computes all
+  * of them in a single loop. Double arithmetic replicates the Column
+  * expression tree's operation order exactly (left-associative sums,
+  * same divisions), so values are bit-identical — pinned against the HOF
+  * forms on the full corpus in TextExpressionsSpec and by the unchanged
+  * gate oracles. Codegen subexpression elimination evaluates the struct
+  * once per row even when a projection reads several fields. */
+case class TextStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType),
+    StructField("quality", DoubleType),
+    StructField("pred_lang", StringType)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_textstats"
+
+  override def eval(input: InternalRow): Any =
+    TextStatsKernel.stats(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val kernel = ctx.addReferenceObj("textStatsKernel", TextStatsKernel,
+      TextStatsKernel.getClass.getName)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+          $kernel.stats(${c.isNull} ? null : ${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   val shinglesInfo = new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingles")
   val tokensInfo = new ExpressionInfo(classOf[TokenArray].getName, "graft_tokens")
+  val statsInfo = new ExpressionInfo(classOf[TextStats].getName, "graft_textstats")
 
   /** Idempotently register the text kernels (same pattern as
     * [[VectorExpressions.register]]). */
@@ -150,5 +259,8 @@ object TextExpressions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_tokens"), tokensInfo,
       (exprs: Seq[Expression]) => TokenArray(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_textstats"), statsInfo,
+      (exprs: Seq[Expression]) => TextStats(exprs.head))
   }
 }

@@ -44,6 +44,14 @@ object TextFunctions {
         i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
       .otherwise(array().cast("array<string>"))
 
+  /** struct(n_tokens, quality, pred_lang) via the fused native
+    * [[TextStats]] kernel — one token pass for all three statistics,
+    * bit-identical to [[qualityScore]]/[[langId]] over [[tokens]]
+    * (pinned in TextExpressionsSpec). */
+  def textStats(c: Column): Column =
+    org.apache.spark.sql.GraftColumns.column(
+      TextStats(org.apache.spark.sql.GraftColumns.expression(c)))
+
   val EnStop = Seq("the", "a", "of", "and", "is")
   val DeStop = Seq("der", "die", "das", "und", "ist")
   val FrStop = Seq("le", "la", "les", "et", "est")

@@ -121,12 +121,12 @@ object Advanced {
     "c01_curation",
     (s, d) => {
       import graft.functions.TextFunctions._
+      val st = textStats(col("text"))
       val base = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-        .repartition(s.sparkContext.defaultParallelism) // materialize toks
-        .select(col("doc_id"), col("text"),
-          qualityScore(col("toks")).as("quality"),
-          langId(col("text"), col("toks")).as("pred_lang"),
+        .repartition(s.sparkContext.defaultParallelism) // spread per-row work
+        .select(col("doc_id"),
+          st.getField("quality").as("quality"),
+          st.getField("pred_lang").as("pred_lang"),
           fingerprint(col("text")).as("fp"))
         .filter(col("quality") >= 0.7 && col("pred_lang") === "en")
       base

@@ -165,8 +165,8 @@ object Corpus {
       val w = Window.partitionBy(col("lang"))
         .orderBy(col("quality").desc, col("doc_id"))
       docs(s, d)
-        .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("lang"), qualityScore(col("toks")).as("quality"))
+        .select(col("doc_id"), col("lang"),
+          textStats(col("text")).getField("quality").as("quality"))
         .withColumn("tile", ntile(4).over(w))
         .filter(col("tile") === 1)
         .select(col("doc_id"), col("lang"), col("quality"))

@@ -147,15 +147,15 @@ object TextDedup {
       |     + 0.2 * least(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) / 5.0, 1.0)
       |       END""".stripMargin
 
-  /** Quality scoring: volume, diversity, stopword balance, token length. */
+  /** Quality scoring: volume, diversity, stopword balance, token length.
+    * One fused token pass (native textStats). */
   val t03 = QueryDef(
     "t03_quality_score",
     (s, d) => {
-      val toks = tokens(col("text"))
+      val st = textStats(col("text"))
       docs(s, d)
-        .select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
-          qualityScore(col("toks")).as("quality"))
+        .select(col("doc_id"), st.getField("n_tokens").as("n_tokens"),
+          st.getField("quality").as("quality"))
         .orderBy(col("doc_id"))
     },
     Some(TokCte + s"""
@@ -163,18 +163,16 @@ object TextDedup {
       |       $QualitySql AS quality
       |FROM tok ORDER BY doc_id""".stripMargin))
 
-  /** Language identification by marker-stopword scoring. */
+  /** Language identification by marker-stopword scoring (fused native
+    * textStats pass). */
   val t04 = QueryDef(
     "t04_langid",
-    (s, d) => {
-      val toks = tokens(col("text"))
+    (s, d) =>
       docs(s, d)
-        .select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
         .select(col("doc_id"), col("lang"),
-          langId(col("text"), col("toks")).as("pred_lang"))
+          textStats(col("text")).getField("pred_lang").as("pred_lang"))
         .withColumn("is_match", col("pred_lang") === col("lang"))
-        .orderBy(col("doc_id"))
-    },
+        .orderBy(col("doc_id")),
     Some(TokCte + """
       |SELECT doc_id, lang, pred_lang, (pred_lang = lang) AS is_match FROM (
       |  SELECT doc_id, lang,

@@ -46,6 +46,31 @@ class TextExpressionsSpec extends SparkSpec {
     assert(df.find(_.getInt(0) == 0).exists(r => r.isNullAt(1) && r.isNullAt(2)))
   }
 
+  test("textStats equals qualityScore/langId/size over tokens, corpus + edges") {
+    import TextFunctions._
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val st = textStats(col("text"))
+      val rows = df
+        .select(col("text"), tokensHof(col("text")).as("toks"))
+        .repartition(8) // materialize toks for the HOF reference forms
+        .select(
+          st.getField("n_tokens").as("nt_n"), size(col("toks")).as("nt_h"),
+          st.getField("quality").as("q_n"), qualityScore(col("toks")).as("q_h"),
+          st.getField("pred_lang").as("l_n"), langId(col("text"), col("toks")).as("l_h"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert((r.isNullAt(0) && r.isNullAt(1)) || r.getInt(0) == r.getInt(1), s"n: $r")
+        assert((r.isNullAt(2) && r.isNullAt(3)) || r.getDouble(2) == r.getDouble(3), s"q: $r")
+        assert(r.getString(4) == r.getString(5), s"lang: $r")
+      }
+    }
+    check(graft.Tables.documents(spark, "/root/testdata/sf0.001"))
+    import spark.implicits._
+    check(Seq(null, "", "   ", "the the the", "der und ist", "x 中 y",
+      "le la les", "el y es", "one").toDF("text"))
+  }
+
   test("graft_shingles edge cases: null, empty, short, messy whitespace, dups") {
     TextExpressions.register(spark)
     val rows = spark.sql("""
