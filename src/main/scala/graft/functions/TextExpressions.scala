@@ -62,11 +62,9 @@ object TextKernels extends Serializable {
     new GenericArrayData(out)
   }
 
-  def shingleSet(text: UTF8String): ArrayData = {
-    if (text == null) return new GenericArrayData(Array.empty[Any])
+  private def distinctShingles(text: UTF8String): java.util.LinkedHashSet[String] = {
     val toks = splitTokens(text)
     val n = toks.length
-    if (n < 3) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](math.max(8, (n - 2) * 2))
     var i = 0
     while (i <= n - 3) {
@@ -76,10 +74,36 @@ object TextKernels extends Serializable {
       seen.add(sb.toString)
       i += 1
     }
+    seen
+  }
+
+  def shingleSet(text: UTF8String): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val seen = distinctShingles(text)
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
-    i = 0
+    var i = 0
     while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** array<struct<shingle, n>> where n = the doc's DISTINCT shingle
+    * count stamped on every element. The count rides the GENERATOR
+    * OUTPUT through an explode — unlike a computed column projected
+    * across a Generate, which Spark re-evaluates per generated row
+    * (measured 19-22s on t06; PLANS.md). */
+  def shingleSetWithCount(text: UTF8String): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val seen = distinctShingles(text)
+    val n = seen.size
+    val out = new Array[Any](n)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(it.next()), n))
+      i += 1
+    }
     new GenericArrayData(out)
   }
 }
@@ -180,6 +204,40 @@ case class ShingleSet(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_shingles_n(text)` — [[ShingleSet]] with the per-doc distinct
+  * count stamped on each element, for consumers that need |shingles(doc)|
+  * AFTER an explode without a second corpus pass (t06's jaccard
+  * denominator). Never null. */
+case class ShingleSetWithCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("shingle", StringType), StructField("n", IntegerType))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_shingles_n"
+
+  override def eval(input: InternalRow): Any =
+    TextKernels.shingleSetWithCount(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val kernel = ctx.addReferenceObj("textKernels", TextKernels,
+      TextKernels.getClass.getName)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $kernel.shingleSetWithCount(${c.isNull} ? null : ${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_tokens(text)` — the non-empty whitespace tokens of
   * trim+lower text as a single native expression. Null-intercepting like
   * the HOF chain it replaces (`filter(split(lower(trim(c)), '\\s+'),
@@ -249,6 +307,7 @@ object TextExpressions {
   val shinglesInfo = new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingles")
   val tokensInfo = new ExpressionInfo(classOf[TokenArray].getName, "graft_tokens")
   val statsInfo = new ExpressionInfo(classOf[TextStats].getName, "graft_textstats")
+  val shinglesNInfo = new ExpressionInfo(classOf[ShingleSetWithCount].getName, "graft_shingles_n")
 
   /** Idempotently register the text kernels (same pattern as
     * [[VectorExpressions.register]]). */
@@ -262,5 +321,8 @@ object TextExpressions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_textstats"), statsInfo,
       (exprs: Seq[Expression]) => TextStats(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_shingles_n"), shinglesNInfo,
+      (exprs: Seq[Expression]) => ShingleSetWithCount(exprs.head))
   }
 }

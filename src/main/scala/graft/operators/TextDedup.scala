@@ -209,25 +209,26 @@ object TextDedup {
   val t06 = QueryDef(
     "t06_jaccard_pairs",
     (s, d) => {
-      // The index has three consumers (sz + both self-join sides), but
-      // materializing it is a wash — re-measured round 4 UNDER the
-      // Lifecycle-clean harness: recompute 1.37-1.62s vs cache()+defer
-      // 1.46-1.66s vs localCheckpoint 1.40-1.51s at sf0.1 (all within
-      // run-to-run noise; ReuseExchange already dedups the self-join
-      // sides). Attaching the per-doc count before the explode to skip
-      // the sz pass entirely measured 22s — the carried array is
-      // re-evaluated per generated row. Keep the declarative form.
-      val sh = shingleIndex(s, d)
-      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
-      val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
-      // The index is distinct per doc, so the join-group count IS the
-      // intersection size — no second pass over the shingle sets needed.
-      val inter = a.join(b, a("shingle") === b("shingle") && col("doc1") < col("doc2"))
-        .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("inter"))
-      inter
-        .join(sz.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
-        .join(sz.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
+      graft.functions.TextExpressions.register(s)
+      // ONE corpus pass: graft_shingles_n stamps the per-doc distinct
+      // count on every generator element, so the jaccard denominator
+      // needs no separate sz aggregate over a recomputed index (the
+      // previous shape; 1.30s -> 0.98s at sf0.1). The count must ride
+      // the GENERATOR OUTPUT: a computed column projected across the
+      // explode is re-evaluated per generated row (19-22s, PLANS.md).
+      // ReuseExchange dedups the self-join sides, so the kernel runs
+      // once per document total; the join-group count IS the
+      // intersection size because the index is distinct per doc.
+      val sh = docs(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(call_function("graft_shingles_n", col("text"))).as("sh"))
+        .select(col("doc_id"), col("sh.shingle").as("shingle"), col("sh.n").as("n"))
+      val a = sh.select(col("doc_id").as("doc1"), col("n").as("n1"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc2"), col("n").as("n2"), col("shingle"))
+      a.join(b, a("shingle") === b("shingle") && col("doc1") < col("doc2"))
+        .groupBy(col("doc1"), col("doc2"))
+        .agg(count(lit(1)).as("inter"), min(col("n1")).as("n1"), min(col("n2")).as("n2"))
         .withColumn("jaccard", col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter")))
         .filter(col("jaccard") >= JaccardThreshold)
         .select(col("doc1"), col("doc2"), col("jaccard"))

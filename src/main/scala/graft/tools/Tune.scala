@@ -82,6 +82,24 @@ object Tune {
         .orderBy(col("doc1"), col("doc2"))
     }
 
+    timeMin("t06_single_pass_n") {
+      graft.functions.TextExpressions.register(spark)
+      val sh = Tables.documents(spark, d)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(call_function("graft_shingles_n", col("text"))).as("sh"))
+        .select(col("doc_id"), col("sh.shingle").as("shingle"), col("sh.n").as("n"))
+      val a = sh.select(col("doc_id").as("doc1"), col("n").as("n1"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc2"), col("n").as("n2"), col("shingle"))
+      a.join(b, a("shingle") === b("shingle") && col("doc1") < col("doc2"))
+        .groupBy(col("doc1"), col("doc2"))
+        .agg(count(lit(1)).as("inter"), min(col("n1")).as("n1"), min(col("n2")).as("n2"))
+        .withColumn("jaccard", col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("doc1"), col("doc2"), col("jaccard"))
+        .orderBy(col("doc1"), col("doc2"))
+    }
+
     timeMin("t06_native_shingles") {
       graft.functions.TextExpressions.register(spark)
       val sh = Tables.documents(spark, d)

@@ -71,6 +71,22 @@ class TextExpressionsSpec extends SparkSpec {
       "le la les", "el y es", "one").toDF("text"))
   }
 
+  test("graft_shingles_n carries the exact distinct count per element") {
+    TextExpressions.register(spark)
+    val rows = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        call_function("graft_shingles", col("text")).as("plain"),
+        call_function("graft_shingles_n", col("text")).as("withN"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val plain = r.getSeq[String](1)
+      val withN = r.getSeq[org.apache.spark.sql.Row](2)
+      assert(withN.map(_.getString(0)) == plain, s"doc ${r.getLong(0)}")
+      assert(withN.forall(_.getInt(1) == plain.size), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("graft_shingles edge cases: null, empty, short, messy whitespace, dups") {
     TextExpressions.register(spark)
     val rows = spark.sql("""
