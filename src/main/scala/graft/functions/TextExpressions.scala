@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass kernel for the tokenize -> 3-shingle -> distinct pipeline.
@@ -62,6 +62,9 @@ object TextKernels extends Serializable {
     new GenericArrayData(out)
   }
 
+  private[functions] def distinctShinglesOf(text: UTF8String): java.util.LinkedHashSet[String] =
+    distinctShingles(text)
+
   private def distinctShingles(text: UTF8String): java.util.LinkedHashSet[String] = {
     val toks = splitTokens(text)
     val n = toks.length
@@ -105,6 +108,80 @@ object TextKernels extends Serializable {
       i += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+/** Per-document signature kernels: MinHash band hashes and the 60-bit
+  * SimHash, each a pure function of the text — so signatures need NO
+  * explode + wide-aggregate shuffle (the 64-min / 60-vote group-bys they
+  * replace). Hash parity:
+  *  - MinHash uses the same `XXH64` statics Spark's `xxhash64` calls
+  *    with the same seed/fold order (`hashUTF8String(shingle, 42)`;
+  *    per-permutation `hashLong(h, hashInt(j, 42))` = `xxhash64(j, h)`;
+  *    band `hashLong(mh1, hashLong(mh0, 42))` = `xxhash64(mh0, mh1)`),
+  *    and min is the signed Long min like the `min` aggregate — pinned
+  *    equal to the aggregate formulation in TextExpressionsSpec;
+  *  - SimHash parses the first 15 md5 hex chars exactly like
+  *    `conv(substr(md5(x),1,15),16,10)` (and the DuckDB oracle's
+  *    `('0x'||substr(md5,1,15))::BIGINT`).
+  * Documents with no shingles return null (they were absent from the
+  * exploded index, so they must not join). */
+object SignatureKernels extends Serializable {
+  private val Seed = 42L
+  private val NumHashes = 64
+  private val BandRows = 2
+
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  def minhashBands(text: UTF8String): ArrayData = {
+    if (text == null) return null
+    val shingles = TextKernels.distinctShinglesOf(text)
+    if (shingles.isEmpty) return null
+    val permSeeds = new Array[Long](NumHashes)
+    var j = 0
+    while (j < NumHashes) { permSeeds(j) = XXH64.hashInt(j, Seed); j += 1 }
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    val it = shingles.iterator()
+    while (it.hasNext) {
+      val h = XXH64.hashUTF8String(UTF8String.fromString(it.next()), Seed)
+      j = 0
+      while (j < NumHashes) {
+        val hj = XXH64.hashLong(h, permSeeds(j))
+        if (hj < mins(j)) mins(j) = hj
+        j += 1
+      }
+    }
+    val bands = new Array[Any](NumHashes / BandRows)
+    var b = 0
+    while (b < NumHashes / BandRows) {
+      bands(b) = XXH64.hashLong(mins(2 * b + 1), XXH64.hashLong(mins(2 * b), Seed))
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  def simhash60(text: UTF8String): Any = {
+    if (text == null) return null
+    val shingles = TextKernels.distinctShinglesOf(text)
+    if (shingles.isEmpty) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](60)
+    val it = shingles.iterator()
+    while (it.hasNext) {
+      val digest = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.reset()
+      // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
+      var h = 0L
+      var i = 0
+      while (i < 7) { h = (h << 8) | (digest(i) & 0xffL); i += 1 }
+      h = (h << 4) | ((digest(7) & 0xf0L) >> 4)
+      i = 0
+      while (i < 60) { if (((h >> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1; i += 1 }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 60) { if (votes(i) > 0) sig |= (1L << i); i += 1 }
+    java.lang.Long.valueOf(sig)
   }
 }
 
@@ -303,11 +380,73 @@ case class TextStats(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_minhash_bands(text)` — the 32 MinHash LSH band hashes of a
+  * document as array<long>; null when the document has no shingles (it
+  * was absent from the exploded index, so it must not band-join). */
+case class MinHashBands(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_bands"
+
+  override def eval(input: InternalRow): Any =
+    SignatureKernels.minhashBands(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val kernel = ctx.addReferenceObj("sigKernels", SignatureKernels,
+      SignatureKernels.getClass.getName)
+    val v = ctx.freshName("bands")
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData $v =
+        $kernel.minhashBands(${c.isNull} ? null : ${c.value});
+      boolean ${ev.isNull} = $v == null;
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = $v;
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_simhash60(text)` — the document's 60-bit SimHash signature;
+  * null when the document has no shingles. */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash60"
+
+  override def eval(input: InternalRow): Any =
+    SignatureKernels.simhash60(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val kernel = ctx.addReferenceObj("sigKernels", SignatureKernels,
+      SignatureKernels.getClass.getName)
+    val v = ctx.freshName("sig")
+    ev.copy(code = code"""
+      ${c.code}
+      java.lang.Long $v = (java.lang.Long) $kernel.simhash60(${c.isNull} ? null : ${c.value});
+      boolean ${ev.isNull} = $v == null;
+      long ${ev.value} = ${ev.isNull} ? -1L : $v.longValue();
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   val shinglesInfo = new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingles")
   val tokensInfo = new ExpressionInfo(classOf[TokenArray].getName, "graft_tokens")
   val statsInfo = new ExpressionInfo(classOf[TextStats].getName, "graft_textstats")
   val shinglesNInfo = new ExpressionInfo(classOf[ShingleSetWithCount].getName, "graft_shingles_n")
+  val minhashInfo = new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands")
+  val simhashInfo = new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60")
 
   /** Idempotently register the text kernels (same pattern as
     * [[VectorExpressions.register]]). */
@@ -324,5 +463,11 @@ object TextExpressions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_shingles_n"), shinglesNInfo,
       (exprs: Seq[Expression]) => ShingleSetWithCount(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_minhash_bands"), minhashInfo,
+      (exprs: Seq[Expression]) => MinHashBands(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_simhash60"), simhashInfo,
+      (exprs: Seq[Expression]) => SimHash60(exprs.head))
   }
 }

@@ -265,20 +265,22 @@ object TextDedup {
   }
 
   /** MinHash + LSH banding near-dup pairs, exact-verified. The scale path:
-    * candidate generation shuffles O(docs x bands) rows, never all pairs. */
+    * candidate generation shuffles O(docs x bands) rows, never all pairs.
+    * Signatures come from the per-row [[graft.functions.MinHashBands]]
+    * kernel (same XXH64 statics/seed/fold order as the xxhash64
+    * aggregate formulation it replaces — equality pinned in
+    * TextExpressionsSpec), so there is no 64-column min-aggregate
+    * shuffle: the only exchanges left are the band self-join (deduped by
+    * ReuseExchange) and the verify joins. */
   val t07 = QueryDef(
     "t07_minhash_lsh",
     (s, d) => {
-      val sig = minHashSignature(s, d)
-      val bandCols = (0 until NumHashes / BandRows).map { b =>
-        xxhash64((b * BandRows until (b + 1) * BandRows).map(j => col(s"mh$j")): _*)
-      }
-      val bands = sig.select(col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
-        // both self-join branches consume the bands: without the cache the
-        // whole 64-min-aggregate signature pipeline runs twice
-        .cache()
-      graft.Lifecycle.defer(bands.unpersist())
+      graft.functions.TextExpressions.register(s)
+      val bands = docs(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          posexplode(call_function("graft_minhash_bands", col("text")))
+            .as(Seq("band_idx", "band_hash")))
       val x = bands.select(col("doc_id").as("doc1"), col("band_idx"), col("band_hash"))
       val y = bands.select(col("doc_id").as("doc2"), col("band_idx").as("bi2"), col("band_hash").as("bh2"))
       val cand = x.join(y,
@@ -295,7 +297,7 @@ object TextDedup {
     * not 16: a full 64-bit value can exceed Long.MaxValue and the ANSI
     * cast of conv's decimal string would throw. */
   private val SimHashBits = 60
-  private def shingleHash60(c: Column): Column =
+  private[graft] def shingleHash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** SimHash near-dup pairs: 60-bit signature per doc (sign of the
@@ -309,16 +311,14 @@ object TextDedup {
   val t08 = QueryDef(
     "t08_simhash_pairs",
     (s, d) => {
-      val sh = shingleIndex(s, d).withColumn("h", shingleHash60(col("shingle")))
-      val bitVotes = (0 until SimHashBits).map { i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$i")
-      }
-      val sig = sh.groupBy(col("doc_id"))
-        .agg(bitVotes.head, bitVotes.tail: _*)
+      graft.functions.TextExpressions.register(s)
+      // per-row signature kernel: no explode + 60-vote aggregate shuffle;
+      // bit-parity with the aggregate formulation pinned in the spec
+      val sig = docs(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
-          (0 until SimHashBits).map(i =>
-            when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-            .reduce(_.bitwiseOR(_)).as("sig"))
+          call_function("graft_simhash60", col("text")).as("sig"))
+        .filter(col("sig").isNotNull)
       val chunks = sig.select(col("doc_id"), col("sig"),
         posexplode(array((0 until 4).map(c =>
           shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -87,6 +87,48 @@ class TextExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("minhash band kernel equals the xxhash64 aggregate formulation") {
+    TextExpressions.register(spark)
+    val d = "/root/testdata/sf0.001"
+    // aggregate formulation: 64 min-aggregates over per-permutation
+    // rehashes, banded pairwise — the shape t07 used before the kernel
+    val sig = graft.operators.TextDedup.minHashSignature(spark, d)
+    val bandCols = (0 until 32).map { b =>
+      xxhash64((b * 2 until (b + 1) * 2).map(j => col(s"mh$j")): _*)
+    }
+    val agg = sig.select(col("doc_id"), array(bandCols: _*).as("bands")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val kernel = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), call_function("graft_minhash_bands", col("text")).as("bands"))
+      .filter(col("bands").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(kernel.keySet == agg.keySet && kernel.nonEmpty)
+    kernel.foreach { case (id, bands) => assert(bands == agg(id), s"doc $id") }
+  }
+
+  test("simhash kernel equals the vote-aggregate formulation") {
+    TextExpressions.register(spark)
+    val d = "/root/testdata/sf0.001"
+    val sh = graft.operators.TextDedup.shingleIndex(spark, d)
+      .withColumn("h", graft.operators.TextDedup.shingleHash60(col("shingle")))
+    val bitVotes = (0 until 60).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$i")
+    }
+    val agg = sh.groupBy(col("doc_id"))
+      .agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(i =>
+          when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernel = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), call_function("graft_simhash60", col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel.keySet == agg.keySet && kernel.nonEmpty)
+    kernel.foreach { case (id, s) => assert(s == agg(id), s"doc $id") }
+  }
+
   test("graft_shingles edge cases: null, empty, short, messy whitespace, dups") {
     TextExpressions.register(spark)
     val rows = spark.sql("""
