@@ -222,6 +222,41 @@ object Corpus {
             |             '$PhoneRe', '<PHONE>', 'g')) AS scrub_fp
             |FROM documents ORDER BY doc_id""".stripMargin))
 
+  // ---------------------------------------------- t19: split leakage audit
+
+  /** DuckDB mirror of [[splitCol]] (shared by t12 and t19). */
+  private val SplitCaseSql =
+    """CASE WHEN substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+      |     WHEN substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+      |     ELSE 'test' END""".stripMargin
+
+  /** Split-leakage audit — near-duplicate pairs that STRADDLE the
+    * train/val/test split: a near-dup of a training document sitting in
+    * the test set silently inflates eval scores, so every training
+    * pipeline runs exactly this composition (near-dup pairs x split
+    * assignment) before shipping a split. Pairs come from the LSH scale
+    * path (t07); the split side is a pure per-row hash, joined on doc
+    * id (the pair side is tiny relative to the corpus at any scale). */
+  val t19 = QueryDef(
+    "t19_split_leakage",
+    (s, d) => {
+      val pairs = TextDedup.t07.fn(s, d)
+        .select(col("doc1"), col("doc2"), col("jaccard"))
+      val splits = docs(s, d).select(col("doc_id"), splitCol.as("split"))
+      pairs
+        .join(splits.select(col("doc_id").as("doc1"), col("split").as("split1")), "doc1")
+        .join(splits.select(col("doc_id").as("doc2"), col("split").as("split2")), "doc2")
+        .filter(col("split1") =!= col("split2"))
+        .select(col("doc1"), col("doc2"), col("jaccard"), col("split1"), col("split2"))
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    Some(s"""WITH jp AS (${TextDedup.JaccardPairsSql}),
+       |sp AS (SELECT doc_id, $SplitCaseSql AS split FROM documents)
+       |SELECT doc1, doc2, jaccard, s1.split AS split1, s2.split AS split2
+       |FROM jp JOIN sp s1 ON s1.doc_id = doc1 JOIN sp s2 ON s2.doc_id = doc2
+       |WHERE s1.split <> s2.split
+       |ORDER BY doc1, doc2""".stripMargin))
+
   // ---------------------------------------------- t17: per-source quota
 
   /** Per-source quota sampling — the domain-mixing downsampler: every
@@ -285,5 +320,5 @@ object Corpus {
       |  FROM tok)
       |ORDER BY doc_id""".stripMargin))
 
-  val catalog: Seq[QueryDef] = Seq(t11, t12, t13, t14, t17, t18)
+  val catalog: Seq[QueryDef] = Seq(t11, t12, t13, t14, t17, t18, t19)
 }

@@ -48,7 +48,7 @@ object TextDedup {
     * inverted-index query t06 and the MinHash+LSH query t07 — the LSH
     * banding parameters are chosen so recall at the 0.6 threshold is
     * exhaustive; see minHashBands). */
-  private val JaccardPairsSql =
+  private[operators] val JaccardPairsSql =
     ShingleCte + s""",
       |pairs AS (
       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
