@@ -106,6 +106,15 @@ class OperatorsSpec extends SparkSpec {
     assert(n1 > 100 && a2.count() == 100)
   }
 
+  test("signature kernels keep t07/t08 at ONE hash exchange (the band/chunk join)") {
+    def hx(df: org.apache.spark.sql.DataFrame): Int =
+      "hashpartitioning".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    // the per-row kernels replaced the 64-min / 60-vote aggregates; a
+    // second hashpartitioning here means the aggregate shuffle came back
+    assert(hx(TextDedup.t07.fn(spark, sf)) == 1)
+    assert(hx(TextDedup.t08.fn(spark, sf)) == 1)
+  }
+
   test("decontamination broadcasts the benchmark shingle side") {
     val plan = TextDedup.t15.fn(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
