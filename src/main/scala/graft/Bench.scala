@@ -49,8 +49,14 @@ object Bench {
       Lifecycle.release(spark)
       dt
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = timeOnce(name, fn)
+    // Two COMPLETE catalog passes, min per query across passes — not two
+    // back-to-back runs per query: a transient load spike on the shared
+    // container then poisons at most one of a query's two samples instead
+    // of both (BENCH_r04 recorded q09 at 3.05s this way; re-run quiet it
+    // is 0.34s), so the min stays the engine's cost.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passA = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }
+    val results = ordered.zip(passA).map { case ((name, fn), (_, a)) =>
       val b = if (a < 0) a else math.min(a, timeOnce(name, fn))
       name -> b
     }

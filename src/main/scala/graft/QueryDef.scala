@@ -16,8 +16,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - column names identical between Spark and oracle;
   *  - double aggregates use the [[graft.functions.Exact]] decimal-sum
   *    pattern so aggregation order cannot perturb values.
+  *
+  * Most oracles are static SQL. An oracle that must reference run-time
+  * state — s04's, which reads the corpus-fingerprinted IVF index dir the
+  * query run itself published — supplies [[QueryDef.oracleLate]] instead:
+  * Verify evaluates it with the sfDir it just ran, AFTER the queries
+  * (so the referenced state exists).
   */
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    oracleLate: Option[String => String] = None)

@@ -29,4 +29,13 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     catalogs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** [[oracleSql]] plus the late-bound oracles that need the sfDir of the
+    * run being verified (see [[QueryDef.oracleLate]]). A late oracle that
+    * throws is dropped — its query falls back to the rows-only check
+    * rather than failing the dump. */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    oracleSql ++ catalogs.flatMap(q =>
+      q.oracleLate.flatMap(f =>
+        scala.util.Try(f(sfDir)).toOption.map(q.name -> _)))
 }

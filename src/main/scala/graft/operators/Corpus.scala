@@ -90,7 +90,14 @@ object Corpus {
   val t11 = QueryDef(
     "t11_dup_clusters",
     (s, d) => {
-      val pairs = TextDedup.t06.fn(s, d).select(col("doc1"), col("doc2"))
+      // Edges from the MinHash+LSH path (t07), not the exact inverted
+      // index (t06): the pair sets are identical (t07 exactly verifies
+      // its candidates; equality with t06 is pinned in OperatorsSpec and
+      // re-proven at 5k/20k/60k docs in ScaleSmoke), and the LSH edge
+      // generation is both the cheaper plan here and the only one that
+      // survives 100 TB — exactly the producer a production CC stage
+      // would consume. The oracle still recomputes edges exactly.
+      val pairs = TextDedup.t07.fn(s, d).select(col("doc1"), col("doc2"))
       val und = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
         .unionByName(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
       connectedComponents(und)

@@ -133,5 +133,49 @@ object Multimodal {
       |GROUP BY b.id, b.modality, b.n_bytes
       |ORDER BY id""".stripMargin))
 
-  val catalog: Seq[QueryDef] = Seq(mm01)
+  /** Gate entry: the decode -> frame-sample -> RESIZE path end-to-end,
+    * one row per (media id, resized cell). Exercises [[resizeStub]]'s
+    * average-pooling (the shape of a real image resize kernel) through
+    * the same typed mapPartitions batch pipeline as mm01, against an
+    * oracle that recomputes the pooling independently in SQL: cell i
+    * pools sample indices [i*len/n, (i+1)*len/n) (integer bounds), level
+    * = integer-division mean — both engines derive the bytes from
+    * hex(encode(text)). Payloads still never cross a shuffle: the flatMap
+    * emits only (id, cell, level) triples. */
+  val mm02 = QueryDef(
+    "mm02_multimodal_resize",
+    (s, d) => {
+      import s.implicits._
+      val media = mediaFromDocuments(
+          Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
+        .as[MediaRow]
+      media.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val resized = resizeStub(frameSampleStub(decodeStub(r.payload), stride = 2), target = 8)
+          resized.iterator.zipWithIndex.map { case (lvl, i) => (r.id, i, lvl) }
+        }
+      }.toDF("id", "cell", "level")
+        .orderBy(col("id"), col("cell"))
+    },
+    Some("""WITH b AS (
+      |  SELECT doc_id AS id, hex(encode(text)) AS h,
+      |         (octet_length(encode(text)) + 1) // 2 AS len
+      |  FROM documents
+      |), samp AS (
+      |  SELECT id, CAST(i AS BIGINT) AS k,
+      |         CAST(('0x' || substr(h, CAST(i * 4 + 1 AS INTEGER), 2)) AS INTEGER) AS s
+      |  FROM (SELECT id, h, unnest(range(len)) AS i FROM b)
+      |), cells AS (
+      |  SELECT id, len, CASE WHEN len < 8 THEN len ELSE 8 END AS n,
+      |         unnest(range(CASE WHEN len < 8 THEN len ELSE 8 END)) AS cell
+      |  FROM b
+      |)
+      |SELECT c.id AS id, CAST(c.cell AS INTEGER) AS cell,
+      |       CAST(CAST(SUM(s.s) AS BIGINT) // COUNT(*) AS INTEGER) AS level
+      |FROM cells c JOIN samp s ON s.id = c.id
+      |  AND s.k >= (c.cell * c.len) // c.n AND s.k < ((c.cell + 1) * c.len) // c.n
+      |GROUP BY c.id, c.cell
+      |ORDER BY c.id, cell""".stripMargin))
+
+  val catalog: Seq[QueryDef] = Seq(mm01, mm02)
 }

@@ -230,11 +230,27 @@ object Similarity {
     Array.fill(tables * perTable, Dim)(rnd.nextGaussian())
   }
 
+  /** DuckDB mirror of a fixed-seed plane family: one VALUES row per
+    * plane as (table_idx, bucket_bit, coefficients). `%.17e` prints 17
+    * significant digits (round-trips any double exactly) and the
+    * exponent notation forces DuckDB to parse the literals as DOUBLE
+    * rather than DECIMAL — a plain 17-digit decimal literal would be
+    * quantized and the recomputed hyperplane signs could flip. */
+  private def planeValuesSql(ps: Array[Array[Double]], perTable: Int): String =
+    ps.zipWithIndex.map { case (p, i) =>
+      val lits = p.map(x => f"$x%.17e").mkString("[", ", ", "]")
+      s"(${i / perTable}, ${1 << (i % perTable)}, $lits)"
+    }.mkString(", ")
+
   /** LSH-bucketed ANN: candidates share a (table, bucket) with the query;
     * top-3 by exact cosine within the candidate union. Approximate by
-    * construction (recall floor pinned in the test suite) => rows-only
-    * check. Scale: candidate generation is a hash join on (table, bucket)
-    * — shuffle O(N x T), never O(N^2). */
+    * construction — but DETERMINISTIC: the planes are fixed-seed
+    * constants, so the oracle embeds them as literals and recomputes the
+    * identical buckets/candidates/cosines in DuckDB (same sequential-fold
+    * dot ⇒ bit-identical signs ⇒ the same approximate result on both
+    * engines, exactly hash-checkable — approximation is not
+    * nondeterminism). Scale: candidate generation is a hash join on
+    * (table, bucket) — shuffle O(N x T), never O(N^2). */
   val s03 = QueryDef(
     "s03_ann_lsh",
     (s, d) => {
@@ -262,7 +278,30 @@ object Similarity {
         .filter(col("rank") <= 3)
         .orderBy(col("query_id"), col("rank"))
     },
-    None)
+    Some(s"""WITH e AS (
+      |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+      |  FROM embeddings),
+      |planes(tbl, bit, p) AS (VALUES ${planeValuesSql(planes, PlanesPerTable)}),
+      |bk AS (
+      |  SELECT e.vec_id, pl.tbl,
+      |         SUM(CASE WHEN ${duckDot("e.embedding", "pl.p")} > 0 THEN pl.bit ELSE 0 END) AS bucket
+      |  FROM e CROSS JOIN planes pl GROUP BY e.vec_id, pl.tbl),
+      |eb AS (
+      |  SELECT e.vec_id, e.embedding, e.nrm, bk.tbl, bk.bucket
+      |  FROM e JOIN bk ON e.vec_id = bk.vec_id),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN NULL
+      |              ELSE ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) END AS cos
+      |  FROM eb q JOIN eb c
+      |    ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < $NumQueries)
+      |SELECT query_id, neighbor_id, cos, rank FROM (
+      |  SELECT query_id, neighbor_id, cos,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id
+      |           ORDER BY cos DESC NULLS LAST, neighbor_id) AS rank
+      |  FROM cand)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
 
   /** IVF coarse-quantizer index, built ONCE per corpus and persisted to
     * parquet — how a production deployment amortizes the expensive
@@ -374,7 +413,43 @@ object Similarity {
         .filter(col("rank") <= 3)
         .orderBy(col("query_id"), col("rank"))
     },
-    None)
+    None,
+    // Late-bound oracle: the KMeans fit is index-BUILD state (a scheduled
+    // job at production scale — not SQL-expressible, and not part of the
+    // probe under test), so the oracle reads the published
+    // corpus-fingerprinted index and independently re-executes the whole
+    // PROBE: centroid ranking by the same sequential-fold dot, nprobe
+    // cell cut, inverted-file join, exact cosine, top-3. Late because the
+    // index path embeds the corpus fingerprint of the sfDir under verify;
+    // Verify interpolates it after the query run has published the index.
+    oracleLate = Some { sfDir =>
+      val dir = IvfIndex.indexDirFor(sfDir)
+      s"""WITH cen AS (SELECT cell, center FROM read_parquet('$dir/centroids/*.parquet')),
+         |a AS (SELECT vec_id, embedding, nrm, cell
+         |      FROM read_parquet('$dir/assigned/*.parquet')),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+         |      FROM a WHERE vec_id < $NumQueries),
+         |probed AS (
+         |  SELECT query_id, qe, qn, cell FROM (
+         |    SELECT q.query_id, q.qe, q.qn, cen.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${duckDot("q.qe", "cen.center")} DESC NULLS LAST,
+         |                      cen.cell) AS crank
+         |    FROM q CROSS JOIN cen)
+         |  WHERE crank <= 4),
+         |cand AS (
+         |  SELECT probed.query_id, c.vec_id AS neighbor_id,
+         |         CASE WHEN probed.qn = 0 OR c.nrm = 0 THEN NULL
+         |              ELSE ${duckDot("probed.qe", "c.embedding")} / (probed.qn * c.nrm) END AS cos
+         |  FROM probed JOIN a c
+         |    ON probed.cell = c.cell AND probed.query_id <> c.vec_id)
+         |SELECT query_id, neighbor_id, cos, rank FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC NULLS LAST, neighbor_id) AS rank
+         |  FROM cand)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    })
 
   val catalog: Seq[QueryDef] = Seq(s01, s02, s03, s04)
 }

@@ -23,9 +23,10 @@ class OperatorsSpec extends SparkSpec {
   test("query and oracle column names agree (driver hashes sorted-by-name)") {
     SparkEntry.catalogs.foreach { q =>
       val cols = q.fn(spark, sf).columns.toSet
-      q.oracle.foreach { sql =>
+      (q.oracle.toSeq ++ q.oracleLate.map(_(sf))).foreach { sql =>
         // cheap structural check: every output column name must appear
-        // verbatim in the oracle SQL text
+        // verbatim in the oracle SQL text (late oracles checked against
+        // the SQL they generate for this sfDir)
         cols.foreach(c => assert(sql.contains(c), s"${q.name}: '$c' not in oracle SQL"))
       }
     }
