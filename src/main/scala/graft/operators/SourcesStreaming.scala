@@ -98,13 +98,20 @@ object SourcesStreaming {
         .parquet(d)
         .groupBy(fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
-      val q = agg.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(OutputMode.Complete)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // per-partition state-store commit overhead dominates a bounded
+      // drain (see EventsStream.hourlyAgg): scope the stream to 4 stores,
+      // restore for the batch read of the sink
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = agg.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       // the memory sink pins every batch's result in driver memory via the
       // temp view — drop it once the harness has consumed the frame
       graft.Lifecycle.defer { s.catalog.dropTempView(name); () }

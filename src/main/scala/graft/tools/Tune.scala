@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.{Lifecycle, Tables}
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev-only A/B harness for plan variants, timed the way Bench times
@@ -134,6 +134,68 @@ object Tune {
       c.join(ok, c("c_custkey") === ok("o_custkey"), "left")
         .select(col("c_custkey"), col("o_custkey").isNotNull.as("has_orders"))
         .orderBy(col("c_custkey"))
+    }
+
+    // --------------------------------- streaming state-store count (r5)
+    // A stateful streaming agg creates/commits ONE state store per
+    // shuffle partition per micro-batch; at drain scale the 32 stores
+    // may be pure overhead. Production would size this to state volume.
+    def withParts(n: Int)(f: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      graft.Lifecycle.defer(spark.conf.set("spark.sql.shuffle.partitions", "32"))
+      f
+    }
+    timeMin("st01_parts32")(graft.streaming.EventsStream.hourlyAgg(spark, d))
+    timeMin("st01_parts8")(withParts(8)(graft.streaming.EventsStream.hourlyAgg(spark, d)))
+    timeMin("st01_parts4")(withParts(4)(graft.streaming.EventsStream.hourlyAgg(spark, d)))
+    timeMin("st02_parts32")(graft.operators.SourcesStreaming.st02.fn(spark, d))
+    timeMin("st02_parts4")(withParts(4)(graft.operators.SourcesStreaming.st02.fn(spark, d)))
+
+    // --------------------------------- s03 bucket-frame reuse (r5)
+    timeMin("s03_current")(graft.operators.Similarity.s03.fn(spark, d))
+    timeMin("t11_current")(graft.operators.Corpus.t11.fn(spark, d))
+    timeMin("t06_edges_only")(graft.operators.TextDedup.t06.fn(spark, d))
+    timeMin("t07_edges_only")(graft.operators.TextDedup.t07.fn(spark, d))
+
+    // --------------------------------- t09 dedup-before-verify (r5)
+    // Current shape computes the exact cosine per TABLE-HIT (~8x per
+    // pair at T=32/P=2) because the hit rows already carry the vectors.
+    // Alternative: narrow (id1, id2) candidates -> distinct -> fetch
+    // vectors from a localCheckpointed ~1MB frame via BROADCAST joins
+    // (no re-scan, no shuffle), one dot per unique pair.
+    timeMin("t09_current")(graft.operators.Advanced.t09.fn(spark, d))
+    timeMin("t09_bcast_verify") {
+      graft.functions.VectorExpressions.register(spark)
+      def dt(a: Column, b: Column) = call_function("graft_dot", a, b)
+      val e = Tables.embeddings(spark, d)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .select(col("vec_id"), col("embedding"),
+          sqrt(dt(col("embedding"), col("embedding"))).as("nrm"))
+        .localCheckpoint()
+      val pl = graft.operators.Similarity.makePlanes(32, 2, 11)
+      def buckets(emb: Column) = array((0 until 32).map { t =>
+        (0 until 2).map { j =>
+          val p = array(pl(t * 2 + j).map(lit(_)): _*)
+          when(dt(emb, p) > 0, lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _)
+      }: _*)
+      val eb = e.select(col("vec_id"),
+        posexplode(buckets(col("embedding"))).as(Seq("tbl", "bucket")))
+      val a = eb.select(col("vec_id").as("id1"), col("tbl"), col("bucket"))
+      val b = eb.select(col("vec_id").as("id2"), col("tbl").as("t2"), col("bucket").as("b2"))
+      val cand = a.join(b, col("tbl") === col("t2") && col("bucket") === col("b2") &&
+          col("id1") < col("id2"))
+        .select(col("id1"), col("id2")).distinct()
+      val v1 = broadcast(e.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nrm").as("n1")))
+      val v2 = broadcast(e.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nrm").as("n2")))
+      cand.join(v1, "id1").join(v2, "id2")
+        .withColumn("cos", when(col("n1") === 0.0 || col("n2") === 0.0, lit(null))
+          .otherwise(dt(col("e1"), col("e2")) / (col("n1") * col("n2"))))
+        .filter(col("cos") >= 0.38)
+        .groupBy(col("id2").as("vec_id")).agg(min(col("id1")).as("keep_id"))
+        .orderBy(col("vec_id"))
     }
     spark.stop()
   }
