@@ -49,17 +49,21 @@ object Bench {
       Lifecycle.release(spark)
       dt
     }
-    // Two COMPLETE catalog passes, min per query across passes — not two
-    // back-to-back runs per query: a transient load spike on the shared
-    // container then poisons at most one of a query's two samples instead
-    // of both (BENCH_r04 recorded q09 at 3.05s this way; re-run quiet it
-    // is 0.34s), so the min stays the engine's cost.
+    // Three COMPLETE catalog passes, min per query across passes — not
+    // repeated back-to-back runs per query: a transient load spike on the
+    // shared container then poisons at most one of a query's samples
+    // instead of all of them (BENCH_r04 recorded q09 at 3.05s from two
+    // back-to-back samples inside one spike; re-run quiet it is 0.34s),
+    // so the min stays the engine's cost. A query that fails in pass A
+    // reports -1 and is not retried.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val passA = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }
-    val results = ordered.zip(passA).map { case ((name, fn), (_, a)) =>
-      val b = if (a < 0) a else math.min(a, timeOnce(name, fn))
-      name -> b
+    var best = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
+    (1 to 2).foreach { _ =>
+      ordered.foreach { case (name, fn) =>
+        if (best(name) >= 0) best += name -> math.min(best(name), timeOnce(name, fn))
+      }
     }
+    val results = ordered.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

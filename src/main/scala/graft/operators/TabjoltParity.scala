@@ -61,11 +61,17 @@ object TabjoltParity {
   val tj04 = QueryDef(
     "tj04_reference_daily_metric",
     (s, d) => {
-      val su = eventsAsSummary(s, d)
-      Seq("Avg", "Max", "Min").map { m =>
-        graft.tabjolt.Queries.dailyMetric(su, RunDate, m)
-          .withColumn("metric", lit(m))
-      }.reduce(_.unionByName(_)).orderBy(col("metric"))
+      // The reference makes three dailyMetric calls; unioning three
+      // per-metric frames here planned as a 3-branch Union each
+      // re-scanning + re-aggregating events. One pass with a metric tag
+      // is the same rows (dailyMetric's filter, IN over the tags) from a
+      // single scan/aggregate — the per-call form stays in
+      // tabjolt.Queries.dailyMetric for the pipeline's report path.
+      eventsAsSummary(s, d)
+        .filter(col("summary_timestamp").try_cast("date") === lit(java.sql.Date.valueOf(RunDate)) &&
+          col("summary_metrix").isin("Avg", "Max", "Min"))
+        .select(col("summary_value"), col("summary_metrix").as("metric"))
+        .orderBy(col("metric"))
     },
     Some(SummaryCte + """
       |SELECT summary_value, summary_metrix AS metric
