@@ -60,7 +60,12 @@ object Bench {
     var best = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
     (1 to 2).foreach { _ =>
       ordered.foreach { case (name, fn) =>
-        if (best(name) >= 0) best += name -> math.min(best(name), timeOnce(name, fn))
+        if (best(name) >= 0) {
+          // a transient failure in a later pass must not poison a valid
+          // earlier sample: keep the best non-negative time
+          val t = timeOnce(name, fn)
+          if (t >= 0) best += name -> math.min(best(name), t)
+        }
       }
     }
     val results = ordered.map { case (name, _) => name -> best(name) }

@@ -37,5 +37,12 @@ object SparkEntry {
   def oracleSqlFor(sfDir: String): Map[String, String] =
     oracleSql ++ catalogs.flatMap(q =>
       q.oracleLate.flatMap(f =>
-        scala.util.Try(f(sfDir)).toOption.map(q.name -> _)))
+        scala.util.Try(f(sfDir)) match {
+          case scala.util.Success(sql) => Some(q.name -> sql)
+          case scala.util.Failure(e) =>
+            // visible degradation: the query silently falls back to the
+            // driver's rows-only check without this line
+            System.err.println(s"[oracle] ${q.name}: late oracle dropped (${e.getMessage})")
+            None
+        }))
 }

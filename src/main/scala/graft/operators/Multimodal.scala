@@ -65,7 +65,10 @@ object Multimodal {
         val from = (i.toLong * samples.length / n).toInt
         val until = math.max(from + 1, ((i + 1).toLong * samples.length / n).toInt)
         val slice = samples.slice(from, until)
-        slice.sum / slice.length
+        // Long accumulator: an Int sum wraps once a cell pools ~8.4M
+        // max-level samples (a ~135MB payload) — the oracle's BIGINT SUM
+        // would then diverge. The mean itself always fits Int.
+        (slice.foldLeft(0L)(_ + _) / slice.length).toInt
       }
     }
   }

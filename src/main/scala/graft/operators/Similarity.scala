@@ -238,7 +238,10 @@ object Similarity {
     * quantized and the recomputed hyperplane signs could flip. */
   private def planeValuesSql(ps: Array[Array[Double]], perTable: Int): String =
     ps.zipWithIndex.map { case (p, i) =>
-      val lits = p.map(x => f"$x%.17e").mkString("[", ", ", "]")
+      // Locale.ROOT: a comma decimal separator (e.g. de_DE JVM) would
+      // split each list literal into extra elements
+      val lits = p.map(x => "%.17e".formatLocal(java.util.Locale.ROOT, x))
+        .mkString("[", ", ", "]")
       s"(${i / perTable}, ${1 << (i % perTable)}, $lits)"
     }.mkString(", ")
 

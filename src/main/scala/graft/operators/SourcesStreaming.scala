@@ -99,11 +99,9 @@ object SourcesStreaming {
         .groupBy(fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
       // per-partition state-store commit overhead dominates a bounded
-      // drain (see EventsStream.hourlyAgg): scope the stream to 4 stores,
-      // restore for the batch read of the sink
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      // drain: scope the stream to 4 stores (see
+      // EventsStream.withStatePartitions), restored for the sink read
+      graft.streaming.EventsStream.withStatePartitions(s, 4) {
         val q = agg.writeStream
           .format("memory")
           .queryName(name)
@@ -111,7 +109,7 @@ object SourcesStreaming {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
       // the memory sink pins every batch's result in driver memory via the
       // temp view — drop it once the harness has consumed the frame
       graft.Lifecycle.defer { s.catalog.dropTempView(name); () }

@@ -61,16 +61,13 @@ object TabjoltParity {
   val tj04 = QueryDef(
     "tj04_reference_daily_metric",
     (s, d) => {
-      // The reference makes three dailyMetric calls; unioning three
-      // per-metric frames here planned as a 3-branch Union each
-      // re-scanning + re-aggregating events. One pass with a metric tag
-      // is the same rows (dailyMetric's filter, IN over the tags) from a
-      // single scan/aggregate — the per-call form stays in
-      // tabjolt.Queries.dailyMetric for the pipeline's report path.
-      eventsAsSummary(s, d)
-        .filter(col("summary_timestamp").try_cast("date") === lit(java.sql.Date.valueOf(RunDate)) &&
-          col("summary_metrix").isin("Avg", "Max", "Min"))
-        .select(col("summary_value"), col("summary_metrix").as("metric"))
+      // The REAL report code (Queries.dailyMetrics), one summary pass
+      // for all three metric tags — unioning three per-metric frames
+      // planned as a 3-branch Union each re-scanning + re-aggregating
+      // events. dailyMetric (the per-scalar form the report path calls)
+      // delegates to the same code, so the gate covers both.
+      graft.tabjolt.Queries
+        .dailyMetrics(eventsAsSummary(s, d), RunDate, Seq("Avg", "Max", "Min"))
         .orderBy(col("metric"))
     },
     Some(SummaryCte + """

@@ -30,6 +30,17 @@ object EventsStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Scope `spark.sql.shuffle.partitions` to `body` (restored after) —
+    * for bounded streaming drains, where a stateful agg creates and
+    * commits ONE state store per shuffle partition per micro-batch (the
+    * store count is fixed at first plan, independent of data), so small
+    * state wants few stores. Shared by st01 (hourlyAgg) and st02. */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Streaming source over the events parquet, ts converted to a proper
     * timestamp (floor ns -> us, matching DuckDB's coercion). */
   def source(spark: SparkSession, sfDir: String): DataFrame = {
@@ -67,16 +78,11 @@ object EventsStream {
     val agg = source(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
-    // A stateful streaming agg creates and commits ONE state store per
-    // shuffle partition per micro-batch; the store count is fixed at
-    // first plan, independent of data. This query's state is O(hours x
-    // event_types) rows — 32 stores are pure commit overhead (measured
-    // 1.42s -> 0.94s at sf0.1 going 32 -> 4). `statePartitions` is the
-    // knob a production deployment sizes to its state volume; it scopes
-    // only the stream (restored before the batch read of the sink).
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
+    // This query's state is O(hours x event_types) rows — 32 stores are
+    // pure commit overhead (measured 1.42s -> 0.94s at sf0.1 going
+    // 32 -> 4). `statePartitions` is the knob a production deployment
+    // sizes to its state volume.
+    withStatePartitions(spark, statePartitions) {
       val q = agg.writeStream
         .format("memory")
         .queryName(name)
@@ -84,7 +90,7 @@ object EventsStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     // release the memory-sink view after the harness consumes the result
     graft.Lifecycle.defer { spark.catalog.dropTempView(name); () }
     spark.table(name)

@@ -139,17 +139,12 @@ object Tune {
     // --------------------------------- streaming state-store count (r5)
     // A stateful streaming agg creates/commits ONE state store per
     // shuffle partition per micro-batch; at drain scale the 32 stores
-    // may be pure overhead. Production would size this to state volume.
-    def withParts(n: Int)(f: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-      graft.Lifecycle.defer(spark.conf.set("spark.sql.shuffle.partitions", "32"))
-      f
-    }
-    timeMin("st01_parts32")(graft.streaming.EventsStream.hourlyAgg(spark, d))
-    timeMin("st01_parts8")(withParts(8)(graft.streaming.EventsStream.hourlyAgg(spark, d)))
-    timeMin("st01_parts4")(withParts(4)(graft.streaming.EventsStream.hourlyAgg(spark, d)))
-    timeMin("st02_parts32")(graft.operators.SourcesStreaming.st02.fn(spark, d))
-    timeMin("st02_parts4")(withParts(4)(graft.operators.SourcesStreaming.st02.fn(spark, d)))
+    // are pure overhead. Production sizes this to state volume — the
+    // knob is hourlyAgg's statePartitions parameter (st02 pins 4).
+    timeMin("st01_parts32")(graft.streaming.EventsStream.hourlyAgg(spark, d, statePartitions = 32))
+    timeMin("st01_parts8")(graft.streaming.EventsStream.hourlyAgg(spark, d, statePartitions = 8))
+    timeMin("st01_parts4")(graft.streaming.EventsStream.hourlyAgg(spark, d, statePartitions = 4))
+    timeMin("st02_current")(graft.operators.SourcesStreaming.st02.fn(spark, d))
 
     // --------------------------------- s03 bucket-frame reuse (r5)
     timeMin("s03_current")(graft.operators.Similarity.s03.fn(spark, d))
