@@ -180,5 +180,49 @@ object Multimodal {
       |GROUP BY c.id, c.cell
       |ORDER BY c.id, cell""".stripMargin))
 
-  val catalog: Seq[QueryDef] = Seq(mm01, mm02)
+  /** Gate entry: audio-style frame features — RMS level over consecutive
+    * 16-sample frames of the decoded stream (the windowed-frame shape of
+    * real audio feature extraction: MFCC/energy pipelines all reduce
+    * fixed-size frames). Full frames only, like a hop-size == frame-size
+    * analyzer. The integer sum of squares is exact in both engines
+    * (<= 2^53 by construction) and IEEE sqrt is correctly rounded, so
+    * the doubles hash-match. Same typed mapPartitions batch pipeline;
+    * only (id, frame, rms) triples cross the shuffle. */
+  val mm03 = QueryDef(
+    "mm03_multimodal_frame_rms",
+    (s, d) => {
+      import s.implicits._
+      val media = mediaFromDocuments(
+          Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
+        .as[MediaRow]
+      media.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val samples = frameSampleStub(decodeStub(r.payload), stride = 2)
+          (0 until samples.length / 16).iterator.map { f =>
+            var sq = 0L
+            var i = f * 16
+            while (i < f * 16 + 16) { sq += samples(i).toLong * samples(i); i += 1 }
+            (r.id, f, math.sqrt(sq.toDouble / 16.0))
+          }
+        }
+      }.toDF("id", "frame", "rms")
+        .orderBy(col("id"), col("frame"))
+    },
+    Some("""WITH b AS (
+      |  SELECT doc_id AS id, hex(encode(text)) AS h,
+      |         (octet_length(encode(text)) + 1) // 2 AS len
+      |  FROM documents
+      |), samp AS (
+      |  SELECT id, CAST(i AS BIGINT) AS k,
+      |         CAST(('0x' || substr(h, CAST(i * 4 + 1 AS INTEGER), 2)) AS INTEGER) AS s
+      |  FROM (SELECT id, h, unnest(range(len)) AS i FROM b)
+      |)
+      |SELECT id, CAST(k // 16 AS INTEGER) AS frame,
+      |       sqrt(CAST(SUM(s * s) AS DOUBLE) / 16.0) AS rms
+      |FROM samp
+      |GROUP BY id, k // 16
+      |HAVING COUNT(*) = 16
+      |ORDER BY id, frame""".stripMargin))
+
+  val catalog: Seq[QueryDef] = Seq(mm01, mm02, mm03)
 }

@@ -426,5 +426,41 @@ object TextDedup {
       |                 ELSE 0 END AS DOUBLE) / (len(toks) - 2) END AS rep_ratio
       |FROM tok ORDER BY doc_id""".stripMargin))
 
-  val catalog: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t15, t16)
+  /** Corpus-frequency boilerplate cut: shingles appearing in >= this
+    * many docs count as boilerplate (shared headers/footers/templates at
+    * web scale; ~14% of distinct shingles at sf0.01). */
+  private val BoilerplateDf = 3
+
+  /** CROSS-doc frequent-n-gram boilerplate ratio — the corpus-cleaning
+    * measure the within-doc t16 (repetition) and per-doc-ranked t10
+    * (tf-idf) don't cover: what fraction of a doc's distinct shingles is
+    * corpus-common (document frequency >= [[BoilerplateDf]]). A cleaning
+    * pipeline drops or strips high-ratio docs (boilerplate-heavy pages).
+    * Scale: the shingle df is a whole-partition window over ONE hash
+    * exchange on shingle (no self-join), then one groupBy(doc) exchange
+    * — O(corpus shingles) rows end to end, same two-shuffle shape as
+    * t10. */
+  val t20 = QueryDef(
+    "t20_boilerplate_ngrams",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      shingleIndex(s, d)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= BoilerplateDf, 1L).otherwise(0L)).as("n_common"))
+        .withColumn("common_ratio", col("n_common") * lit(1.0) / col("n_shingles"))
+        .orderBy(col("doc_id"))
+    },
+    Some(ShingleCte + s""",
+      |dfc AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+      |SELECT s.doc_id, COUNT(*) AS n_shingles,
+      |       CAST(SUM(CASE WHEN dfc.df >= $BoilerplateDf THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+      |       CAST(SUM(CASE WHEN dfc.df >= $BoilerplateDf THEN 1 ELSE 0 END) AS BIGINT) * 1.0
+      |         / COUNT(*) AS common_ratio
+      |FROM sh s JOIN dfc ON s.shingle = dfc.shingle
+      |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin))
+
+  val catalog: Seq[QueryDef] =
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t15, t16, t20)
 }
