@@ -43,6 +43,11 @@ object ScaleSmoke {
       val (tExact, nExact) = time(graft.operators.TextDedup.t06.fn(spark, dir).count())
       val (tLsh, nLsh) = time(graft.operators.TextDedup.t07.fn(spark, dir).count())
       println(f"SCALE docs=${n0 * k}%7d exact=${tExact}%6.1fs ($nExact pairs)  lsh=${tLsh}%6.1fs ($nLsh pairs)")
+      // downstream consumers of the near-dup graph / shingle index:
+      // CC clustering (t11, LSH edges) and the boilerplate window (t20)
+      val (tCc, nCc) = time(graft.operators.Corpus.t11.fn(spark, dir).count())
+      val (tBp, nBp) = time(graft.operators.TextDedup.t20.fn(spark, dir).count())
+      println(f"SCALE docs=${n0 * k}%7d cc=${tCc}%6.1fs ($nCc docs)  boilerplate=${tBp}%6.1fs ($nBp docs)")
     }
 
     // ---- embedding path: s01 all-pairs vs Similarity.lshPairs ----
