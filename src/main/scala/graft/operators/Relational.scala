@@ -371,7 +371,29 @@ object Relational {
            | AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts
            |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin))
 
+  /** Salted two-phase aggregation (graft.functions.Skew) under the hash
+    * gate: spread each key across 8 deterministic sub-keys, partially
+    * aggregate, re-combine. With a count and a DECIMAL-exact sum the
+    * two-phase result is IDENTICAL to the direct GROUP BY — which is
+    * exactly what the oracle runs, so the gate proves the skew-mitigation
+    * rewrite is value-preserving, not just approximately right. At
+    * 100 TB this is the lever for aggregate-side hot keys (one dominant
+    * event_type pinning a reducer); join-side skew is AQE's job. */
+  val q23 = QueryDef(
+    "q23_salted_agg",
+    (s, d) =>
+      graft.functions.Skew.saltedAgg(
+          Tables.events(s, d), "event_type", col("event_id"), salts = 8)(
+          "n" -> count(lit(1)),
+          "sum_dec" -> sum(col("value").cast("decimal(18,2)")))
+        .select(col("event_type"), col("n"),
+          col("sum_dec").cast("double").as("sum_value"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, COUNT(*) AS n,
+           |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val catalog: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q14, q15, q22, j02)
+      q14, q15, q22, q23, j02)
 }
