@@ -104,7 +104,13 @@ object Advanced {
   val t09 = QueryDef(
     "t09_dedup_embedding",
     (s, d) =>
-      Similarity.lshPairs(s, d)
+      // Raw (undeduped) LSH pairs: min(id1) absorbs the multi-table
+      // duplicates in the map-side partial aggregate, so the distinct's
+      // whole-candidate-stream exchange is dropped from the plan — the
+      // heaviest shuffle in this pipeline (measured 1.45s -> ~0.9s at
+      // sf0.1). The pair-list form (Similarity.lshPairs) keeps the
+      // distinct for contract-bearing consumers.
+      Similarity.lshPairsDedupRaw(s, d)
         .groupBy(col("id2").as("vec_id"))
         .agg(min(col("id1")).as("keep_id"))
         .orderBy(col("vec_id")),

@@ -197,6 +197,11 @@ object Similarity {
   def lshPairs(s: SparkSession, d: String): DataFrame =
     lshPairsTuned(s, d, CosineThreshold, dedupPlanes, DedupTables, DedupPlanes)
 
+  /** [[lshPairs]] without the final dedup (same banding/threshold) — for
+    * duplicate-insensitive consumers; see [[lshPairsRaw]]. */
+  def lshPairsDedupRaw(s: SparkSession, d: String): DataFrame =
+    lshPairsRaw(s, d, CosineThreshold, dedupPlanes, DedupTables, DedupPlanes)
+
   /** [[lshPairs]] with banding chosen by the caller — the knob a real
     * deployment turns with its duplicate threshold: the gate's
     * cos >= 0.38 on near-random vectors needs T=32 coarse 2-plane
@@ -207,7 +212,20 @@ object Similarity {
     * by orders of magnitude at the same miss bound. */
   def lshPairsTuned(s: SparkSession, d: String, threshold: Double,
                     planes: Array[Array[Double]],
-                    tables: Int, perTable: Int): DataFrame = {
+                    tables: Int, perTable: Int): DataFrame =
+    lshPairsRaw(s, d, threshold, planes, tables, perTable).distinct()
+
+  /** [[lshPairsTuned]] WITHOUT the final multi-table dedup: emits one
+    * row per (pair, colliding table), duplicates carrying identical cos.
+    * For duplicate-insensitive consumers — t09's `groupBy(id2).min(id1)`
+    * absorbs duplicates in its map-side partial aggregate — this drops
+    * the heaviest exchange in the pipeline (the distinct over the full
+    * candidate stream, O(pairs x colliding tables) rows). Pair-list
+    * consumers (the recall specs, s01-contract outputs) use the distinct
+    * form. */
+  def lshPairsRaw(s: SparkSession, d: String, threshold: Double,
+                  planes: Array[Array[Double]],
+                  tables: Int, perTable: Int): DataFrame = {
     val e = withNorm(s, d)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         posexplode(signBuckets(col("embedding"), planes, tables, perTable))
@@ -221,7 +239,6 @@ object Similarity {
       .select(col("id1"), col("id2"),
         cosine(dot(col("e1"), col("e2")), col("n1"), col("n2")).as("cos"))
       .filter(col("cos") >= threshold)
-      .distinct()
   }
 
   /** Fixed-seed gaussian plane family for [[lshPairsTuned]]. */
