@@ -148,6 +148,46 @@ object Tune {
 
     // --------------------------------- s03 bucket-frame reuse (r5)
     timeMin("s03_current")(graft.operators.Similarity.s03.fn(spark, d))
+    timeMin("s03_checkpoint_buckets") {
+      // shared bucketed frame materialized once (~N x (64 doubles + 32
+      // bucket rows), tiny) instead of recomputing scan+norm+32 plane
+      // dots for the query and candidate sides independently
+      graft.functions.VectorExpressions.register(spark)
+      import org.apache.spark.sql.expressions.Window
+      def dt(a: Column, b: Column) = call_function("graft_dot", a, b)
+      val pl = graft.operators.Similarity.makePlanes(8, 4, 7)
+      def buckets(emb: Column) = array((0 until 8).map { t =>
+        (0 until 4).map { j =>
+          val p = array(pl(t * 4 + j).map(lit(_)): _*)
+          when(dt(emb, p) > 0, lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _)
+      }: _*)
+      val e = Tables.embeddings(spark, d)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .select(col("vec_id"), col("embedding"),
+          sqrt(dt(col("embedding"), col("embedding"))).as("nrm"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          posexplode(buckets(col("embedding"))).as(Seq("tbl", "bucket")))
+        .localCheckpoint()
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("tbl").as("qt"), col("bucket").as("qb"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        col("nrm").as("nn"), col("tbl"), col("bucket"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      q.join(c, col("qt") === col("tbl") && col("qb") === col("bucket") &&
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          when(col("qn") === 0.0 || col("nn") === 0.0, lit(null))
+            .otherwise(dt(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cos"))
+        .distinct()
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy(col("query_id"), col("rank"))
+    }
     timeMin("t11_current")(graft.operators.Corpus.t11.fn(spark, d))
     timeMin("t06_edges_only")(graft.operators.TextDedup.t06.fn(spark, d))
     timeMin("t07_edges_only")(graft.operators.TextDedup.t07.fn(spark, d))
