@@ -38,7 +38,11 @@ object ScaleSmoke {
       graft.operators.TextDedup.t05.fn(spark, dir).count()
       def time(f: => Long): (Double, Long) = {
         val t0 = System.nanoTime(); val n = f
-        ((System.nanoTime() - t0) / 1e9, n)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // sweep checkpoint/cache residue (e.g. t11's final-labels blocks)
+        // so it cannot pollute the next measurement
+        graft.Lifecycle.release(spark)
+        (dt, n)
       }
       val (tExact, nExact) = time(graft.operators.TextDedup.t06.fn(spark, dir).count())
       val (tLsh, nLsh) = time(graft.operators.TextDedup.t07.fn(spark, dir).count())
@@ -75,7 +79,9 @@ object ScaleSmoke {
         val t0 = System.nanoTime()
         val rows = df.select(col("id1"), col("id2")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        ((System.nanoTime() - t0) / 1e9, rows)
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.Lifecycle.release(spark)
+        (dt, rows)
       }
       val (tExact, exact) = timeCollect(graft.operators.Similarity.s01.fn(spark, dir))
       val (tLsh, lsh) = timeCollect(graft.operators.Similarity.lshPairs(spark, dir))

@@ -148,10 +148,10 @@ object Tune {
 
     // --------------------------------- s03 bucket-frame reuse (r5)
     timeMin("s03_current")(graft.operators.Similarity.s03.fn(spark, d))
-    timeMin("s03_checkpoint_buckets") {
-      // shared bucketed frame materialized once (~N x (64 doubles + 32
-      // bucket rows), tiny) instead of recomputing scan+norm+32 plane
-      // dots for the query and candidate sides independently
+    timeMin("s03_nocheckpoint") {
+      // BASELINE variant: the pre-round-5 s03 WITHOUT the shared-frame
+      // materialization (production s03 now localCheckpoints), kept so
+      // the A/B that justified the change stays re-runnable
       graft.functions.VectorExpressions.register(spark)
       import org.apache.spark.sql.expressions.Window
       def dt(a: Column, b: Column) = call_function("graft_dot", a, b)
@@ -170,7 +170,6 @@ object Tune {
           sqrt(dt(col("embedding"), col("embedding"))).as("nrm"))
         .select(col("vec_id"), col("embedding"), col("nrm"),
           posexplode(buckets(col("embedding"))).as(Seq("tbl", "bucket")))
-        .localCheckpoint()
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("tbl").as("qt"), col("bucket").as("qb"))
