@@ -60,6 +60,17 @@ object Corpus {
     var (labels, labelBlocks) = checkpointPinned(
       edges.select(col("src").as("v")).distinct()
         .withColumn("label", col("v")))
+    // Convergence probe: labels are MONOTONE under min-propagation (a
+    // vertex's label can only decrease, the vertex set is fixed), so the
+    // label sum is strictly decreasing until the fixpoint — sum unchanged
+    // <=> every label unchanged. One 1-row aggregate per round replaces
+    // the join-and-compare probe (a hash-join shuffle over all vertices).
+    // decimal(38,0): an ANSI Long sum could overflow at extreme vertex
+    // counts; the decimal sum cannot.
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
       val prop = edges.join(labels, edges("src") === labels("v"))
@@ -67,10 +78,9 @@ object Corpus {
       val (next, nextBlocks) = checkpointPinned(
         labels.unionByName(prop)
           .groupBy(col("v")).agg(min(col("label")).as("label"))) // cut lineage: iterative joins stack plans
-      converged = next
-        .join(labels.withColumnRenamed("label", "prev"), "v")
-        .filter(col("label") =!= col("prev"))
-        .isEmpty
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       // the convergence probe above materialized; the previous round's
       // labels are unreachable from here on — free their blocks now
       labelBlocks.foreach(_.unpersist(blocking = false))
