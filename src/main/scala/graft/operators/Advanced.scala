@@ -408,15 +408,21 @@ object Advanced {
       // driver-side .count() that serialized a scan before the job
       val n = Tables.documents(s, d)
         .agg(count(lit(1)).cast("double").as("n"))
+      // tf materialized ONCE (localCheckpoint, small: O(docs x distinct
+      // terms), freed by Lifecycle.release); df is then a map-side-
+      // combined aggregate over it, broadcast back. This beats both
+      // earlier forms: the groupBy+join without materialization re-ran
+      // the tokenize+explode subtree per consumer (r4), and the
+      // window-df form full-sort-shuffled every tf row on term (r4's
+      // fix; 0.89s vs 0.75s at sf0.1 for this form). At extreme vocab
+      // (broadcast threshold) the join degrades gracefully to SMJ on
+      // term — still O(tf) shuffle, like the window.
       val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      // df as a whole-partition window count over tf — ONE pass: the
-      // previous groupBy(term)+join form evaluated the tokenize+explode+
-      // groupBy subtree twice (Spark plans the two consumers as separate
-      // subtrees; measured 1.2s -> 1.0s at sf0.1 and drops a broadcast)
-      val wTerm = Window.partitionBy(col("term"))
+        .localCheckpoint()
+      val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
-      tf.withColumn("df", count(lit(1)).over(wTerm))
+      tf.join(broadcast(dfc), "term")
         .crossJoin(broadcast(n))
         .withColumn("tfidf", col("tf") * (col("n") / col("df")))
         .withColumn("rank", row_number().over(w))

@@ -146,6 +146,34 @@ object Tune {
     timeMin("st01_parts4")(graft.streaming.EventsStream.hourlyAgg(spark, d, statePartitions = 4))
     timeMin("st02_current")(graft.operators.SourcesStreaming.st02.fn(spark, d))
 
+    // --------------------------------- t10 df strategies (r5)
+    timeMin("t10_current")(graft.operators.Advanced.t10.fn(spark, d))
+    timeMin("t10_checkpoint_bcast_df") {
+      // tf materialized once (small: O(docs x distinct terms)); df is a
+      // map-side-combined groupBy over it, broadcast back — trades the
+      // window's full tf sort-shuffle on term for a broadcast hash join
+      graft.functions.TextExpressions.register(spark)
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(spark, d)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(call_function("graft_tokens", col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(spark, d)
+        .agg(count(lit(1)).cast("double").as("n"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(broadcast(dfc), "term")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf") * (col("n") / col("df")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    }
+
     // --------------------------------- s03 bucket-frame reuse (r5)
     timeMin("s03_current")(graft.operators.Similarity.s03.fn(spark, d))
     timeMin("s03_nocheckpoint") {
