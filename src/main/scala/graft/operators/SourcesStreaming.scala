@@ -119,5 +119,45 @@ object SourcesStreaming {
            |       MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
            |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin))
 
-  val catalog: Seq[QueryDef] = Seq(r01, r02, st01, st02)
+  /** Streaming sessionization under the hash gate: the
+    * flatMapGroupsWithState sessionizer (custom per-key state — the
+    * operator family Spark offers beyond SQL) drained with AvailableNow
+    * equals the batch window-function sessionizer exactly, so it shares
+    * e01's oracle: same boundaries (both gap on epoch-millis), same
+    * MIN/MAX bounds, and a cents-exact sum that matches the decimal
+    * aggregate bit-for-bit. sid is assigned after the drain — sessions
+    * per user are disjoint in time, so numbering by start order
+    * reproduces e01's cumulative-flag numbering. */
+  val st03 = QueryDef(
+    "st03_stream_sessionize",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      import graft.streaming.EventsStream
+      val name = "graft_stream_sessions"
+      val ev = EventsStream.source(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventsStream.Event]
+      EventsStream.withStatePartitions(s, 4) {
+        val q = EventsStream.sessionize(ev).writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      graft.Lifecycle.defer { s.catalog.dropTempView(name); () }
+      val w = Window.partitionBy(col("user_id")).orderBy(col("start"))
+      s.table(name)
+        .withColumn("sid", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("sid"), col("start").as("start_ts"),
+          col("end").as("end_ts"), col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("sid"))
+    },
+    Advanced.e01.oracle)
+
+  val catalog: Seq[QueryDef] = Seq(r01, r02, st01, st02, st03)
 }

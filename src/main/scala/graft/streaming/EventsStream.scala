@@ -111,7 +111,17 @@ object EventsStream {
     * must construct it. */
   final case class SessionState(start: java.sql.Timestamp,
                                 end: java.sql.Timestamp,
-                                n: Long, sum: Double)
+                                n: Long, sumCents: Long)
+
+  /** Exact 2-dp cents of a double — the same value Spark's
+    * cast(double AS DECIMAL(18,2)) produces (HALF_UP on the canonical
+    * decimal repr). Folding Longs makes the session sum associative and
+    * order-independent, so it equals the batch/DuckDB decimal sum
+    * bit-for-bit after the final /100.0 (one IEEE division both sides). */
+  private def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
 
   /** Gap-based sessionization (30-min inactivity) via
     * flatMapGroupsWithState — BOUNDED-DRAIN form: every session,
@@ -137,18 +147,25 @@ object EventsStream {
           sorted.foreach { e =>
             cur match {
               case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
-                cur = Some(s.copy(end = e.ts, n = s.n + 1, sum = s.sum + e.value))
+                // min/max extension (not last-processed): the sort is by
+                // (millis, event_id) while timestamps carry micros, so the
+                // last-sorted event of an equal-millisecond pair may not be
+                // the micro-latest — the batch sessionizer's MIN/MAX(ts)
+                // must be matched exactly
+                val start = if (e.ts.before(s.start)) e.ts else s.start
+                val end = if (e.ts.after(s.end)) e.ts else s.end
+                cur = Some(SessionState(start, end, s.n + 1, s.sumCents + cents(e.value)))
               case Some(s) =>
-                sessions += Session(userId, s.start, s.end, s.n, s.sum)
-                cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+                sessions += Session(userId, s.start, s.end, s.n, s.sumCents / 100.0)
+                cur = Some(SessionState(e.ts, e.ts, 1, cents(e.value)))
               case None =>
-                cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+                cur = Some(SessionState(e.ts, e.ts, 1, cents(e.value)))
             }
           }
           cur match {
             case Some(s) =>
               // bounded-drain contract: flush the open session too
-              sessions += Session(userId, s.start, s.end, s.n, s.sum)
+              sessions += Session(userId, s.start, s.end, s.n, s.sumCents / 100.0)
               state.remove()
             case None =>
           }
@@ -175,7 +192,7 @@ object EventsStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(userId, s.start, s.end, s.n, s.sum))
+            Iterator(Session(userId, s.start, s.end, s.n, s.sumCents / 100.0))
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             val sessions = scala.collection.mutable.ArrayBuffer.empty[Session]
@@ -189,12 +206,12 @@ object EventsStream {
                   // session would also fire the timeout early)
                   val start = if (e.ts.before(s.start)) e.ts else s.start
                   val end = if (e.ts.after(s.end)) e.ts else s.end
-                  cur = Some(SessionState(start, end, s.n + 1, s.sum + e.value))
+                  cur = Some(SessionState(start, end, s.n + 1, s.sumCents + cents(e.value)))
                 case Some(s) =>
-                  sessions += Session(userId, s.start, s.end, s.n, s.sum)
-                  cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+                  sessions += Session(userId, s.start, s.end, s.n, s.sumCents / 100.0)
+                  cur = Some(SessionState(e.ts, e.ts, 1, cents(e.value)))
                 case None =>
-                  cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+                  cur = Some(SessionState(e.ts, e.ts, 1, cents(e.value)))
               }
             }
             cur.foreach { s =>
