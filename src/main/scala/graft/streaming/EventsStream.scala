@@ -57,12 +57,17 @@ object EventsStream {
   /** Watermarked hourly aggregate as an unbounded streaming plan: Append
     * mode emits each window once the watermark passes it and evicts its
     * state — the production shape for continuous ingest (pair with a
-    * durable sink + checkpointLocation). */
-  def hourlyAggStream(spark: SparkSession, sfDir: String): DataFrame =
-    source(spark, sfDir)
+    * durable sink + checkpointLocation). Split from the file source so
+    * the eviction contract is testable against a MemoryStream
+    * (StreamingSpec). */
+  def hourlyAggPlan(events: DataFrame): DataFrame =
+    events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
+
+  def hourlyAggStream(spark: SparkSession, sfDir: String): DataFrame =
+    hourlyAggPlan(source(spark, sfDir))
 
   /** Hourly per-type aggregate drained synchronously with AvailableNow
     * into a memory sink and returned as a DataFrame. Uses Complete mode

@@ -65,6 +65,39 @@ class StreamingSpec extends SparkSpec {
     assert(u7.head.sum_value == 7.0)
   }
 
+  test("watermarked Append-mode hourly agg emits a window only once the watermark closes it") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventsStream.hourlyAggPlan(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_append")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: two events inside one hour — watermark (max ts - 1h) has
+    // not passed the window end, so Append emits NOTHING yet
+    mem.addData(Event(1, ts(0), 7, "click", 1.5), Event(2, ts(10), 7, "click", 2.0))
+    q.processAllAvailable()
+    assert(spark.table("hourly_append").isEmpty,
+      "open window must not be emitted in Append mode")
+    // batch 2 advances the watermark past the first window's end; the
+    // emission happens in the NEXT batch (watermark updates at batch
+    // end), so a third batch flushes it — the standard Append-mode lag
+    mem.addData(Event(3, ts(200), 7, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(4, ts(400), 7, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("hourly_append")
+      .select($"window.start", $"event_type", $"n", $"sum_value").as[(java.sql.Timestamp, String, Long, Double)]
+      .collect()
+    def hourFloor(t: java.sql.Timestamp) =
+      new java.sql.Timestamp(t.getTime - t.getTime % 3600000L)
+    assert(closed.exists(r => r._3 == 2 && r._4 == 3.5 && r._1 == hourFloor(ts(0))),
+      s"first window must be closed and emitted exactly: ${closed.toSeq}")
+    assert(!closed.exists(_._1 == hourFloor(ts(400))),
+      "the still-open window must not be emitted")
+    spark.catalog.dropTempView("hourly_append")
+  }
+
   test("streaming hourly agg equals the batch groupBy on the same data") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
