@@ -68,8 +68,10 @@ object Corpus {
     // decimal(38,0): an ANSI Long sum could overflow at extreme vertex
     // counts; the decimal sum cannot.
     def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
-        .head.getDecimal(0)
+      // sum over zero rows is NULL: an empty edge set (no near-dup pairs
+      // in the corpus) must converge on round one, not NPE
+      Option(df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {

@@ -148,10 +148,10 @@ object Tune {
 
     // --------------------------------- t10 df strategies (r5)
     timeMin("t10_current")(graft.operators.Advanced.t10.fn(spark, d))
-    timeMin("t10_checkpoint_bcast_df") {
-      // tf materialized once (small: O(docs x distinct terms)); df is a
-      // map-side-combined groupBy over it, broadcast back — trades the
-      // window's full tf sort-shuffle on term for a broadcast hash join
+    timeMin("t10_window_df") {
+      // BASELINE: the superseded r4 window-df form (production t10 now
+      // materializes tf and broadcasts df) — kept so the A/B that
+      // justified the change stays re-runnable
       graft.functions.TextExpressions.register(spark)
       import org.apache.spark.sql.expressions.Window
       val tf = Tables.documents(spark, d)
@@ -159,13 +159,12 @@ object Tune {
         .select(col("doc_id"),
           explode(call_function("graft_tokens", col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
-      val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = Tables.documents(spark, d)
         .agg(count(lit(1)).cast("double").as("n"))
+      val wTerm = Window.partitionBy(col("term"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
-      tf.join(broadcast(dfc), "term")
+      tf.withColumn("df", count(lit(1)).over(wTerm))
         .crossJoin(broadcast(n))
         .withColumn("tfidf", col("tf") * (col("n") / col("df")))
         .withColumn("rank", row_number().over(w))
