@@ -18,6 +18,14 @@ class CorpusSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connected components on an empty edge set returns empty (no NPE)") {
+    import spark.implicits._
+    // a corpus with no near-dup pairs: the label-sum convergence probe
+    // sees SUM() = NULL on both sides and must converge on round one
+    val und = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Corpus.connectedComponents(und).count() == 0)
+  }
+
   test("connected components converges on a long path (diameter > 2 rounds)") {
     import spark.implicits._
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc1", "doc2")
