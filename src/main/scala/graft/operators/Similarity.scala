@@ -32,6 +32,9 @@ object Similarity {
   private val CosineThreshold = 0.38
   private val NumQueries = 10
   private val TopK = 5
+  /** s04 IVF probe width — interpolated into BOTH the Spark plan and the
+    * late-bound DuckDB oracle so the two can never desynchronize. */
+  private val NProbe = 4
 
   /** Deterministic sequential-fold dot product — the native codegen'd
     * [[graft.functions.DotProduct]] expression (identical fold order to
@@ -417,7 +420,6 @@ object Similarity {
     "s04_ann_ivf",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val nprobe = 4
       graft.functions.VectorExpressions.register(s)
       val (centersDf, assigned) = IvfIndex.ensure(s, d)
       val q = assigned.filter(col("vec_id") < NumQueries)
@@ -427,7 +429,7 @@ object Similarity {
       val probed = q.crossJoin(broadcast(centersDf))
         .withColumn("cdist", dot(col("qe"), col("center")))
         .withColumn("crank", row_number().over(wProbe))
-        .filter(col("crank") <= nprobe)
+        .filter(col("crank") <= NProbe)
         .select(col("query_id"), col("qe"), col("qn"), col("cell"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
@@ -463,7 +465,7 @@ object Similarity {
          |             ORDER BY ${duckDot("q.qe", "cen.center")} DESC NULLS LAST,
          |                      cen.cell) AS crank
          |    FROM q CROSS JOIN cen)
-         |  WHERE crank <= 4),
+         |  WHERE crank <= $NProbe),
          |cand AS (
          |  SELECT probed.query_id, c.vec_id AS neighbor_id,
          |         CASE WHEN probed.qn = 0 OR c.nrm = 0 THEN NULL

@@ -140,7 +140,7 @@ object SourcesStreaming {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[EventsStream.Event]
-      EventsStream.withStatePartitions(s, 4) {
+      val q = EventsStream.withStatePartitions(s, 4) {
         val q = EventsStream.sessionize(ev).writeStream
           .format("memory")
           .queryName(name)
@@ -148,7 +148,18 @@ object SourcesStreaming {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        q
       }
+      // The bounded sessionizer flushes open sessions per micro-batch, so
+      // it equals the batch oracle ONLY when every user's events land in
+      // one batch. That holds because the source globs a single parquet
+      // file with no maxFilesPerTrigger — assert it so a future multi-file
+      // source can't silently fragment sessions into a corrupted gate.
+      val fedBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(fedBatches <= 1,
+        s"st03 drained $fedBatches micro-batches with input; the bounded " +
+          "sessionizer is batch-equal only when all events arrive in one " +
+          "(use EventsStream.sessionizeUnbounded for multi-batch input)")
       graft.Lifecycle.defer { s.catalog.dropTempView(name); () }
       val w = Window.partitionBy(col("user_id")).orderBy(col("start"))
       s.table(name)

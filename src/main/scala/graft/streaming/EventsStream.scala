@@ -34,7 +34,14 @@ object EventsStream {
     * for bounded streaming drains, where a stateful agg creates and
     * commits ONE state store per shuffle partition per micro-batch (the
     * store count is fixed at first plan, independent of data), so small
-    * state wants few stores. Shared by st01 (hourlyAgg) and st02. */
+    * state wants few stores. Shared by st01 (hourlyAgg) and st02.
+    *
+    * NOT concurrency-safe: this mutates the session-global conf for the
+    * duration of `body`, so any query planned concurrently on the same
+    * SparkSession would silently pick up the narrowed setting. The gate
+    * harness runs queries strictly sequentially; a concurrent caller
+    * should scope the drain to its own `spark.newSession()` instead
+    * (note the memory sink's temp view is then visible only there). */
   def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
