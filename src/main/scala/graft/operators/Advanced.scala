@@ -534,6 +534,68 @@ object Advanced {
            |GROUP BY CUBE (event_type, day(ts))
            |ORDER BY gid, event_type NULLS FIRST, dom NULLS FIRST""".stripMargin))
 
+  /** Ordered funnel analysis (view -> click -> purchase): the product-
+    * analytics staple over the events stream. A user advances to a stage
+    * only if its event happens STRICTLY AFTER the previous stage's first
+    * completion — three conditional min-aggregates chained by time, not
+    * mere per-type existence. Output: users per furthest stage reached.
+    *
+    * Scale: each stage is one partial+final aggregate on user_id plus a
+    * join against the previous stage's one-row-per-user frame — all
+    * shuffles carry O(users) rows and share the user_id partitioning;
+    * at any corpus size the stage frames are the small side and
+    * broadcast- or co-partition-join cleanly. No window over the full
+    * event log and no per-user event sorting. */
+  val e02 = QueryDef(
+    "e02_funnel",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("view_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("click_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+      ev.select(col("user_id")).distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .withColumn("stage",
+          when(col("purchase_ts").isNotNull, 3)
+            .when(col("click_ts").isNotNull, 2)
+            .when(col("view_ts").isNotNull, 1)
+            .otherwise(0))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("stage"))
+    },
+    Some("""WITH v AS (
+           |  SELECT user_id, MIN(ts) AS view_ts FROM events
+           |  WHERE event_type = 'view' GROUP BY user_id),
+           |c AS (
+           |  SELECT e.user_id, MIN(e.ts) AS click_ts
+           |  FROM events e JOIN v ON e.user_id = v.user_id
+           |  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+           |  GROUP BY e.user_id),
+           |p AS (
+           |  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+           |  FROM events e JOIN c ON e.user_id = c.user_id
+           |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+           |  GROUP BY e.user_id),
+           |u AS (SELECT DISTINCT user_id FROM events)
+           |SELECT CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+           |            WHEN c.click_ts IS NOT NULL THEN 2
+           |            WHEN v.view_ts IS NOT NULL THEN 1
+           |            ELSE 0 END AS stage,
+           |       COUNT(*) AS n_users
+           |FROM u LEFT JOIN v ON u.user_id = v.user_id
+           |       LEFT JOIN c ON u.user_id = c.user_id
+           |       LEFT JOIN p ON u.user_id = p.user_id
+           |GROUP BY 1 ORDER BY stage""".stripMargin))
+
   val catalog: Seq[QueryDef] =
-    Seq(e01, q16, q17, t09, c01, tj01, tj02, tj03, v01, j01, q18, t10, q19, q20, q21)
+    Seq(e01, e02, q16, q17, t09, c01, tj01, tj02, tj03, v01, j01, q18, t10, q19,
+      q20, q21)
 }

@@ -480,5 +480,71 @@ object Similarity {
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     })
 
-  val catalog: Seq[QueryDef] = Seq(s01, s02, s03, s04)
+  /** k-NN votes per prediction. */
+  private val KnnK = 5
+
+  /** k-NN label classification over the embedding column — the weak-
+    * supervision / label-propagation primitive of a training-data
+    * pipeline (auto-label new documents from a labeled seed set). For
+    * each query vector: its [[KnnK]] nearest neighbors by cosine vote on
+    * `label`; majority wins, ties broken by nearest best-ranked neighbor
+    * then smallest label — a total, engine-independent order.
+    *
+    * Scale: the neighbor stage is exactly s02's shape (brute-force here
+    * as the correctness baseline; s03/s04 are the candidate-generation
+    * scale path for the identical vote stage), and the vote is a tiny
+    * O(queries x k) aggregate that never shuffles more than the top-k
+    * frame. */
+  val s05 = QueryDef(
+    "s05_knn_classify",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = withNorm(s, d)
+      val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("nrm").as("nn"))
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val topk = q.join(c, col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= KnnK)
+      val wVote = Window.partitionBy(col("query_id"))
+        .orderBy(col("votes").desc, col("best_rank"), col("label"))
+      topk
+        .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
+        .withColumn("vote_rank", row_number().over(wVote))
+        .filter(col("vote_rank") === 1)
+        .join(labels.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+          "query_id")
+        .select(col("query_id"), col("label").as("pred_label"), col("votes"),
+          col("true_label"))
+        .orderBy(col("query_id"))
+    },
+    Some(duckNormCte + s""",
+      |topk AS (
+      |  SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |             ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+      |                      c.vec_id) AS rank
+      |    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+      |    WHERE q.vec_id < $NumQueries)
+      |  WHERE rank <= $KnnK),
+      |votes AS (
+      |  SELECT t.query_id, l.label, COUNT(*) AS votes, MIN(t.rank) AS best_rank
+      |  FROM topk t JOIN embeddings l ON t.neighbor_id = l.vec_id
+      |  GROUP BY t.query_id, l.label)
+      |SELECT v.query_id, v.label AS pred_label, v.votes, g.label AS true_label
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY votes DESC, best_rank, label) AS vote_rank
+      |      FROM votes) v
+      |JOIN embeddings g ON v.query_id = g.vec_id
+      |WHERE v.vote_rank = 1 ORDER BY v.query_id""".stripMargin))
+
+  val catalog: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05)
 }

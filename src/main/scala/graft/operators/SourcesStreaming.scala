@@ -170,5 +170,51 @@ object SourcesStreaming {
     },
     Advanced.e01.oracle)
 
-  val catalog: Seq[QueryDef] = Seq(r01, r02, st01, st02, st03)
+  /** Watermarked stream-stream inner join — clicks attributed to a view
+    * by the same user within 10 minutes, both sides unbounded streams.
+    * This is the streaming capability the other st entries don't cover:
+    * two stateful sides buffering rows until the watermark proves no
+    * more matches can arrive. Unlike st03's bounded sessionizer, this
+    * plan is multi-batch-correct BY CONSTRUCTION (join state persists
+    * across micro-batches and is evicted by watermark + the time-range
+    * bound — StreamingSpec pins the two-batch case), so it needs no
+    * single-batch precondition. Equals the batch/DuckDB interval join
+    * exactly on a drained static input.
+    *
+    * Scale: state is bounded by (watermark delay + join window) x
+    * arrival rate per side; both sides hash-partition on user_id, so
+    * the join never rescans history. */
+  val st04 = QueryDef(
+    "st04_stream_stream_join",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      import graft.streaming.EventsStream
+      val name = "graft_stream_join"
+      val joined = EventsStream.viewClickJoin(
+        EventsStream.source(s, d).filter(col("event_type") === "view"),
+        EventsStream.source(s, d).filter(col("event_type") === "click"))
+      EventsStream.withStatePartitions(s, 4) {
+        val q = joined.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      graft.Lifecycle.defer { s.catalog.dropTempView(name); () }
+      s.table(name)
+        .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+          col("view_ts"), col("click_ts"))
+        .orderBy(col("view_id"), col("click_id"))
+    },
+    Some("""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           |       v.ts AS view_ts, c.ts AS click_ts
+           |FROM events v JOIN events c
+           |  ON c.user_id = v.user_id AND v.event_type = 'view'
+           | AND c.event_type = 'click' AND c.ts > v.ts
+           | AND c.ts <= v.ts + INTERVAL 10 MINUTE
+           |ORDER BY view_id, click_id""".stripMargin))
+
+  val catalog: Seq[QueryDef] = Seq(r01, r02, st01, st02, st03, st04)
 }

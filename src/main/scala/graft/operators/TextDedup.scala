@@ -461,6 +461,142 @@ object TextDedup {
       |FROM sh s JOIN dfc ON s.shingle = dfc.shingle
       |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin))
 
+  // ---------------------------------------------- t21: rule-based filter
+
+  /** Gopher-style rule verdicts (conjunctive keep flag). Each rule's
+    * bounds are corpus-tuning knobs; these values exercise both outcomes
+    * on the test corpus. */
+  private val MinTokens = 10
+  private val MaxTokens = 5000
+  private val MinMeanWl = 2.0
+  private val MaxMeanWl = 6.0
+  private val MinStopHits = 2
+  private val MaxTopTokFrac = 0.125
+
+  /** Rule-based quality filter (the Gopher/C4 heuristic family): per-doc
+    * token stats -> named boolean rule verdicts -> conjunctive keep flag.
+    * Unlike t03's scalar score, this is the auditable form production
+    * cleaning runs: per-rule verdicts let a pipeline report WHY each
+    * document was dropped and tune one rule without re-running the rest.
+    *
+    * Rules (bounds are corpus-tuning knobs):
+    *  - r_len:  token count within [MinTokens, MaxTokens];
+    *  - r_mwl:  mean word length within [MinMeanWl, MaxMeanWl];
+    *  - r_stop: at least MinStopHits function-word occurrences
+    *            (Gopher's "contains >= 2 stopwords" form);
+    *  - r_rep:  no single token exceeds MaxTopTokFrac of the doc.
+    *
+    * Scale: pure per-row compute over the tokens kernel — no shuffle, no
+    * UDF; every stat is one pass over a bounded token array. The
+    * top-token count is O(distinct x n) per row via nested HOFs, fine for
+    * natural documents (n bounded by doc length); a corpus of pathological
+    * multi-MB single-doc token arrays would move that one stat to an
+    * explode + per-doc groupBy instead. */
+  val t21 = QueryDef(
+    "t21_quality_rules",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val topCnt = array_max(transform(array_distinct(col("toks")),
+        t => size(filter(col("toks"), x => x === t))))
+      docs(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).as("sum_wl"),
+          size(filter(col("toks"), t => t === "the" || t === "a")).as("n_stop"),
+          topCnt.as("top_cnt"))
+        .withColumn("mean_wl",
+          when(col("n_tokens") === 0, lit(null))
+            .otherwise(col("sum_wl").cast("double") / col("n_tokens")))
+        .withColumn("top_frac",
+          when(col("n_tokens") === 0, lit(null))
+            .otherwise(col("top_cnt").cast("double") / col("n_tokens")))
+        .withColumn("r_len",
+          col("n_tokens") >= MinTokens && col("n_tokens") <= MaxTokens)
+        .withColumn("r_mwl",
+          coalesce(col("mean_wl") >= MinMeanWl && col("mean_wl") <= MaxMeanWl, lit(false)))
+        .withColumn("r_stop", col("n_stop") >= MinStopHits)
+        .withColumn("r_rep", coalesce(col("top_frac") <= MaxTopTokFrac, lit(false)))
+        .withColumn("keep",
+          col("r_len") && col("r_mwl") && col("r_stop") && col("r_rep"))
+        .select(col("doc_id"), col("n_tokens"), col("mean_wl"), col("n_stop"),
+          col("top_frac"), col("r_len"), col("r_mwl"), col("r_stop"),
+          col("r_rep"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(TokCte + s"""
+      |SELECT doc_id, n_tokens, mean_wl, n_stop, top_frac,
+      |       r_len, r_mwl, r_stop, r_rep,
+      |       (r_len AND r_mwl AND r_stop AND r_rep) AS keep
+      |FROM (
+      |  SELECT doc_id, n_tokens, mean_wl, n_stop, top_frac,
+      |         (n_tokens >= $MinTokens AND n_tokens <= $MaxTokens) AS r_len,
+      |         COALESCE(mean_wl >= $MinMeanWl AND mean_wl <= $MaxMeanWl, FALSE) AS r_mwl,
+      |         (n_stop >= $MinStopHits) AS r_stop,
+      |         COALESCE(top_frac <= $MaxTopTokFrac, FALSE) AS r_rep
+      |  FROM (
+      |    SELECT doc_id,
+      |           CAST(len(toks) AS INTEGER) AS n_tokens,
+      |           CASE WHEN len(toks) = 0 THEN NULL
+      |                ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+      |                     / len(toks) END AS mean_wl,
+      |           CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS INTEGER) AS n_stop,
+      |           CASE WHEN len(toks) = 0 THEN NULL
+      |                ELSE CAST(list_max(list_transform(list_distinct(toks),
+      |                       t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+      |                     / len(toks) END AS top_frac
+      |    FROM tok))
+      |ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------- t22: corpus-frequency statistics
+
+  /** Tokens with corpus frequency below this count as rare. */
+  private val RareCf = 100L
+
+  /** Per-document corpus-frequency statistics — the unigram-LM quality
+    * proxy (CCNet-family): score each document by how common its tokens
+    * are in the corpus. Rare-token-heavy documents are OCR noise or
+    * gibberish; all-boilerplate-token documents carry no signal. Emits
+    * min/mean corpus frequency and the rare-occurrence ratio per doc.
+    * (Mean frequency instead of mean log-prob: integer frequency sums
+    * hash-match the oracle exactly, while ln() is not guaranteed
+    * correctly-rounded across engines — same determinism contract as the
+    * rest of the gate.)
+    *
+    * Scale: two shuffles — the vocab count is a partial+final aggregate
+    * carrying O(distinct tokens per partition), and the occurrence->vocab
+    * join is a hash join on token. At web scale the vocab is zipfian:
+    * AQE's skew-join splitting handles the hot head, or broadcast the
+    * top-K head vocab and hash-join only the tail. */
+  val t22 = QueryDef(
+    "t22_token_cf_stats",
+    (s, d) => {
+      val occ = docs(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val vocab = occ.groupBy(col("token")).agg(count(lit(1)).as("cf"))
+      occ.join(vocab, "token")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          min(col("cf")).as("min_cf"),
+          sum(col("cf")).as("sum_cf"),
+          sum(when(col("cf") < RareCf, 1L).otherwise(0L)).as("n_rare"))
+        .withColumn("mean_cf", col("sum_cf").cast("double") / col("n_tokens"))
+        .withColumn("rare_ratio", col("n_rare").cast("double") / col("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("min_cf"), col("mean_cf"),
+          col("n_rare"), col("rare_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some(TokCte + s""",
+      |occ AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+      |vocab AS (SELECT token, COUNT(*) AS cf FROM occ GROUP BY token)
+      |SELECT doc_id, COUNT(*) AS n_tokens, MIN(cf) AS min_cf,
+      |       CAST(SUM(cf) AS DOUBLE) / COUNT(*) AS mean_cf,
+      |       CAST(SUM(CASE WHEN cf < $RareCf THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      |       CAST(SUM(CASE WHEN cf < $RareCf THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / COUNT(*) AS rare_ratio
+      |FROM occ JOIN vocab USING (token)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val catalog: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t15, t16, t20)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t15, t16, t20, t21, t22)
 }

@@ -111,6 +111,27 @@ object EventsStream {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** Watermarked stream-stream inner join: clicks attributed to the views
+    * of the same user within `windowMinutes`, both sides unbounded
+    * streams. Multi-batch-correct by construction: each side buffers rows
+    * in join state until the other side's watermark plus the time-range
+    * bound proves no further match can arrive, so a click arriving
+    * batches after its view still joins (pinned in StreamingSpec).
+    * State is bounded by (watermark delay + join window) x arrival rate;
+    * both sides hash-partition on user, so matching never rescans
+    * history. */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame,
+                    windowMinutes: Int = 10): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"),
+        col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    v.join(c, expr("v_user = c_user AND click_ts > view_ts AND " +
+      s"click_ts <= view_ts + interval $windowMinutes minutes"))
+  }
+
   // ------------------------------------------------------- sessionization
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
