@@ -15,6 +15,12 @@ run / fork := true
 // line with "[info] " — that breaks the driver's parse of Bench's one-line
 // JSON result. StdoutOutput passes the forked process's stdout through raw.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The driver keeps only the LAST 2000 chars of the bench run's output.
+// sbt's "[success] Total time: ..." epilogue (~77 chars) would evict the
+// head of Bench's one-line JSON once the catalog is large — suppress it
+// so the whole JSON line survives the tail cap (BENCH_r04..r07 came back
+// "parsed": null exactly because of this).
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -69,10 +69,23 @@ object Bench {
       }
     }
     val results = ordered.map { case (name, _) => name -> best(name) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver captures only the LAST 2000 chars of this process's
+    // output and JSON-parses the result line out of that window — at 73
+    // queries, full-precision doubles push the line to ~2900 chars and
+    // the head gets truncated (BENCH_r04..r07: "parsed": null, so the
+    // per-query regression rule could not be applied). Centisecond
+    // precision (ample against the measured ±15% container noise floor)
+    // plus a numeric sf keeps the line under ~1930 chars.
+    def fmt(v: Double): String =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .stripTrailingZeros.toPlainString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfJson = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfJson}""")
     spark.stop()
   }
 }

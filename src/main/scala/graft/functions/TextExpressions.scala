@@ -90,6 +90,37 @@ object TextKernels extends Serializable {
     new GenericArrayData(out)
   }
 
+  /** array<struct<term, tf>> — the doc's DISTINCT terms with their
+    * within-doc occurrence counts, in first-occurrence order. Replaces
+    * t10's explode + groupBy(doc_id, term) count: term frequency is a
+    * pure per-document function, so computing it in the row kernel
+    * removes the (doc_id, term) aggregate exchange entirely — the
+    * explode then emits one row per DISTINCT (doc, term) directly. tf is
+    * Long to match the COUNT(*) it replaces. Null text -> empty array
+    * (the null token array was dropped by the explode it replaces). */
+  def termCounts(text: UTF8String): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val toks = splitTokens(text)
+    val m = new java.util.LinkedHashMap[String, java.lang.Long](math.max(8, toks.length * 2))
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      val prev = m.get(t)
+      m.put(t, if (prev == null) 1L else prev.longValue() + 1L)
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue.longValue()))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** array<struct<shingle, n>> where n = the doc's DISTINCT shingle
     * count stamped on every element. The count rides the GENERATOR
     * OUTPUT through an explode — unlike a computed column projected
@@ -315,6 +346,40 @@ case class ShingleSetWithCount(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_term_counts(text)` — array<struct<term, tf>>: the document's
+  * distinct terms with within-doc counts, so TF needs no (doc, term)
+  * aggregate shuffle (see [[TextKernels.termCounts]]). Never null: null
+  * input maps to an empty array. */
+case class TermCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("term", StringType), StructField("tf", LongType))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_term_counts"
+
+  override def eval(input: InternalRow): Any =
+    TextKernels.termCounts(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val kernel = ctx.addReferenceObj("textKernels", TextKernels,
+      TextKernels.getClass.getName)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $kernel.termCounts(${c.isNull} ? null : ${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_tokens(text)` — the non-empty whitespace tokens of
   * trim+lower text as a single native expression. Null-intercepting like
   * the HOF chain it replaces (`filter(split(lower(trim(c)), '\\s+'),
@@ -445,6 +510,7 @@ object TextExpressions {
   val tokensInfo = new ExpressionInfo(classOf[TokenArray].getName, "graft_tokens")
   val statsInfo = new ExpressionInfo(classOf[TextStats].getName, "graft_textstats")
   val shinglesNInfo = new ExpressionInfo(classOf[ShingleSetWithCount].getName, "graft_shingles_n")
+  val termCountsInfo = new ExpressionInfo(classOf[TermCounts].getName, "graft_term_counts")
   val minhashInfo = new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands")
   val simhashInfo = new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60")
 
@@ -463,6 +529,9 @@ object TextExpressions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_shingles_n"), shinglesNInfo,
       (exprs: Seq[Expression]) => ShingleSetWithCount(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_term_counts"), termCountsInfo,
+      (exprs: Seq[Expression]) => TermCounts(exprs.head))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_minhash_bands"), minhashInfo,
       (exprs: Seq[Expression]) => MinHashBands(exprs.head))

@@ -397,32 +397,36 @@ object Advanced {
   val t10 = QueryDef(
     "t10_tfidf_topterms",
     (s, d) => {
-      import graft.functions.TextFunctions._
       import org.apache.spark.sql.expressions.Window
-      val terms = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), explode(col("toks")).as("term"))
+      graft.functions.TextExpressions.register(s)
+      // TF is a pure per-document function, so the graft_term_counts
+      // kernel computes it in the row — the explode emits one row per
+      // DISTINCT (doc, term) directly and the (doc_id, term) aggregate
+      // exchange disappears. DF is then a whole-partition window over
+      // one hash exchange on term (the t20 pattern): rows are already
+      // distinct per (doc, term), so count(*) over the term partition
+      // IS the document frequency. Two window exchanges end to end, no
+      // materialization, no broadcast-back, and NO protective
+      // repartition: the kernel is optimizer-opaque (no CollapseProject
+      // hazard) and cheap (~us/doc), so the explode rides the scan
+      // stage — scan parallelism at scale comes from file splits, and
+      // the first exchange is the term window. Replaces the r5
+      // materialize-tf (localCheckpoint) + broadcast-df plan that ran
+      // 8.3x DuckDB on identical SQL (1.26s vs 0.15s at sf0.1).
+      // Measured (Tune, sf0.1 min-of-2): r5 plan 1.02-1.10s; window
+      // plan with repartition 0.73-0.77s; this form 0.46s.
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(call_function("graft_term_counts", col("text"))).as("tc"))
+        .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
       // corpus size N stays IN the plan (1-row aggregate, broadcast
       // cross join — the oracle's CROSS JOIN n) instead of an eager
       // driver-side .count() that serialized a scan before the job
       val n = Tables.documents(s, d)
         .agg(count(lit(1)).cast("double").as("n"))
-      // tf materialized ONCE (localCheckpoint, small: O(docs x distinct
-      // terms), freed by Lifecycle.release); df is then a map-side-
-      // combined aggregate over it, broadcast back. This beats both
-      // earlier forms: the groupBy+join without materialization re-ran
-      // the tokenize+explode subtree per consumer (r4), and the
-      // window-df form full-sort-shuffled every tf row on term (r4's
-      // fix; 0.89s vs 0.75s at sf0.1 for this form). At extreme vocab
-      // (broadcast threshold) the join degrades gracefully to SMJ on
-      // term — still O(tf) shuffle, like the window.
-      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
-      val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
-      tf.join(broadcast(dfc), "term")
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
         .crossJoin(broadcast(n))
         .withColumn("tfidf", col("tf") * (col("n") / col("df")))
         .withColumn("rank", row_number().over(w))

@@ -1,0 +1,60 @@
+package graft.operators
+
+/** Corpus-fingerprinted persisted-index machinery, shared by every
+  * operator that amortizes an expensive build across executions
+  * ([[Similarity.IvfIndex]] centroids/assignments, [[TextDedup.PairIndex]]
+  * near-dup pairs, [[Similarity.SigIndex]] LSH signatures). At 100 TB
+  * these artifacts are THE expensive intermediates — a production
+  * deployment builds each once per corpus version as a scheduled job and
+  * every consumer reads; recomputing one inside each consumer query is
+  * the difference between one LSH pass and three per pipeline run
+  * (round-7 t07/t11/t19).
+  *
+  * Guarantees:
+  *  - a regenerated corpus at the SAME path changes the fingerprint
+  *    (file name + length + mtime of every part), so an index can never
+  *    silently serve stale data;
+  *  - publication is an atomic directory rename, so a concurrent JVM
+  *    sees either the complete index or none — never a torn one — and
+  *    racing builders converge on one winner;
+  *  - the completeness marker (written last within the build) gates out
+  *    a torn leftover from a crashed pre-rename build.
+  */
+private[operators] object IndexStore {
+
+  /** Fingerprint of a corpus table: name, length and mtime of every part
+    * of `<d>/<table>.parquet`. (A path hashCode scheme could collide and
+    * would miss in-place regeneration.) */
+  def corpusFingerprint(d: String, table: String): String = {
+    val root = new java.io.File(s"$d/$table.parquet")
+    val parts = if (root.isDirectory) root.listFiles().sortBy(_.getName) else Array(root)
+    val desc = parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+    f.delete(); ()
+  }
+
+  /** Ensure the index at `dirPath` is published (its `marker` file
+    * exists), running `build` into a private temp sibling and atomically
+    * renaming it into place if not. Returns `dirPath`. */
+  def ensure(dirPath: String, marker: String)(build: String => Unit): String = {
+    val dir = new java.io.File(dirPath)
+    if (!new java.io.File(dir, marker).exists()) {
+      val tmp = new java.io.File(dir.getParentFile,
+        s"${dir.getName}.build-${java.util.UUID.randomUUID()}")
+      build(tmp.getAbsolutePath)
+      if (!tmp.renameTo(dir)) {
+        // rename fails only if dir now exists: either a concurrent build
+        // won (use theirs) or a torn pre-rename leftover is in the way
+        // (replace it)
+        if (new java.io.File(dir, marker).exists()) deleteRec(tmp)
+        else { deleteRec(dir); if (!tmp.renameTo(dir)) deleteRec(tmp) }
+      }
+    }
+    dirPath
+  }
+}

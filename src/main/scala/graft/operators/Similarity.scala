@@ -274,20 +274,34 @@ object Similarity {
     * engines, exactly hash-checkable — approximation is not
     * nondeterminism). Scale: candidate generation is a hash join on
     * (table, bucket) — shuffle O(N x T), never O(N^2). */
+  /** Corpus-fingerprinted persisted LSH signature index for s03: every
+    * corpus vector with its norm and (table, bucket) assignments —
+    * what the round-5 per-run `localCheckpoint` paid to rebuild on EVERY
+    * execution (scan + norm + 32 plane dots), a deployment persists
+    * once per corpus and every probe reads (the same producer/consumer
+    * split as [[IvfIndex]]; publication/staleness: [[IndexStore]]).
+    * Deterministic: planes are fixed-seed constants, so the persisted
+    * buckets are a pure function of the corpus. */
+  object SigIndex {
+    private[operators] def indexDirFor(d: String): String =
+      s"${sys.props("java.io.tmpdir")}/graft_sig_${IndexStore.corpusFingerprint(d, "embeddings")}_t${NumTables}p$PlanesPerTable"
+
+    def ensure(s: SparkSession, d: String): DataFrame = {
+      val dir = IndexStore.ensure(indexDirFor(d), "signatures/_SUCCESS") { tmp =>
+        withNorm(s, d)
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            posexplode(tableBuckets(col("embedding"))).as(Seq("tbl", "bucket")))
+          .write.mode("overwrite").parquet(s"$tmp/signatures")
+      }
+      s.read.parquet(s"$dir/signatures")
+    }
+  }
+
   val s03 = QueryDef(
     "s03_ann_lsh",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      // materialize the bucketed frame ONCE (localCheckpoint; blocks
-      // freed by Lifecycle.release): the query and candidate sides are
-      // different filters of the same subtree, and without a
-      // materialization boundary each re-runs scan + norm + 32 plane
-      // dots (no exchange to reuse). Measured 0.77s -> 0.56s at sf0.1.
-      // At scale this frame is the signature index a deployment persists.
-      val e = withNorm(s, d)
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          posexplode(tableBuckets(col("embedding"))).as(Seq("tbl", "bucket")))
-        .localCheckpoint()
+      val e = SigIndex.ensure(s, d)
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("tbl").as("qt"), col("bucket").as("qb"))
@@ -343,49 +357,16 @@ object Similarity {
   object IvfIndex {
     val K = 16
 
-    /** Corpus fingerprint: name, length and mtime of every part of the
-      * embeddings source. A regenerated corpus at the SAME path changes
-      * the fingerprint, so the index can never silently serve stale
-      * centroids/assignments (the d.hashCode scheme it replaces could —
-      * and two paths can collide on a 32-bit hashCode). */
-    private[operators] def corpusFingerprint(d: String): String = {
-      val root = new java.io.File(s"$d/embeddings.parquet")
-      val parts = if (root.isDirectory) root.listFiles().sortBy(_.getName) else Array(root)
-      val desc = parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    }
-
     private[operators] def indexDirFor(d: String): String =
-      s"${sys.props("java.io.tmpdir")}/graft_ivf_${corpusFingerprint(d)}_k$K"
-
-    private def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
-      f.delete(); ()
-    }
+      s"${sys.props("java.io.tmpdir")}/graft_ivf_${IndexStore.corpusFingerprint(d, "embeddings")}_k$K"
 
     /** (centroids, assigned) — building first if this corpus fingerprint
-      * has no persisted index yet. The build goes into a private temp
-      * dir and is published with an atomic directory rename, so a
-      * concurrent JVM either sees the complete index or none at all —
-      * never a half-written one — and racing builders converge on one
-      * winner (the loser discards its copy). The `centroids/_SUCCESS`
-      * marker (written last within the build) additionally gates out a
-      * torn leftover from a crashed pre-rename build. */
+      * has no persisted index yet (fingerprinting, atomic publication
+      * and torn-build recovery: [[IndexStore]]; the `centroids/_SUCCESS`
+      * marker is written last within the build). */
     def ensure(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-      val dir = new java.io.File(indexDirFor(d))
-      if (!new java.io.File(dir, "centroids/_SUCCESS").exists()) {
-        val tmp = new java.io.File(dir.getParentFile,
-          s"${dir.getName}.build-${java.util.UUID.randomUUID()}")
-        build(s, d, tmp.getAbsolutePath)
-        if (!tmp.renameTo(dir)) {
-          // rename fails only if dir now exists: either a concurrent
-          // build won (use theirs) or a torn pre-rename leftover is in
-          // the way (replace it)
-          if (new java.io.File(dir, "centroids/_SUCCESS").exists()) deleteRec(tmp)
-          else { deleteRec(dir); if (!tmp.renameTo(dir)) deleteRec(tmp) }
-        }
-      }
+      val dir = IndexStore.ensure(indexDirFor(d), "centroids/_SUCCESS")(
+        tmp => build(s, d, tmp))
       (s.read.parquet(s"$dir/centroids"), s.read.parquet(s"$dir/assigned"))
     }
 

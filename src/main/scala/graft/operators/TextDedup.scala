@@ -272,23 +272,53 @@ object TextDedup {
     * TextExpressionsSpec), so there is no 64-column min-aggregate
     * shuffle: the only exchanges left are the band self-join (deduped by
     * ReuseExchange) and the verify joins. */
+  /** The LSH near-dup pipeline itself: band self-join candidates,
+    * exact-verified. [[PairIndex]] persists its result; consumers
+    * (t07, t11, t19) go through the index, not this. */
+  private[graft] def lshPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextExpressions.register(s)
+    val bands = docs(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        posexplode(call_function("graft_minhash_bands", col("text")))
+          .as(Seq("band_idx", "band_hash")))
+    val x = bands.select(col("doc_id").as("doc1"), col("band_idx"), col("band_hash"))
+    val y = bands.select(col("doc_id").as("doc2"), col("band_idx").as("bi2"), col("band_hash").as("bh2"))
+    val cand = x.join(y,
+        x("band_idx") === y("bi2") && x("band_hash") === y("bh2") &&
+          col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2")).distinct()
+    verifyJaccard(s, d, cand)
+  }
+
+  /** Corpus-fingerprinted persisted near-dup pair table (doc1, doc2,
+    * jaccard) — built ONCE per corpus by the [[lshPairs]] LSH pipeline
+    * and read by every consumer. The pair set is THE expensive dedup
+    * artifact at 100 TB; before this index the catalog ran the full LSH
+    * pipeline three times per pass (t07 itself, t11's edge stream at
+    * Corpus' connected components, t19's leakage audit — the round-7
+    * `weak` finding). Deterministic: candidates are exactly verified, so
+    * the persisted rows equal the exact inverted-index result
+    * regardless of build timing. Publication/staleness contract:
+    * [[IndexStore]]. */
+  object PairIndex {
+    private[operators] def indexDirFor(d: String): String =
+      s"${sys.props("java.io.tmpdir")}/graft_pairs_${IndexStore.corpusFingerprint(d, "documents")}"
+
+    /** The pair frame for corpus `d`, building + publishing first if
+      * this corpus fingerprint has no index yet. Unordered — consumers
+      * impose their own order. */
+    def ensure(s: SparkSession, d: String): DataFrame = {
+      val dir = IndexStore.ensure(indexDirFor(d), "pairs/_SUCCESS") { tmp =>
+        lshPairs(s, d).write.mode("overwrite").parquet(s"$tmp/pairs")
+      }
+      s.read.parquet(s"$dir/pairs")
+    }
+  }
+
   val t07 = QueryDef(
     "t07_minhash_lsh",
-    (s, d) => {
-      graft.functions.TextExpressions.register(s)
-      val bands = docs(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          posexplode(call_function("graft_minhash_bands", col("text")))
-            .as(Seq("band_idx", "band_hash")))
-      val x = bands.select(col("doc_id").as("doc1"), col("band_idx"), col("band_hash"))
-      val y = bands.select(col("doc_id").as("doc2"), col("band_idx").as("bi2"), col("band_hash").as("bh2"))
-      val cand = x.join(y,
-          x("band_idx") === y("bi2") && x("band_hash") === y("bh2") &&
-            col("doc1") < col("doc2"))
-        .select(col("doc1"), col("doc2")).distinct()
-      verifyJaccard(s, d, cand)
-    },
+    (s, d) => PairIndex.ensure(s, d).orderBy(col("doc1"), col("doc2")),
     Some(JaccardPairsSql))
 
   /** 60-bit md5-derived shingle hash, computable bit-identically in

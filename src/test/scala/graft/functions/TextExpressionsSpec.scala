@@ -129,6 +129,33 @@ class TextExpressionsSpec extends SparkSpec {
     kernel.foreach { case (id, s) => assert(s == agg(id), s"doc $id") }
   }
 
+  test("graft_term_counts equals explode + groupBy(doc, term), corpus + edges") {
+    TextExpressions.register(spark)
+    import TextFunctions._
+    val d = "/root/testdata/sf0.001"
+    val kernel = graft.Tables.documents(spark, d)
+      .select(col("doc_id"),
+        explode(call_function("graft_term_counts", col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+    val ref = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(8) // materialize toks (see graft_shingles parity test)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    assert(kernel.count() > 0)
+    assert(kernel.exceptAll(ref).count() == 0 && ref.exceptAll(kernel).count() == 0)
+    // edge cases: null/empty/whitespace text -> empty array (no rows
+    // after an explode, like the token chain it replaces); repeats count
+    val rows = spark.sql("""
+      SELECT graft_term_counts(CAST(NULL AS STRING)) AS a,
+             graft_term_counts('') AS b,
+             graft_term_counts('  A  b\ta  ') AS c
+    """).collect()(0)
+    assert(rows.getSeq[Any](0).isEmpty && rows.getSeq[Any](1).isEmpty)
+    val c = rows.getSeq[org.apache.spark.sql.Row](2)
+    assert(c.map(r => (r.getString(0), r.getLong(1))) == Seq(("a", 2L), ("b", 1L)))
+  }
+
   test("graft_shingles edge cases: null, empty, short, messy whitespace, dups") {
     TextExpressions.register(spark)
     val rows = spark.sql("""

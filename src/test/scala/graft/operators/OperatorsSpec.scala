@@ -107,12 +107,53 @@ class OperatorsSpec extends SparkSpec {
     assert(n1 > 100 && a2.count() == 100)
   }
 
+  test("pair index is rebuilt when the corpus at the same path is regenerated") {
+    val scratch = java.nio.file.Files.createTempDirectory("pairs_corpus").toFile
+    val src = spark.read.parquet(s"$sf/documents.parquet")
+    src.write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val dir1 = TextDedup.PairIndex.indexDirFor(scratch.getAbsolutePath)
+    val p1 = TextDedup.PairIndex.ensure(spark, scratch.getAbsolutePath).count()
+    assert(new java.io.File(dir1, "pairs/_SUCCESS").exists())
+    // regenerate the corpus at the SAME path with different content: the
+    // fingerprint must change and ensure() must serve pairs of the NEW
+    // corpus, not the stale persisted index
+    val subset = src.orderBy("doc_id").limit(100)
+    val keep = subset.select("doc_id").collect().map(_.getLong(0)).toSet
+    subset.write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val dir2 = TextDedup.PairIndex.indexDirFor(scratch.getAbsolutePath)
+    assert(dir1 != dir2, "fingerprint did not change with the corpus")
+    val p2 = TextDedup.PairIndex.ensure(spark, scratch.getAbsolutePath).collect()
+    assert(p1 > 0)
+    p2.foreach { r =>
+      assert(keep.contains(r.getLong(0)) && keep.contains(r.getLong(1)))
+    }
+  }
+
+  test("s03 signature index is rebuilt when the corpus is regenerated") {
+    val scratch = java.nio.file.Files.createTempDirectory("sig_corpus").toFile
+    val src = spark.read.parquet(s"$sf/embeddings.parquet")
+    src.write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+    val dir1 = Similarity.SigIndex.indexDirFor(scratch.getAbsolutePath)
+    val n1 = Similarity.SigIndex.ensure(spark, scratch.getAbsolutePath).count()
+    assert(new java.io.File(dir1, "signatures/_SUCCESS").exists())
+    src.limit(100).write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+    val dir2 = Similarity.SigIndex.indexDirFor(scratch.getAbsolutePath)
+    assert(dir1 != dir2, "fingerprint did not change with the corpus")
+    // 8 LSH tables -> one (tbl, bucket) row per table per vector
+    val n2 = Similarity.SigIndex.ensure(spark, scratch.getAbsolutePath).count()
+    assert(n1 > n2 && n2 == 100L * 8)
+  }
+
   test("signature kernels keep t07/t08 at ONE hash exchange (the band/chunk join)") {
     def hx(df: org.apache.spark.sql.DataFrame): Int =
       "hashpartitioning".r.findAllIn(df.queryExecution.executedPlan.toString).length
     // the per-row kernels replaced the 64-min / 60-vote aggregates; a
-    // second hashpartitioning here means the aggregate shuffle came back
-    assert(hx(TextDedup.t07.fn(spark, sf)) == 1)
+    // second hashpartitioning here means the aggregate shuffle came back.
+    // t07's shape contract moved to its index BUILD pipeline (lshPairs) —
+    // the query itself is now a read of the persisted pair index and must
+    // have NO hash exchange at all.
+    assert(hx(TextDedup.lshPairs(spark, sf)) == 1)
+    assert(hx(TextDedup.t07.fn(spark, sf)) == 0)
     assert(hx(TextDedup.t08.fn(spark, sf)) == 1)
   }
 
