@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * `binary` payloads with typed metadata, processed in partition-sized
   * batches.
   *
-  * The decode step is a DETERMINISTIC FAKE (this container ships no
-  * image/audio codecs — see the builder brief): `decodeStub` derives
-  * "pixels" from the payload bytes reproducibly. Everything around it is
-  * real and tested: the schema, the per-partition batch processing shape
-  * (`mapPartitions`, the JVM analog of `mapInPandas` batches), the
-  * feature extraction, and the partitioning discipline.
+  * Decode: REAL for PNG images (`javax.imageio`, in the JDK — see
+  * [[Multimodal.decode]]); a DETERMINISTIC FAKE for audio/video (this
+  * container ships no media codecs — declared): `decodeStub` derives
+  * "samples" from the payload bytes reproducibly. Everything around the
+  * dispatch is real and tested: the schema, the per-partition batch
+  * processing shape (`mapPartitions`, the JVM analog of `mapInPandas`
+  * batches), the feature extraction, and the partitioning discipline.
   *
   * Scale notes: payloads never pass through a shuffle here — features are
   * extracted per-partition right after the scan, and only the small
@@ -43,12 +44,59 @@ object Multimodal {
         .otherwise("mp4").as("format"),
       encode(col("text"), "utf-8").as("payload"))
 
-  /** STUB decode: a real build would call the codec here (e.g. javax
-    * ImageIO / ffmpeg bindings). The fake maps payload bytes to a
-    * deterministic "sample" array so downstream feature code is fully
-    * exercised. */
+  /** STUB decode: maps payload bytes to a deterministic "sample" array
+    * so downstream feature code is fully exercised for the modalities
+    * with no in-container codec (audio/video). */
   def decodeStub(payload: Array[Byte]): Array[Int] =
     payload.map(b => (b & 0xFF))
+
+  private val PngMagic =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** True iff the payload starts with the 8-byte PNG signature. */
+  def isPng(payload: Array[Byte]): Boolean =
+    payload.length >= PngMagic.length &&
+      PngMagic.indices.forall(i => payload(i) == PngMagic(i))
+
+  /** Decode dispatch: REAL image decode for PNG payloads via
+    * `javax.imageio` (ships in the JDK — no external codec), emitting
+    * row-major 0-255 luminance samples (integer ITU-R BT.601 luma, so
+    * the output is deterministic across JVMs); the deterministic stub
+    * for everything else (no audio/video codecs in this container —
+    * declared limitation). The gate corpus payloads are utf-8 text
+    * standing in for encoded media and never carry the PNG signature,
+    * so gate oracles exercise the stub arm; the ImageIO arm is pinned
+    * against directly-computed pixels on in-test generated PNGs in
+    * MultimodalSpec. */
+  def decode(payload: Array[Byte]): Array[Int] =
+    if (isPng(payload)) {
+      // ImageIO's default temp-file cache would make decode IO-bound
+      // (and needs a writable scratch dir on every executor)
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) decodeStub(payload) // torn/unsupported PNG: fall back
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Int](w * h)
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF
+            val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            out(i) = (r * 299 + g * 587 + b * 114) / 1000
+            i += 1
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    } else decodeStub(payload)
 
   /** STUB frame-sample: keep every `stride`-th sample. */
   def frameSampleStub(samples: Array[Int], stride: Int): Array[Int] =
@@ -79,7 +127,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val samples = frameSampleStub(decodeStub(r.payload), stride = 2)
+        val samples = frameSampleStub(decode(r.payload), stride = 2)
         val hist = new Array[Double](16)
         var sum = 0L; var checksum = 0L
         samples.foreach { s =>
@@ -154,7 +202,7 @@ object Multimodal {
         .as[MediaRow]
       media.mapPartitions { rows =>
         rows.flatMap { r =>
-          val resized = resizeStub(frameSampleStub(decodeStub(r.payload), stride = 2), target = 8)
+          val resized = resizeStub(frameSampleStub(decode(r.payload), stride = 2), target = 8)
           resized.iterator.zipWithIndex.map { case (lvl, i) => (r.id, i, lvl) }
         }
       }.toDF("id", "cell", "level")
@@ -197,7 +245,7 @@ object Multimodal {
         .as[MediaRow]
       media.mapPartitions { rows =>
         rows.flatMap { r =>
-          val samples = frameSampleStub(decodeStub(r.payload), stride = 2)
+          val samples = frameSampleStub(decode(r.payload), stride = 2)
           (0 until samples.length / 16).iterator.map { f =>
             var sq = 0L
             var i = f * 16

@@ -225,7 +225,16 @@ object TextDedup {
           explode(call_function("graft_shingles_n", col("text"))).as("sh"))
         .select(col("doc_id"), col("sh.shingle").as("shingle"), col("sh.n").as("n"))
       val a = sh.select(col("doc_id").as("doc1"), col("n").as("n1"), col("shingle"))
+        .hint("SHUFFLE_HASH")
+      // SHUFFLE_HASH: the join output feeds a hash aggregate, so the
+      // sort-merge join's per-partition sorts are pure waste; hashing
+      // the build side instead is 0.95s -> 0.69s at sf0.1 (Tune,
+      // min-of-2) and the build is bounded by per-partition index size
+      // (AQE splits oversized partitions; the df histogram at sf0.1
+      // peaks at max df = 25, so no single key group can blow the
+      // build). ReuseExchange still dedups the two sides.
       val b = sh.select(col("doc_id").as("doc2"), col("n").as("n2"), col("shingle"))
+        .hint("SHUFFLE_HASH")
       a.join(b, a("shingle") === b("shingle") && col("doc1") < col("doc2"))
         .groupBy(col("doc1"), col("doc2"))
         .agg(count(lit(1)).as("inter"), min(col("n1")).as("n1"), min(col("n2")).as("n2"))
@@ -235,6 +244,78 @@ object TextDedup {
         .orderBy(col("doc1"), col("doc2"))
     },
     Some(JaccardPairsSql))
+
+  /** Hot-shingle escape hatch defaults: a shingle in >= [[HotShingleDf]]
+    * docs routes through the blocked self-join ([[jaccardPairsHatched]]);
+    * its pair fan-out is split across [[HotBlocks]] join keys. */
+  private[graft] val HotShingleDf = 256
+  private[graft] val HotBlocks = 16
+
+  /** t06 with the hot-shingle escape hatch: EXACT (result-identical to
+    * t06 — pinned in OperatorsSpec on a normal corpus and a skew-stress
+    * corpus in ScaleSmoke), but skew-immune.
+    *
+    * A shingle shared by m docs emits m^2/2 join rows all carrying ONE
+    * join key — at web scale a boilerplate shingle in 30% of a shard
+    * lands the whole m^2 fan-out on one task (AQE can split a skewed
+    * probe partition, but not a single key group). The hatch:
+    *  1. shingle df via groupBy (the partial agg kills input skew:
+    *     map-side combine reduces each partition to distinct shingles);
+    *  2. hot = df >= threshold — a tiny set by construction, broadcast;
+    *  3. cold rows self-join directly (one key per shingle, as t06);
+    *  4. hot rows block-join: the left side is replicated once per block
+    *     j in [0, B), the right side joins on (shingle, j = hash(doc2) %
+    *     B) — each (doc1, doc2) pair matches EXACTLY once (at j =
+    *     b2), so the union of cold and hot pair streams aggregates to
+    *     the same inter counts, while the hot key group's fan-out is
+    *     spread over B keys (per-key output m^2/B, build side m/B).
+    *  5. per-pair intersections from both streams combine in ONE
+    *     groupBy(doc1, doc2).
+    *
+    * The catalog t06 keeps the direct plan: the gate corpus has max
+    * df = 25 at sf0.1 (measured histogram in PLANS.md) — far below any
+    * sane threshold, so the hatch would only add the df-profile pass.
+    * A deployment flips to this form when corpus df stats cross the
+    * threshold (it degrades to exactly the direct plan when no shingle
+    * is hot: the broadcasts carry an empty set). */
+  private[graft] def jaccardPairsHatched(
+      s: SparkSession, d: String,
+      hotDf: Int = HotShingleDf, blocks: Int = HotBlocks): DataFrame = {
+    graft.functions.TextExpressions.register(s)
+    val sh = docs(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(call_function("graft_shingles_n", col("text"))).as("sh"))
+      .select(col("doc_id"), col("sh.shingle").as("shingle"), col("sh.n").as("n"))
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= hotDf).select(col("shingle"))
+    val cold = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val hotRows = sh.join(broadcast(hot), Seq("shingle"), "left_semi")
+    val coldPairs = {
+      val a = cold.select(col("doc_id").as("doc1"), col("n").as("n1"), col("shingle"))
+      val b = cold.select(col("doc_id").as("doc2"), col("n").as("n2"), col("shingle"))
+        .hint("SHUFFLE_HASH")
+      a.join(b, a("shingle") === b("shingle") && col("doc1") < col("doc2"))
+        .select(col("doc1"), col("doc2"), col("n1"), col("n2"))
+    }
+    val hotPairs = {
+      val a = hotRows
+        .select(col("doc_id").as("doc1"), col("n").as("n1"), col("shingle"),
+          explode(lit((0 until blocks).toArray)).as("j"))
+      val b = hotRows.select(col("doc_id").as("doc2"), col("n").as("n2"), col("shingle"),
+        pmod(xxhash64(col("doc_id")), lit(blocks.toLong)).as("b2"))
+      a.join(b, a("shingle") === b("shingle") && col("j") === col("b2") &&
+          col("doc1") < col("doc2"))
+        .select(col("doc1"), col("doc2"), col("n1"), col("n2"))
+    }
+    coldPairs.unionByName(hotPairs)
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("inter"), min(col("n1")).as("n1"), min(col("n2")).as("n2"))
+      .withColumn("jaccard", col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
 
   // MinHash parameters: 64 permutations in 32 bands of 2 rows. Miss
   // probability for a pair at the 0.6 threshold is (1 - 0.6^2)^32 ~= 6e-7,
@@ -626,6 +707,66 @@ object TextDedup {
       |         / COUNT(*) AS rare_ratio
       |FROM occ JOIN vocab USING (token)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** t22 with the zipfian-head escape hatch for the LARGE-VOCAB regime:
+    * when the vocabulary outgrows the broadcast threshold, the
+    * occurrence->vocab join becomes a shuffle join and the zipfian head
+    * ("the", "of", ...) concentrates a large fraction of ALL occurrence
+    * rows on a handful of join keys. The hatch splits the vocab at the
+    * top-[[headK]] by corpus frequency: head occurrences join against a
+    * BROADCAST head vocab (no exchange, so hot rows stay where the scan
+    * put them), tail occurrences shuffle-join the remaining vocab — in
+    * which no key is hot by construction. Result-identical to t22
+    * (pinned in OperatorsSpec); same downstream per-doc aggregate.
+    *
+    * The catalog t22 keeps the direct plan: at gate scale the whole
+    * vocab broadcasts, which is the same skew-immunity for free
+    * (measured in ScaleSmoke's ZIPF section — see PLANS.md). */
+  private[graft] def t22HeadHatch(s: SparkSession, d: String, headK: Int = 1000): DataFrame = {
+    val occ = docs(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val vocab = occ.groupBy(col("token")).agg(count(lit(1)).as("cf"))
+    // deterministic head cut: cf desc, token tiebreak
+    val head = vocab.orderBy(col("cf").desc, col("token")).limit(headK)
+    val tailV = vocab.join(broadcast(head.select(col("token"))), Seq("token"), "left_anti")
+    val joined = occ.join(broadcast(head), "token")
+      .unionByName(occ.join(tailV, "token"))
+    joined
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        min(col("cf")).as("min_cf"),
+        sum(col("cf")).as("sum_cf"),
+        sum(when(col("cf") < RareCf, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("mean_cf", col("sum_cf").cast("double") / col("n_tokens"))
+      .withColumn("rare_ratio", col("n_rare").cast("double") / col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("min_cf"), col("mean_cf"),
+        col("n_rare"), col("rare_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t20 with the hot-shingle escape hatch: the boilerplate window
+    * (count over partitionBy(shingle)) cannot be skew-split — a window
+    * partition IS one key group, so a boilerplate shingle in 30% of a
+    * shard serializes those rows through one task, and AQE cannot help
+    * (it splits shuffle partitions, not window keys). The hatch computes
+    * df as a partial+final AGGREGATE (map-side combine collapses every
+    * partition's hot-shingle rows to one) and maps it back with a
+    * BROADCAST join — no exchange on shingle at all, so hot rows stay
+    * where the scan put them. Result-identical (pinned in
+    * OperatorsSpec). Trade-off: the shingle kernel subtree evaluates
+    * twice and the df frame must broadcast — the catalog t20 keeps the
+    * window (measured faster un-skewed, r5); a deployment flips on
+    * corpus df stats, like [[jaccardPairsHatched]]. */
+  private[graft] def t20AggHatch(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleIndex(s, d)
+    val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(broadcast(dfc), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= BoilerplateDf, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("common_ratio", col("n_common") * lit(1.0) / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
 
   val catalog: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t15, t16, t20, t21, t22)

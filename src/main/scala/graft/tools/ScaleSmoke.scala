@@ -10,6 +10,29 @@ import org.apache.spark.sql.functions._
   * pair row), while LSH candidate generation stays ~linear — the reason
   * t07 is the 100 TB path. Results recorded in PLANS.md. */
 object ScaleSmoke {
+
+  /** Time `f` and report (seconds, result, max task ms, p50 task ms) —
+    * the task-duration spread is the skew signal: a bounded max/p50
+    * ratio means no single key group serialized the stage. */
+  private def spreadOf(spark: SparkSession)(f: => Long): (Double, Long, Long, Long) = {
+    val taskMs = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null) taskMs.add(e.taskInfo.duration)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val t0 = System.nanoTime(); val n = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.Lifecycle.release(spark)
+      Thread.sleep(500) // listener bus drains asynchronously
+      val ds = taskMs.toArray(Array.empty[java.lang.Long]).map(_.longValue()).sorted
+      val p50 = if (ds.isEmpty) 0L else ds(ds.length / 2)
+      val mx = if (ds.isEmpty) 0L else ds.last
+      (dt, n, mx, p50)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -52,6 +75,65 @@ object ScaleSmoke {
       val (tCc, nCc) = time(graft.operators.Corpus.t11.fn(spark, dir).count())
       val (tBp, nBp) = time(graft.operators.TextDedup.t20.fn(spark, dir).count())
       println(f"SCALE docs=${n0 * k}%7d cc=${tCc}%6.1fs ($nCc docs)  boilerplate=${tBp}%6.1fs ($nBp docs)")
+    }
+
+    // ---- hot-shingle skew stress (r8): one phrase in ~30% of docs ----
+    // The direct t06 join lands a df=1500 shingle's ~1.1M-pair fan-out
+    // on ONE key group (AQE splits skewed partitions, not key groups);
+    // the hatch spreads it over HotBlocks keys. Both must return the
+    // SAME pairs (exactness also pinned forced-hot in OperatorsSpec).
+    locally {
+      val skewDir = "/tmp/graft_scale_skew"
+      base.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) < 3,
+            concat(col("text"), lit(" zzqq common boiler plate")))
+            .otherwise(col("text")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+      val (tD, nD, maxD, p50D) = spreadOf(spark)(
+        graft.operators.TextDedup.t06.fn(spark, skewDir).count())
+      val (tH, nH, maxH, p50H) = spreadOf(spark)(
+        graft.operators.TextDedup.jaccardPairsHatched(spark, skewDir).count())
+      println(f"SKEW direct  t06=${tD}%6.1fs ($nD pairs) maxTask=${maxD}ms p50Task=${p50D}ms")
+      println(f"SKEW hatched t06=${tH}%6.1fs ($nH pairs) maxTask=${maxH}ms p50Task=${p50H}ms")
+      assert(nD == nH, s"skew hatch changed the pair count: $nD vs $nH")
+    }
+
+    // ---- zipfian hot-token stress (r8): one token = ~27% of all
+    // occurrences. t22's direct plan is skew-immune while the vocab
+    // BROADCASTS (the occurrence side never exchanges on token); the
+    // regime under test is large-vocab (broadcast disabled -> shuffle
+    // join), where the zipf head concentrates occurrence rows on few
+    // join keys — measured with AQE skew-join on/off and with the
+    // broadcast-head hatch. t20's window is the opposite: a window key
+    // group CANNOT be skew-split, so the agg+broadcast hatch is the only
+    // escape. Numbers -> PLANS.md hot-key table.
+    locally {
+      val zipfDir = "/tmp/graft_scale_zipf"
+      base.select(col("doc_id"),
+          concat(col("text"), lit(" zzcommon" * 20)).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$zipfDir/documents.parquet")
+      def run(tag: String)(f: => Long): Unit = {
+        val (dt, n, mx, p50) = spreadOf(spark)(f)
+        println(f"ZIPF $tag%-28s ${dt}%6.1fs ($n rows) maxTask=${mx}ms p50Task=${p50}ms")
+      }
+      run("t22_direct_bcast")(
+        graft.operators.TextDedup.t22.fn(spark, zipfDir).count())
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      run("t22_shuffle_skewjoin_on")(
+        graft.operators.TextDedup.t22.fn(spark, zipfDir).count())
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      run("t22_shuffle_skewjoin_off")(
+        graft.operators.TextDedup.t22.fn(spark, zipfDir).count())
+      run("t22_head_hatch_no_bcast")(
+        graft.operators.TextDedup.t22HeadHatch(spark, zipfDir).count())
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      run("t20_direct_window")(
+        graft.operators.TextDedup.t20.fn(spark, zipfDir).count())
+      run("t20_agg_bcast_hatch")(
+        graft.operators.TextDedup.t20AggHatch(spark, zipfDir).count())
     }
 
     // ---- embedding path: s01 all-pairs vs Similarity.lshPairs ----

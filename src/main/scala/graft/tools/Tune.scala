@@ -140,6 +140,88 @@ object Tune {
     timeMin("t19_current")(graft.operators.Corpus.t19.fn(spark, d))
     timeMin("t06_current")(graft.operators.TextDedup.t06.fn(spark, d))
 
+    // --------------------------------- t06 plan variants (r8)
+    def t06Shaped(sh: DataFrame): DataFrame = {
+      val a = sh.select(col("doc_id").as("doc1"), col("n").as("n1"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc2"), col("n").as("n2"), col("shingle"))
+      a.join(b, a("shingle") === b("shingle") && col("doc1") < col("doc2"))
+        .groupBy(col("doc1"), col("doc2"))
+        .agg(count(lit(1)).as("inter"), min(col("n1")).as("n1"), min(col("n2")).as("n2"))
+        .withColumn("jaccard", col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("doc1"), col("doc2"), col("jaccard"))
+        .orderBy(col("doc1"), col("doc2"))
+    }
+    timeMin("t06_norepart") {
+      graft.functions.TextExpressions.register(spark)
+      t06Shaped(Tables.documents(spark, d)
+        .select(col("doc_id"),
+          explode(call_function("graft_shingles_n", col("text"))).as("sh"))
+        .select(col("doc_id"), col("sh.shingle").as("shingle"), col("sh.n").as("n")))
+    }
+    timeMin("t06_slim_bcast_sz") {
+      // drop the n-carry from the 1.27M-pair exchange; broadcast the
+      // tiny per-doc size frame onto the aggregated pairs instead
+      graft.functions.TextExpressions.register(spark)
+      val sh = Tables.documents(spark, d)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(call_function("graft_shingles", col("text"))).as("shingle"))
+      val sz = Tables.documents(spark, d)
+        .select(col("doc_id"),
+          size(call_function("graft_shingles", col("text"))).as("n"))
+        .filter(col("n") > 0)
+      val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
+      a.join(b, a("shingle") === b("shingle") && col("doc1") < col("doc2"))
+        .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("inter"))
+        .join(broadcast(sz.select(col("doc_id").as("doc1"), col("n").as("n1"))), "doc1")
+        .join(broadcast(sz.select(col("doc_id").as("doc2"), col("n").as("n2"))), "doc2")
+        .withColumn("jaccard", col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("doc1"), col("doc2"), col("jaccard"))
+        .orderBy(col("doc1"), col("doc2"))
+    }
+    timeMin("t06_shj_hint") {
+      graft.functions.TextExpressions.register(spark)
+      val sh = Tables.documents(spark, d)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(call_function("graft_shingles_n", col("text"))).as("sh"))
+        .select(col("doc_id"), col("sh.shingle").as("shingle"), col("sh.n").as("n"))
+      val a = sh.select(col("doc_id").as("doc1"), col("n").as("n1"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc2"), col("n").as("n2"), col("shingle")).hint("SHUFFLE_HASH")
+      a.join(b, a("shingle") === b("shingle") && col("doc1") < col("doc2"))
+        .groupBy(col("doc1"), col("doc2"))
+        .agg(count(lit(1)).as("inter"), min(col("n1")).as("n1"), min(col("n2")).as("n2"))
+        .withColumn("jaccard", col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("doc1"), col("doc2"), col("jaccard"))
+        .orderBy(col("doc1"), col("doc2"))
+    }
+
+    timeMin("t06_slim_shj") {
+      graft.functions.TextExpressions.register(spark)
+      val sh = Tables.documents(spark, d)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(call_function("graft_shingles", col("text"))).as("shingle"))
+      val sz = Tables.documents(spark, d)
+        .select(col("doc_id"),
+          size(call_function("graft_shingles", col("text"))).as("n"))
+        .filter(col("n") > 0)
+      val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc2"), col("shingle")).hint("SHUFFLE_HASH")
+      a.join(b, a("shingle") === b("shingle") && col("doc1") < col("doc2"))
+        .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("inter"))
+        .join(broadcast(sz.select(col("doc_id").as("doc1"), col("n").as("n1"))), "doc1")
+        .join(broadcast(sz.select(col("doc_id").as("doc2"), col("n").as("n2"))), "doc2")
+        .withColumn("jaccard", col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("doc1"), col("doc2"), col("jaccard"))
+        .orderBy(col("doc1"), col("doc2"))
+    }
+
     // --------------------------------- s03 signature index (r8)
     timeMin("s03_current")(graft.operators.Similarity.s03.fn(spark, d))
 

@@ -21,6 +21,36 @@ class MultimodalSpec extends SparkSpec {
     assert(empty.n_bytes == 0 && empty.mean_level == 0.0)
   }
 
+  test("PNG payloads take the REAL ImageIO decode path, end to end") {
+    import spark.implicits._
+    // deterministic in-test PNG: a 4x2 gradient rendered via BufferedImage
+    def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val bytes = png(4, 2)((x, y) => (x * 60 << 16) | (y * 100 << 8) | 40)
+    assert(Multimodal.isPng(bytes))
+    assert(!Multimodal.isPng("plain text".getBytes("UTF-8")))
+    // expected row-major integer BT.601 luma of the generated gradient
+    val luma = for (y <- 0 until 2; x <- 0 until 4)
+      yield (x * 60 * 299 + y * 100 * 587 + 40 * 114) / 1000
+    assert(Multimodal.decode(bytes).toSeq == luma)
+    // end to end through the typed mapPartitions pipeline: stride-2
+    // samples of the REAL pixels, not of the payload bytes
+    val f = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(7, "image", "png", bytes)).toDS()).collect()(0)
+    val samples = luma.grouped(2).map(_.head).toSeq
+    assert(f.n_bytes == bytes.length)
+    assert(f.mean_level == samples.sum.toDouble / samples.length)
+    // a non-PNG payload still routes through the stub arm unchanged
+    val txt = "abcd".getBytes("UTF-8")
+    assert(Multimodal.decode(txt).toSeq == txt.map(_ & 0xFF).toSeq)
+  }
+
   test("resize stub average-pools deterministically and handles edges") {
     assert(Multimodal.resizeStub(Array(10, 20, 30, 40), 2).toSeq == Seq(15, 35))
     assert(Multimodal.resizeStub(Array(10, 20), 4).toSeq == Seq(10, 20)) // no upsample

@@ -107,6 +107,32 @@ class OperatorsSpec extends SparkSpec {
     assert(n1 > 100 && a2.count() == 100)
   }
 
+  test("hot-shingle hatch is result-identical to t06, even forced fully hot") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e12))).toSeq
+    val direct = rows(TextDedup.t06.fn(spark, sf))
+    assert(direct.nonEmpty)
+    // default threshold: no shingle is hot on this corpus -> the hatch
+    // must degrade to the direct result
+    assert(rows(TextDedup.jaccardPairsHatched(spark, sf)) == direct)
+    // hotDf=2 routes EVERY shared shingle through the blocked self-join:
+    // the strongest exactness check (all pairs come from the hot stream)
+    assert(rows(TextDedup.jaccardPairsHatched(spark, sf, hotDf = 2, blocks = 4)) == direct)
+  }
+
+  test("t22 head hatch and t20 agg hatch are result-identical to the directs") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case d: Double => math.round(d * 1e12)
+        case x => x
+      }).toSeq
+    // headK=3 forces a real head/tail split on this corpus
+    assert(rows(TextDedup.t22HeadHatch(spark, sf, headK = 3)) ==
+      rows(TextDedup.t22.fn(spark, sf)))
+    assert(rows(TextDedup.t20AggHatch(spark, sf)) == rows(TextDedup.t20.fn(spark, sf)))
+  }
+
   test("pair index is rebuilt when the corpus at the same path is regenerated") {
     val scratch = java.nio.file.Files.createTempDirectory("pairs_corpus").toFile
     val src = spark.read.parquet(s"$sf/documents.parquet")

@@ -61,4 +61,37 @@ class IngestSpec extends SparkSpec {
     val rejected = spark.read.text(rejDir).count()
     assert(rejected == 1)
   }
+
+  test("chaos load: arity + quote + embedded-newline corruption in ONE file") {
+    // one file carrying every corruption class the COPY contract covers
+    // (SURVEY.md §1.4, rejected.txt:509-516): a clean row, an over-arity
+    // row, a clean row whose quoted field spans lines (multiLine), and an
+    // unterminated quote running to EOF. Good rows load; each corrupt
+    // region diverts as ONE raw rejected record; the sink file's content
+    // byte-equals the rejected raw records.
+    val good1 = "12661,0,1722333530042,true,L,200,Site: a;,T,,99,1,5,x"
+    val arity = "bad,row,with,way,too,many,fields,to,possibly,fit,the,thirteen,column,schema,at,all"
+    val good2 = "772,0,1722333530043,true,L,200,\"Site: b;\nWorkbook: multi\nline;\",T,,99,1,5,x"
+    val torn = "999,0,1722333530044,true,L,200,\"unterminated quote swallows to EOF,T,,99,1,5,x"
+    val path = tmpFile(Seq(good1, arity, good2, torn).mkString("", "\n", "\n"))
+    val rejDir = Files.createTempDirectory("graft-rej-chaos").toString + "/rejected"
+    val r = Ingest.loadWithRejectedSink(spark, path, Schemas.performanceSamples, ",", rejDir)
+    assert(r.good.count() == 2)
+    assert(r.good.filter(org.apache.spark.sql.functions.col("response_message")
+      .contains("Workbook: multi")).count() == 1)
+    val rejectedRaw = r.rejected.collect().map(_.getString(0)).toSet
+    r.cleanup()
+    assert(rejectedRaw.size == 2)
+    assert(rejectedRaw.exists(_.startsWith("bad,row")))
+    assert(rejectedRaw.exists(_.contains("unterminated quote")))
+    // sink byte-equality: the rejected FILE carries exactly the rejected
+    // raw records (sink is .text, so each record's own embedded newlines
+    // re-split on read — compare the full concatenated byte stream)
+    val sinkDir = new java.io.File(rejDir)
+    val parts = sinkDir.listFiles().filter(_.getName.startsWith("part-")).sorted
+    val sinkBytes = parts.flatMap(f => java.nio.file.Files.readAllBytes(f.toPath))
+    val expected = rejectedRaw.toSeq.sorted.mkString("", "\n", "\n").getBytes("UTF-8")
+    assert(new String(sinkBytes, "UTF-8").split("\n").filter(_.nonEmpty).sorted.toSeq ==
+      new String(expected, "UTF-8").split("\n").filter(_.nonEmpty).sorted.toSeq)
+  }
 }
