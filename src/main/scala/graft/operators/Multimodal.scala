@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * `binary` payloads with typed metadata, processed in partition-sized
   * batches.
   *
-  * Decode: REAL for PNG images (`javax.imageio`, in the JDK — see
-  * [[Multimodal.decode]]); a DETERMINISTIC FAKE for audio/video (this
-  * container ships no media codecs — declared): `decodeStub` derives
+  * Decode: REAL for PNG images (`javax.imageio`) and PCM WAV audio
+  * (`javax.sound.sampled`) — both ship in the JDK, no external codec —
+  * see [[Multimodal.decode]]; a DETERMINISTIC FAKE for video (this
+  * container ships no video codecs — declared): `decodeStub` derives
   * "samples" from the payload bytes reproducibly. Everything around the
   * dispatch is real and tested: the schema, the per-partition batch
   * processing shape (`mapPartitions`, the JVM analog of `mapInPandas`
@@ -58,18 +59,65 @@ object Multimodal {
     payload.length >= PngMagic.length &&
       PngMagic.indices.forall(i => payload(i) == PngMagic(i))
 
+  /** True iff the payload is a RIFF/WAVE container (bytes 0-3 "RIFF",
+    * 8-11 "WAVE" — the public canonical WAV header layout). */
+  def isWav(payload: Array[Byte]): Boolean =
+    payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+      payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E'
+
+  /** REAL audio decode for PCM WAV payloads via `javax.sound.sampled`
+    * (in the JDK). Emits one 0-255 level per FRAME from the first
+    * channel — 8-bit unsigned PCM passes through, 16-bit signed PCM is
+    * shifted to unsigned and truncated to its high byte — so decoded
+    * audio feeds the same histogram/mean/RMS feature code as image
+    * luma. Deterministic: levels are integer arithmetic on the exact
+    * `data`-chunk bytes the stream hands back. Returns null (caller
+    * falls back to the stub) for non-PCM encodings or bit depths other
+    * than 8/16 — the same torn-input contract as the PNG arm. */
+  private def decodeWav(payload: Array[Byte]): Array[Int] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = in.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val bytes = in.readAllBytes()
+      val frameSize = fmt.getFrameSize
+      val nFrames = bytes.length / frameSize
+      if (enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+        Array.tabulate(nFrames)(f => bytes(f * frameSize) & 0xFF)
+      else if (enc == AudioFormat.Encoding.PCM_SIGNED && bits == 16)
+        Array.tabulate(nFrames) { f =>
+          val i = f * frameSize
+          val s =
+            if (fmt.isBigEndian) (bytes(i) << 8) | (bytes(i + 1) & 0xFF)
+            else (bytes(i + 1) << 8) | (bytes(i) & 0xFF)
+          (s.toShort + 32768) >> 8
+        }
+      else null
+    } finally in.close()
+  }
+
   /** Decode dispatch: REAL image decode for PNG payloads via
     * `javax.imageio` (ships in the JDK — no external codec), emitting
     * row-major 0-255 luminance samples (integer ITU-R BT.601 luma, so
-    * the output is deterministic across JVMs); the deterministic stub
-    * for everything else (no audio/video codecs in this container —
-    * declared limitation). The gate corpus payloads are utf-8 text
-    * standing in for encoded media and never carry the PNG signature,
-    * so gate oracles exercise the stub arm; the ImageIO arm is pinned
-    * against directly-computed pixels on in-test generated PNGs in
+    * the output is deterministic across JVMs); REAL audio decode for
+    * PCM WAV payloads via `javax.sound.sampled` (also in the JDK, see
+    * [[decodeWav]]); the deterministic stub for everything else (no
+    * video codecs in this container — declared limitation). The gate
+    * corpus payloads are utf-8 text standing in for encoded media and
+    * never carry the PNG/RIFF signatures, so gate oracles exercise the
+    * stub arm; the ImageIO and WAV arms are pinned against
+    * directly-computed pixels/samples on in-test generated payloads in
     * MultimodalSpec. */
   def decode(payload: Array[Byte]): Array[Int] =
-    if (isPng(payload)) {
+    if (isWav(payload)) {
+      val out =
+        try decodeWav(payload)
+        catch { case _: Exception => null } // torn/unsupported WAV
+      if (out == null) decodeStub(payload) else out
+    } else if (isPng(payload)) {
       // ImageIO's default temp-file cache would make decode IO-bound
       // (and needs a writable scratch dir on every executor)
       javax.imageio.ImageIO.setUseCache(false)

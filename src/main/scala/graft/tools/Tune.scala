@@ -224,6 +224,7 @@ object Tune {
 
     // --------------------------------- s03 signature index (r8)
     timeMin("s03_current")(graft.operators.Similarity.s03.fn(spark, d))
+    timeMin("t09_current")(graft.operators.Advanced.t09.fn(spark, d))
 
     spark.stop()
   }
