@@ -13,7 +13,8 @@ object SparkEntry {
     operators.Relational.catalog ++ operators.TextDedup.catalog ++
       operators.Similarity.catalog ++ operators.Multimodal.catalog ++
       operators.SourcesStreaming.catalog ++ operators.Advanced.catalog ++
-      operators.Corpus.catalog ++ operators.TabjoltParity.catalog
+      operators.Corpus.catalog ++ operators.TabjoltParity.catalog ++
+      operators.Sketches.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Uses the reference's centerpiece shape: per-key historical average vs

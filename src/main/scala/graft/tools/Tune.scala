@@ -225,6 +225,35 @@ object Tune {
     // --------------------------------- s03 signature index (r8)
     timeMin("s03_current")(graft.operators.Similarity.s03.fn(spark, d))
     timeMin("t09_current")(graft.operators.Advanced.t09.fn(spark, d))
+    timeMin("sk01_current")(graft.operators.Sketches.sk01.fn(spark, d))
+    timeMin("sk02_current")(graft.operators.Sketches.sk02.fn(spark, d))
+    timeMin("sk01_vocab_weighted") {
+      // counters derived from the exact vocab aggregate by linearity:
+      // one kernel/scan pass feeds both the sketch and the exact side
+      import org.apache.spark.sql.functions._
+      graft.functions.TextExpressions.register(spark)
+      def bkt(i: Int, tok: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit(s"$i:"), tok).cast("binary")), 1, 15), 16, 10)
+          .cast("long") % 1024
+      val vocab = graft.Tables.documents(spark, d)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(explode(call_function("graft_tokens", col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+        .localCheckpoint()
+      val counters = vocab
+        .select(col("exact_cnt"),
+          posexplode(array((0 until 4).map(i => bkt(i, col("tok"))): _*)).as(Seq("rw", "bucket")))
+        .groupBy(col("rw"), col("bucket")).agg(sum(col("exact_cnt")).as("c"))
+      val top = vocab.orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+      top
+        .select(col("tok"), col("exact_cnt"),
+          posexplode(array((0 until 4).map(i => bkt(i, col("tok"))): _*)).as(Seq("rw", "bucket")))
+        .join(counters, Seq("rw", "bucket"))
+        .groupBy(col("tok"), col("exact_cnt"))
+        .agg(min(col("c")).as("cms_est"))
+        .select(col("tok").as("token"), col("exact_cnt"), col("cms_est"))
+        .orderBy(col("exact_cnt").desc, col("token"))
+    }
 
     spark.stop()
   }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("CMS never underestimates; overshoot bounded by e/w x total") {
+    val out = Sketches.cmsTopK(spark, sf).collect()
+    assert(out.length == 20)
+    val total = Sketches.tokenStream(spark, graft.Tables.documents(spark, sf)).count()
+    // the classical CMS guarantee: est <= exact + (e/w) * total with
+    // probability 1 - e^-d; with fixed hashes on a fixed corpus the
+    // realized error is deterministic, so the bound is assertable flat
+    val bound = math.ceil(math.E / 1024.0 * total).toLong
+    out.foreach { r =>
+      val exact = r.getAs[Long]("exact_cnt")
+      val est = r.getAs[Long]("cms_est")
+      assert(est >= exact, s"CMS underestimated ${r.getAs[String]("token")}: $est < $exact")
+      assert(est - exact <= bound, s"${r.getAs[String]("token")}: overshoot ${est - exact} > $bound")
+    }
+  }
+
+  test("CMS counters merge by sum across disjoint corpus slices") {
+    val docs = graft.Tables.documents(spark, sf)
+    def counters(df: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsCounters(Sketches.tokenStream(spark, df))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val full = counters(docs)
+    val merged = Sketches.cmsCounters(Sketches.tokenStream(spark, docs.filter(col("doc_id") % 2 === 0)))
+      .union(Sketches.cmsCounters(Sketches.tokenStream(spark, docs.filter(col("doc_id") % 2 === 1))))
+      .groupBy(col("rw"), col("bucket")).agg(sum(col("c")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == full && full.nonEmpty)
+  }
+
+  test("gate-query estimates equal min over the raw-stream counters (linearity)") {
+    // the gate query derives counters from the vocab aggregate; this
+    // pins that the derivation equals the production sketch built from
+    // the raw occurrence stream, with the md5 bucket recomputed
+    // independently on the JVM side
+    def bucket(i: Int, tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$i:$tok".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1024
+    }
+    val docs = graft.Tables.documents(spark, sf)
+    val counters = Sketches.cmsCounters(Sketches.tokenStream(spark, docs))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val out = Sketches.cmsTopK(spark, sf).collect()
+    out.foreach { r =>
+      val tok = r.getAs[String]("token")
+      val expected = (0 until 4).map(i => counters((i, bucket(i, tok)))).min
+      assert(r.getAs[Long]("cms_est") == expected, tok)
+    }
+  }
+
+  test("HLL estimate lands in the m=256 standard-error envelope at two SFs") {
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val r = Sketches.hllDistinctShingles(spark, d).collect()(0)
+      val est = r.getAs[Double]("hll_estimate")
+      val exact = r.getAs[Long]("exact_distinct")
+      // 1.04/sqrt(256) = 6.5% standard error; 15% is a comfortable
+      // deterministic envelope for these corpora (measured -5.9%/-7.3%)
+      assert(math.abs(est - exact) / exact < 0.15, s"$d: est $est vs exact $exact")
+      assert(r.getAs[Int]("m") == 256)
+    }
+  }
+
+  test("HLL registers merge by max across disjoint corpus slices") {
+    val idx = TextDedup.shingleIndex(spark, sf)
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val full = regs(idx)
+    val merged = Sketches.hllRegisters(idx.filter(col("doc_id") % 2 === 0))
+      .union(Sketches.hllRegisters(idx.filter(col("doc_id") % 2 === 1)))
+      .groupBy(col("bucket")).agg(max(col("m_j")).as("m_j"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(merged == full && full.nonEmpty)
+  }
+}
