@@ -77,6 +77,30 @@ object ScaleSmoke {
       println(f"SCALE docs=${n0 * k}%7d cc=${tCc}%6.1fs ($nCc docs)  boilerplate=${tBp}%6.1fs ($nBp docs)")
     }
 
+    // ---- sketch growth (r8): sketch size is O(1) in corpus size ----
+    // CMS counters stay <= d x w = 4096 rows and HLL registers stay 256
+    // however large the corpus; what should grow is ONLY the scan. The
+    // accuracy contracts must hold as distinct shingles grow ~12x.
+    locally {
+      def time[T](f: => T): (Double, T) = {
+        val t0 = System.nanoTime(); val v = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.Lifecycle.release(spark)
+        (dt, v)
+      }
+      Seq(1, 4, 12).foreach { k =>
+        val dir = s"/tmp/graft_scale_${k}x"
+        val (tCms, cms) = time(graft.operators.Sketches.sk01.fn(spark, dir).collect())
+        val overshoot = cms.map(r => r.getAs[Long]("cms_est") - r.getAs[Long]("exact_cnt")).max
+        val (tHll, hll) = time(graft.operators.Sketches.sk02.fn(spark, dir).collect()(0))
+        val est = hll.getAs[Double]("hll_estimate")
+        val exact = hll.getAs[Long]("exact_distinct")
+        println(f"SKETCH docs=${n0 * k}%7d cms=${tCms}%5.1fs (top-20 max overshoot $overshoot) " +
+          f"hll=${tHll}%5.1fs est=${est}%.0f exact=$exact err=${(est - exact) * 100.0 / exact}%+.1f%%")
+        assert(cms.forall(r => r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_cnt")))
+      }
+    }
+
     // ---- hot-shingle skew stress (r8): one phrase in ~30% of docs ----
     // The direct t06 join lands a df=1500 shingle's ~1.1M-pair fan-out
     // on ONE key group (AQE splits skewed partitions, not key groups);
