@@ -301,6 +301,13 @@ object Similarity {
     "s03_ann_lsh",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // register unconditionally: when the signature index is already
+      // published, the build path (withNorm — the only other
+      // registration site on this query) is skipped, and a fresh
+      // session would hit UNRESOLVED_ROUTINE on graft_dot below (found
+      // by running s03 standalone against a warm index; the catalog
+      // gate masked it because s01/s02 register first alphabetically)
+      graft.functions.VectorExpressions.register(s)
       val e = SigIndex.ensure(s, d)
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
