@@ -227,6 +227,30 @@ object Tune {
     timeMin("t09_current")(graft.operators.Advanced.t09.fn(spark, d))
     timeMin("sk01_current")(graft.operators.Sketches.sk01.fn(spark, d))
     timeMin("sk02_current")(graft.operators.Sketches.sk02.fn(spark, d))
+    timeMin("sk03_current")(graft.operators.Sketches.sk03.fn(spark, d))
+    timeMin("t15_current")(graft.operators.TextDedup.t15.fn(spark, d))
+    timeMin("sk03_semijoins") {
+      import org.apache.spark.sql.functions._
+      def pos(i: Int, key: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit(s"B$i:"), key).cast("binary")), 1, 15), 16, 10)
+          .cast("long") % 65536
+      val sh = graft.operators.TextDedup.shingleIndex(spark, d)
+      val bench = sh.filter(col("doc_id") % 20 === 7)
+        .select(col("doc_id").as("bench_id"), col("shingle")).localCheckpoint()
+      val bits = bench.select(explode(array((0 until 4).map(i =>
+        pos(i, col("shingle"))): _*)).as("pos")).distinct()
+      var surv = sh.filter(col("doc_id") % 20 =!= 7)
+      (0 until 4).foreach { i =>
+        surv = surv.withColumn(s"p$i", pos(i, col("shingle")))
+          .join(broadcast(bits.withColumnRenamed("pos", s"p$i")),
+            Seq(s"p$i"), "left_semi")
+      }
+      surv.join(broadcast(bench), "shingle")
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }
     timeMin("sk01_vocab_weighted") {
       // counters derived from the exact vocab aggregate by linearity:
       // one kernel/scan pass feeds both the sketch and the exact side

@@ -69,6 +69,18 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("Bloom-prefiltered decontamination is row-identical to exact t15") {
+    // structural claim: no false negatives (every true benchmark shingle
+    // passes its own filter), false positives die in the exact verify —
+    // so sk03 must equal t15 row for row at any scale
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val exact = TextDedup.t15.fn(spark, d).collect().map(_.toSeq).toSeq
+      val bloom = Sketches.bloomDecontaminate(spark, d).collect().map(_.toSeq).toSeq
+      assert(bloom == exact, d)
+      assert(exact.nonEmpty || d.endsWith("sf0.001"), s"no contamination rows at $d")
+    }
+  }
+
   test("HLL registers merge by max across disjoint corpus slices") {
     val idx = TextDedup.shingleIndex(spark, sf)
     def regs(df: org.apache.spark.sql.DataFrame) =
