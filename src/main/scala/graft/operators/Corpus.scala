@@ -117,7 +117,18 @@ object Corpus {
         .select(col("v").as("doc_id"), col("label").as("cluster_id"))
         .orderBy(col("doc_id"))
     },
-    Some((TextDedup.ShingleCte + s""",
+    Some((TextDedup.ShingleCte + CcCteSql + """
+      |SELECT doc_id, cluster_id FROM cc ORDER BY doc_id""".stripMargin)
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")))
+
+  /** The connected-components CTE chain appended after
+    * [[TextDedup.ShingleCte]]: exact Jaccard edges at the t06/t07
+    * threshold, symmetrized, transitively closed by a recursive CTE,
+    * min-labeled as `cc(doc_id, cluster_id)`. Shared by the t11 and t23
+    * oracles so the two transitive closures can never drift apart (the
+    * enclosing WITH must be rewritten to WITH RECURSIVE). */
+  private def CcCteSql: String =
+    s""",
       |pairs AS (
       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -134,10 +145,9 @@ object Corpus {
       |  SELECT a AS v, a AS label FROM und
       |  UNION
       |  SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.v
-      |)
-      |SELECT v AS doc_id, MIN(label) AS cluster_id
-      |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin)
-      .replaceFirst("^WITH ", "WITH RECURSIVE ")))
+      |),
+      |cc AS (SELECT v AS doc_id, MIN(label) AS cluster_id
+      |       FROM reach GROUP BY v)""".stripMargin
 
   // --------------------------------------------------- t12: stratified split
 
@@ -342,5 +352,53 @@ object Corpus {
       |  FROM tok)
       |ORDER BY doc_id""".stripMargin))
 
-  val catalog: Seq[QueryDef] = Seq(t11, t12, t13, t14, t17, t18, t19)
+  // ------------------------------------------- t23: canonical selection
+
+  /** Canonical-document selection — the KEEP/DROP decision a dedup
+    * pipeline actually ships: every document gets its near-dup cluster
+    * id (singletons are their own cluster) and the highest-quality
+    * member of each cluster is kept (quality ties broken by lowest
+    * doc_id — a total, engine-independent order). This is the
+    * composition t11 (clusters) × t03 (quality) exists to feed; the
+    * output is the corpus-wide keep mask plus the audit columns a
+    * curation review needs.
+    *
+    * Scale: cluster labels come from [[connectedComponents]] over the
+    * persisted pair index (near-dup pairs are sparse, so the label set
+    * is small relative to the corpus and the left join hashes on
+    * doc_id); the keep mask is one window shuffle keyed by cluster_id,
+    * whose partitions are singleton-dominated (no skew: a cluster's
+    * size is bounded by its duplication factor, not the corpus).
+    * Quality is the per-row fused textStats kernel — no extra pass. */
+  val t23 = QueryDef(
+    "t23_canonical_docs",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = TextDedup.PairIndex.ensure(s, d).select(col("doc1"), col("doc2"))
+      val und = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+        .unionByName(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+      val cc = connectedComponents(und)
+        .select(col("v").as("doc_id"), col("label").as("cluster_id"))
+      val scored = docs(s, d).select(col("doc_id"),
+        textStats(col("text")).getField("quality").as("quality"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      scored.join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("keep", row_number().over(w) === 1)
+        .select(col("doc_id"), col("cluster_id"), col("quality"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some((TextDedup.ShingleCte + CcCteSql + s""",
+      |scored AS (SELECT doc_id, $QualityRef AS quality FROM tok)
+      |SELECT s.doc_id,
+      |       COALESCE(cc.cluster_id, s.doc_id) AS cluster_id,
+      |       s.quality,
+      |       (ROW_NUMBER() OVER (PARTITION BY COALESCE(cc.cluster_id, s.doc_id)
+      |          ORDER BY s.quality DESC, s.doc_id) = 1) AS keep
+      |FROM scored s LEFT JOIN cc ON cc.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin)
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")))
+
+  val catalog: Seq[QueryDef] = Seq(t11, t12, t13, t14, t17, t18, t19, t23)
 }

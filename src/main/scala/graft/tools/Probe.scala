@@ -30,6 +30,46 @@ object Plans {
   }
 }
 
+/** Single-query slice of [[graft.Verify]]: dumps only the named queries
+  * (plus their oracle SQL) so tools/oracle_check.py can gate one new
+  * operator without the full catalog run. Usage:
+  *   sbt "runMain graft.tools.VerifyOne /tmp/out /root/testdata/sf0.01 t23_canonical_docs"
+  */
+object VerifyOne {
+  def main(args: Array[String]): Unit = {
+    val (outDir, sfDir, names) = (args(0), args(1), args.drop(2).toSet)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    graft.SparkEntry.queries.filter(kv => names.contains(kv._1)).foreach {
+      case (name, fn) =>
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        graft.Lifecycle.release(spark)
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.oracleSqlFor(sfDir)
+      .filter(kv => names.contains(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}
+
 /** Dev-only timing probe for stage-level cost attribution. */
 object Probe {
   def main(args: Array[String]): Unit = {

@@ -35,6 +35,32 @@ class CorpusSpec extends SparkSpec {
     assert(labels.length == 12 && labels.forall(_._2 == 1L))
   }
 
+  test("t23 keeps exactly the best-quality member of every cluster") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Corpus.t23.fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // total: one row per corpus document
+    assert(rows.length == graft.Tables.documents(spark, d).count())
+    // exactly one keep per cluster, and it is the quality-argmax
+    // (ties by lowest doc_id)
+    rows.groupBy(_._2).foreach { case (cluster, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1, s"cluster $cluster keeps ${kept.length}")
+      val best = members.minBy { case (id, _, q, _) => (-q, id) }
+      assert(kept.head._1 == best._1, s"cluster $cluster kept ${kept.head._1}, best ${best._1}")
+    }
+    // cluster ids agree with t11 for clustered docs; all other docs are
+    // singletons labeled with themselves (and therefore kept)
+    val t11Labels = Corpus.t11.fn(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, cluster, _, keep) =>
+      assert(cluster == t11Labels.getOrElse(id, id))
+      if (!t11Labels.contains(id)) assert(keep)
+    }
+    // the mask actually drops something: the corpus has near-dup clusters
+    assert(rows.count(!_._4) > 0)
+  }
+
   test("scrub replaces emails, phones, and IPs with typed placeholders") {
     import spark.implicits._
     val got = Seq(
