@@ -342,5 +342,99 @@ object Sketches {
         |ORDER BY doc_id, bench_id""".stripMargin
     })
 
-  val catalog: Seq[QueryDef] = Seq(sk01, sk02, sk03)
+  // ------------------------------------------------------ quantile hist
+
+  /** Histogram bin width (chars) for the length-quantile sketch. */
+  private val QBinWidth = 64
+  /** Quantiles reported, as integer percents — integer arithmetic end to
+    * end, so the target rank `ceil(p·n/100) = (p·n + 99) div 100` is
+    * bit-identical across engines (a 0.99 double/decimal literal is NOT:
+    * DuckDB parses it as exact DECIMAL, Spark as binary double). */
+  private val QPercents = Seq(50, 90, 99)
+
+  /** The per-language length histogram — the sketch itself. MERGEABLE:
+    * (lang, bin) counts from disjoint corpus slices combine by sum
+    * (pinned in SketchesSpec). O(langs × bins) rows regardless of corpus
+    * size; the groupBy partial-aggregates map-side, so the exchange
+    * carries at most the bin count per partition. */
+  private[operators] def lengthHistogram(docsDf: DataFrame): DataFrame =
+    docsDf
+      .groupBy(col("lang"), expr(s"n_chars DIV $QBinWidth").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-language length-quantile estimation from the mergeable
+    * histogram, with the exact rank-quantile side by side — the
+    * distribution tracker a corpus pipeline runs per source/snapshot
+    * (are documents getting shorter? did a filter shift p99?) where an
+    * exact per-key sort of 100 TB is not a job you schedule.
+    *
+    * Estimate: the first bin whose running count reaches the target rank
+    * contains the exact quantile, so `est_hi` (that bin's inclusive
+    * upper bound) is within one bin width above the truth —
+    * `est_hi − (QBinWidth−1) <= exact <= est_hi`, pinned in
+    * SketchesSpec. Exact side: rank-based (percentile_disc semantics,
+    * `doc_id` tiebreak) — no cross-engine interpolation drift; at
+    * production scale the exact side is dropped and the sketch answers
+    * alone, merged across slices. */
+  def lengthQuantiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val dd = graft.Tables.documents(s, d)
+    val hist = lengthHistogram(dd)
+    val n = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
+    val cum = hist.withColumn("run",
+      sum(col("cnt")).over(Window.partitionBy(col("lang")).orderBy(col("bin"))))
+    val tgt = n.crossJoin(broadcast(QPercents.toDF("p")))
+      .withColumn("target", expr("(p * n + 99) DIV 100"))
+    val est = tgt.join(cum, Seq("lang"))
+      .filter(col("run") >= col("target"))
+      .groupBy(col("lang"), col("p")).agg(min(col("bin")).as("ebin"))
+      .withColumn("est_hi", (col("ebin") + 1) * QBinWidth - 1)
+    val rk = dd.select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))))
+      .drop(col("doc_id"))
+    val exact = tgt.join(rk, Seq("lang"))
+      .filter(col("rn") >= col("target"))
+      .groupBy(col("lang"), col("p")).agg(min(col("n_chars")).as("exact"))
+    est.join(exact, Seq("lang", "p"))
+      .select(col("lang"), col("p"), col("est_hi"), col("exact"))
+      .orderBy(col("lang"), col("p"))
+  }
+
+  val sk04 = QueryDef(
+    "sk04_quantile_hist",
+    (s, d) => lengthQuantiles(s, d),
+    Some(s"""WITH h AS (
+      |  SELECT lang, n_chars // $QBinWidth AS bin, COUNT(*) AS cnt
+      |  FROM documents GROUP BY 1, 2
+      |),
+      |n AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+      |cum AS (
+      |  SELECT lang, bin,
+      |         CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bin) AS BIGINT) AS run
+      |  FROM h
+      |),
+      |ps AS (SELECT * FROM (VALUES (50), (90), (99)) AS t(p)),
+      |tgt AS (SELECT lang, p, (p * n + 99) // 100 AS target FROM n CROSS JOIN ps),
+      |est AS (
+      |  SELECT t.lang, t.p, (MIN(c.bin) + 1) * $QBinWidth - 1 AS est_hi
+      |  FROM tgt t JOIN cum c ON c.lang = t.lang AND c.run >= t.target
+      |  GROUP BY 1, 2
+      |),
+      |rk AS (
+      |  SELECT lang, n_chars,
+      |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn
+      |  FROM documents
+      |),
+      |ex AS (
+      |  SELECT t.lang, t.p, MIN(r.n_chars) AS exact
+      |  FROM tgt t JOIN rk r ON r.lang = t.lang AND r.rn >= t.target
+      |  GROUP BY 1, 2
+      |)
+      |SELECT e.lang, e.p, e.est_hi, x.exact
+      |FROM est e JOIN ex x ON x.lang = e.lang AND x.p = e.p
+      |ORDER BY e.lang, e.p""".stripMargin))
+
+  val catalog: Seq[QueryDef] = Seq(sk01, sk02, sk03, sk04)
 }

@@ -69,6 +69,30 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("length histogram merges by sum; quantile estimate brackets the truth") {
+    val docs = graft.Tables.documents(spark, sf)
+    // mergeability: (lang, bin) counts from disjoint halves sum to the
+    // full-corpus histogram — sketches combine without rescanning
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      Sketches.lengthHistogram(df)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val full = hist(docs)
+    val merged = Sketches.lengthHistogram(docs.filter(col("doc_id") % 2 === 0))
+      .union(Sketches.lengthHistogram(docs.filter(col("doc_id") % 2 === 1)))
+      .groupBy(col("lang"), col("bin")).agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == full && full.nonEmpty)
+    // accuracy: the bin containing the rank-target holds the exact
+    // quantile, so est_hi bounds it from above within one bin width
+    val out = Sketches.lengthQuantiles(spark, sf).collect()
+    assert(out.length >= 3)
+    out.foreach { r =>
+      val (estHi, exact) = (r.getAs[Long]("est_hi"), r.getAs[Long]("exact"))
+      assert(exact <= estHi && exact > estHi - 64,
+        s"${r.getString(0)} p${r.getInt(1)}: exact $exact outside (${estHi - 64}, $estHi]")
+    }
+  }
+
   test("Bloom-prefiltered decontamination is row-identical to exact t15") {
     // structural claim: no false negatives (every true benchmark shingle
     // passes its own filter), false positives die in the exact verify —
