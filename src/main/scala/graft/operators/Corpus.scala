@@ -400,5 +400,61 @@ object Corpus {
       |ORDER BY s.doc_id""".stripMargin)
       .replaceFirst("^WITH ", "WITH RECURSIVE ")))
 
-  val catalog: Seq[QueryDef] = Seq(t11, t12, t13, t14, t17, t18, t19, t23)
+  // ------------------------------------------- t24: temperature mixing
+
+  /** Temperature-weighted stratum mixing — the data-mixing sampler that
+    * rebalances a skewed corpus before training: stratum i (language
+    * here; domain/source in production) receives a sample target
+    * proportional to cnt_i^alpha with alpha = 0.5, flattening the head
+    * (en holds ~44% of this corpus but ~31% of the mix) without the
+    * hard cutoff of a fixed quota (t17). Documents inside a stratum are
+    * chosen by deterministic md5 order — stable across runs, cluster
+    * sizes, and corpus growth.
+    *
+    * Cross-engine determinism: the weight math is INTEGER end-to-end —
+    * w_i = floor(sqrt(cnt_i) * 1e6) as BIGINT, summed exactly (integer
+    * addition is associative; a double Σ sqrt would be fold-order-
+    * dependent), and target_i = (w_i * (total div 2)) div Σw via integer
+    * division. No float aggregate exists to drift between Spark's
+    * partial/final combine and DuckDB's single-node fold.
+    *
+    * Scale: the per-stratum aggregate is |strata| rows — broadcast back;
+    * the rank is one window shuffle on the stratum key. A dominant
+    * stratum makes that window partition the straggler at 100 TB; the
+    * production escape hatch is rate-based selection (keep rows whose
+    * hash fraction < target_i/cnt_i — shuffle-free, approximately-exact
+    * counts) or sub-striping the stratum key, both noted here and
+    * PLANS.md. */
+  val t24 = QueryDef(
+    "t24_temp_mix",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = docs(s, d).groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        .withColumn("w", floor(sqrt(col("cnt")) * lit(1000000L)).cast("long"))
+      val totals = counts.agg(sum(col("cnt")).as("total"), sum(col("w")).as("wsum"))
+      val targets = counts.crossJoin(broadcast(totals))
+        .select(col("lang"), expr("(w * (total div 2)) div wsum").as("target"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(concat_ws("|", col("lang"), col("doc_id").cast("string"))
+          .cast("binary")), col("doc_id"))
+      docs(s, d).select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w))
+        .join(broadcast(targets), Seq("lang"))
+        .filter(col("rk") <= col("target"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH n AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+      |w AS (SELECT lang, cnt, CAST(floor(sqrt(cnt) * 1000000) AS BIGINT) AS w FROM n),
+      |tot AS (SELECT SUM(cnt) AS total, SUM(w) AS wsum FROM w),
+      |tgt AS (SELECT lang, (w * (total // 2)) // wsum AS target FROM w, tot),
+      |ranked AS (
+      |  SELECT doc_id, lang,
+      |         ROW_NUMBER() OVER (PARTITION BY lang
+      |           ORDER BY md5(lang || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT r.doc_id, r.lang FROM ranked r JOIN tgt USING (lang)
+      |WHERE r.rk <= tgt.target ORDER BY doc_id""".stripMargin))
+
+  val catalog: Seq[QueryDef] = Seq(t11, t12, t13, t14, t17, t18, t19, t23, t24)
 }

@@ -534,5 +534,56 @@ object Similarity {
       |JOIN embeddings g ON v.query_id = g.vec_id
       |WHERE v.vote_rank = 1 ORDER BY v.query_id""".stripMargin))
 
-  val catalog: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05)
+  /** SemDeDup-style semantic dedup: embedding near-dup removal scoped to
+    * the IVF cells of the persisted [[IvfIndex]] — the scalable
+    * realization of "drop semantically redundant documents". Where t09
+    * generates candidates with sign-LSH, this variant rides the
+    * clustering a deployment has already paid for: only pairs sharing a
+    * k-means cell are compared (the SemDeDup approximation — cross-cell
+    * near-dups are forfeited by design, bounded by quantizer quality),
+    * and a vector is dropped iff some LOWER-id cell-mate sits at cosine
+    * >= threshold (a total, engine-independent rule; chains are
+    * deliberately not closed — per-cell epsilon-dedup, not
+    * connected-component canonicalization, which is t23's job).
+    *
+    * Scale: pair generation is a self-join on cell id — shuffle O(N),
+    * compare O(Σ n_cell²) with n_cell ≈ N/K held small by scaling K with
+    * the corpus (production SemDeDup uses K in the tens of thousands);
+    * the keep mask is one left join on vec_id. The KMeans fit is
+    * amortized in the persisted index, not re-paid per run. */
+  val s06 = QueryDef(
+    "s06_semantic_dedup",
+    (s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      val (_, assigned) = IvfIndex.ensure(s, d)
+      val a = assigned.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+        col("nrm").as("n1"), col("cell"))
+      val b = assigned.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+        col("nrm").as("n2"), col("cell"))
+      val dominated = a.join(b, Seq("cell"))
+        .filter(col("id1") < col("id2"))
+        .filter(cosine(dot(col("e1"), col("e2")), col("n1"), col("n2")) >= CosineThreshold)
+        .select(col("id2").as("vec_id")).distinct()
+      assigned.select(col("vec_id"), col("cell"))
+        .join(dominated.withColumn("dom", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), col("dom").isNull.as("keep"))
+        .orderBy(col("vec_id"))
+    },
+    None,
+    oracleLate = Some { sfDir =>
+      val dir = IvfIndex.indexDirFor(sfDir)
+      s"""WITH a AS (SELECT vec_id, embedding, nrm, cell
+         |           FROM read_parquet('$dir/assigned/*.parquet')),
+         |dom AS (
+         |  SELECT DISTINCT y.vec_id
+         |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE CASE WHEN x.nrm = 0 OR y.nrm = 0 THEN NULL
+         |             ELSE ${duckDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) END
+         |        >= $CosineThreshold)
+         |SELECT a.vec_id, a.cell, (dom.vec_id IS NULL) AS keep
+         |FROM a LEFT JOIN dom ON a.vec_id = dom.vec_id
+         |ORDER BY a.vec_id""".stripMargin
+    })
+
+  val catalog: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06)
 }

@@ -120,4 +120,29 @@ class CorpusSpec extends SparkSpec {
     val train = bySource.map(_._3).sum.toDouble
     assert(math.abs(train / total - 0.90) < 0.04)
   }
+
+  test("t24 kept counts equal the integer-exact temperature targets and flatten the head") {
+    val d = "/root/testdata/sf0.001"
+    val langCnt = graft.Tables.documents(spark, d)
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = langCnt.values.sum
+    val weights = langCnt.view.mapValues(c => math.floor(math.sqrt(c.toDouble) * 1e6).toLong).toMap
+    val wsum = weights.values.sum
+    val target = weights.view.mapValues(w => w * (total / 2) / wsum).toMap
+    val kept = Corpus.t24.fn(spark, d)
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact per-stratum sample sizes (the integer contract in the Scaladoc)
+    langCnt.keys.foreach { l =>
+      assert(kept.getOrElse(l, 0L) == target(l), s"lang $l: ${kept.get(l)} vs ${target(l)}")
+    }
+    // alpha=0.5 flattens: the dominant stratum's share of the mix is
+    // strictly below its share of the corpus; the smallest stratum's is above
+    val head = langCnt.maxBy(_._2)._1
+    val tail = langCnt.minBy(_._2)._1
+    val mixTotal = kept.values.sum.toDouble
+    assert(kept(head) / mixTotal < langCnt(head).toDouble / total)
+    assert(kept(tail) / mixTotal > langCnt(tail).toDouble / total)
+  }
 }

@@ -203,4 +203,39 @@ class OperatorsSpec extends SparkSpec {
     val plan = Relational.q11.fn(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
   }
+
+  test("s06 drops exactly the vectors dominated by a smaller-id cell-mate (vs s01 exact pairs)") {
+    val rows = Similarity.s06.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(rows.length == graft.Tables.embeddings(spark, sf).count())
+    val cellOf = rows.map(r => r._1 -> r._2).toMap
+    // s01 is the exhaustive cos>=threshold pair set; s06 must drop a
+    // vector iff one of its s01 partners has a SMALLER id and the SAME cell
+    val pairs = Similarity.s01.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expectedDropped = pairs.collect {
+      case (a, b) if cellOf(a) == cellOf(b) => b
+    }.toSet
+    val dropped = rows.filterNot(_._3).map(_._1).toSet
+    assert(dropped == expectedDropped,
+      s"missed=${expectedDropped.diff(dropped)} invented=${dropped.diff(expectedDropped)}")
+  }
+
+  test("JSONL load diverts malformed lines to the rejected channel") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    java.nio.file.Files.writeString(dir.resolve("part-0.json"),
+      """{"doc_id": 1, "text": "ok one", "lang": "en", "source": "s", "n_chars": 6}
+        |this line is not json at all
+        |{"doc_id": 2, "text": "ok two", "lang": "de", "source": "s", "n_chars": 6}
+        |{"doc_id": 3, "text": "truncated
+        |""".stripMargin)
+    val loaded = SourcesStreaming.loadJsonl(spark, dir.toString)
+    try {
+      assert(loaded.good.count() == 2)
+      val rej = loaded.rejected.collect().map(_.getString(0))
+      assert(rej.length == 2)
+      assert(rej.exists(_.startsWith("this line")))
+      assert(rej.exists(_.contains("truncated")))
+    } finally loaded.cleanup()
+  }
 }
