@@ -599,7 +599,129 @@ object Advanced {
            |       LEFT JOIN p ON u.user_id = p.user_id
            |GROUP BY 1 ORDER BY stage""".stripMargin))
 
+  /** Weekly cohort retention — the product-analytics matrix over the
+    * event log: users grouped by the week of their FIRST event, then for
+    * every (cohort, week offset) the count of distinct cohort members
+    * still active that week. Week buckets are Monday-start
+    * `date_trunc('week')` in both engines; the offset is an exact
+    * integer (both endpoints are week boundaries, so the day delta is a
+    * multiple of 7 and integer division is lossless).
+    *
+    * Scale: activity collapses to one (user, week) row per active week
+    * BEFORE any join (the distinct is the first aggregate — O(users x
+    * weeks), not O(events)); the cohort frame is one row per user; both
+    * shuffles key on user_id and share partitioning. The final cube is
+    * |cohorts| x |offsets| — tiny at any corpus size. */
+  val e03 = QueryDef(
+    "e03_cohort_retention",
+    (s, d) => {
+      val act = Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      val cohorts = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      act.join(cohorts, "user_id")
+        .withColumn("week_offset", expr("datediff(wk, cohort) div 7"))
+        .groupBy(col("cohort"), col("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort"), col("week_offset"))
+    },
+    Some("""WITH act AS (
+           |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+           |  FROM events),
+           |coh AS (SELECT user_id, MIN(wk) AS cohort FROM act GROUP BY user_id)
+           |SELECT coh.cohort, datediff('day', coh.cohort, act.wk) // 7 AS week_offset,
+           |       COUNT(DISTINCT act.user_id) AS n_users
+           |FROM act JOIN coh ON act.user_id = coh.user_id
+           |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin))
+
+  /** Bigram collocation mining by pointwise mutual information — the
+    * phrase/compound detector of a corpus pipeline (v01 ranks tokens;
+    * this ranks token PAIRS by association strength). Reported as the
+    * PMI RATIO p(ab)/(p(a)p(b)) = c_ab*T^2 / (B*c_a*c_b) rather than its
+    * log: every factor is an exact integer count, so the only float op
+    * is one final division — cross-engine deterministic, where ln()
+    * would hang the hash gate on libm rounding differences (PMI's log is
+    * monotone in the ratio, so ranking is unchanged). Count floor >= 5
+    * suppresses one-off pairs, the standard collocation practice.
+    *
+    * Scale: bigram generation is a per-row transform along each
+    * document (no shuffle); one hash aggregate on (w1,w2) with map-side
+    * combine; the unigram vocab joins are broadcast here (token vocab is
+    * heavy-hitter-bounded) and degrade to shuffle joins on the bigram
+    * key if a corpus's vocab outgrows the broadcast threshold. The
+    * integer products fit BIGINT to ~10^18 token corpora; past that the
+    * numerator/denominator pair moves to DOUBLE with a documented ulp
+    * tolerance. */
+  val v02 = QueryDef(
+    "v02_pmi_bigrams",
+    (s, d) => {
+      import graft.functions.TextFunctions._
+      val tok = Tables.documents(s, d).select(tokens(col("text")).as("toks"))
+      val uni = tok.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val bigCnt = tok.filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("b"))
+        .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("c_ab"))
+      val tRow = uni.agg(sum(col("c")).as("t_total"))
+      val bRow = bigCnt.agg(sum(col("c_ab")).as("b_total"))
+      bigCnt.filter(col("c_ab") >= 5)
+        .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_a"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_b"))), "w2")
+        .crossJoin(broadcast(tRow)).crossJoin(broadcast(bRow))
+        .withColumn("pmi_ratio",
+          (col("c_ab") * col("t_total") * col("t_total")).cast("double") /
+            (col("b_total") * col("c_a") * col("c_b")).cast("double"))
+        .select(col("w1"), col("w2"), col("c_ab"), col("pmi_ratio"))
+        .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+        .limit(30)
+    },
+    Some(graft.operators.TextDedup.TokCte + """,
+           |uni AS (SELECT w, COUNT(*) AS c
+           |        FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w),
+           |bc AS (
+           |  SELECT toks[i+1] AS w1, toks[i+2] AS w2, COUNT(*) AS c_ab
+           |  FROM (SELECT toks, unnest(range(len(toks)-1)) AS i
+           |        FROM tok WHERE len(toks) >= 2)
+           |  GROUP BY 1, 2),
+           |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t_total FROM uni),
+           |bt AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS b_total FROM bc)
+           |SELECT w1, w2, c_ab,
+           |       CAST(c_ab * t_total * t_total AS DOUBLE)
+           |         / CAST(b_total * ua.c * ub.c AS DOUBLE) AS pmi_ratio
+           |FROM bc JOIN uni ua ON bc.w1 = ua.w JOIN uni ub ON bc.w2 = ub.w, tt, bt
+           |WHERE c_ab >= 5
+           |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 30""".stripMargin))
+
+  /** GROUPING SETS — the general multi-level aggregate q16 (ROLLUP) and
+    * q21 (CUBE) are special cases of: an explicit, non-hierarchical set
+    * list (full detail, one-dimension subtotal, grand total). Subtotal
+    * rows carry NULL keys in both engines; ordering pinned by
+    * grouping_id then NULLS FIRST. Scale: Spark expands grouping sets
+    * into one Expand + single hash aggregate — one shuffle regardless of
+    * the set count. */
+  val q24 = QueryDef(
+    "q24_grouping_sets",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice")).as("sum_price"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+    Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           |       GROUPING(o_orderstatus, o_orderpriority) AS gid
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+           |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
+
   val catalog: Seq[QueryDef] =
-    Seq(e01, e02, q16, q17, t09, c01, tj01, tj02, tj03, v01, j01, q18, t10, q19,
-      q20, q21)
+    Seq(e01, e02, e03, q16, q17, t09, c01, tj01, tj02, tj03, v01, v02, j01, q18,
+      t10, q19, q20, q21, q24)
 }

@@ -33,4 +33,31 @@ class AdvancedSpec extends SparkSpec {
     val rows = Advanced.t09.fn(spark, sf).collect()
     assert(rows.forall(r => r.getLong(1) < r.getLong(0)))
   }
+
+  test("e03 week-0 retention equals cohort size; later offsets never exceed it") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Advanced.e03.fn(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    // every user is by definition active in their cohort week
+    val week0 = rows.collect { case (c, 0L, n) => c -> n }.toMap
+    assert(week0.nonEmpty)
+    rows.foreach { case (c, off, n) =>
+      assert(off >= 0)
+      assert(n <= week0(c), s"cohort $c offset $off: $n > week0 ${week0(c)}")
+    }
+    // cohort sizes sum to the distinct user population
+    val users = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id")).distinct().count()
+    assert(week0.values.sum == users)
+  }
+
+  test("v02 PMI ratios are positive, count-floored, and rank-ordered") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Advanced.v02.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 30)
+    assert(rows.forall(_._3 >= 5))
+    assert(rows.forall(_._4 > 0.0))
+    assert(rows.map(-_._4).toSeq == rows.map(-_._4).toSeq.sorted)
+  }
 }
