@@ -320,5 +320,81 @@ object Multimodal {
       |HAVING COUNT(*) = 16
       |ORDER BY id, frame""".stripMargin))
 
-  val catalog: Seq[QueryDef] = Seq(mm01, mm02, mm03)
+  /** Perceptual hash for a decoded sample stream: average-pool to
+    * [[PhashCells]] cells, then one bit per cell — set iff the cell
+    * level exceeds the stream mean (the classic aHash construction,
+    * computed integer-exactly: `cell * n > sum` avoids the float mean).
+    * Returned as a '0'/'1' bitstring so both engines build and compare
+    * it without 64-bit shift/overflow edge cases. */
+  private val PhashCells = 16
+
+  def phash(samples: Array[Int]): String = {
+    val cells = resizeStub(samples, target = PhashCells)
+    val total = cells.foldLeft(0L)(_ + _)
+    new String(cells.map(c => if (c.toLong * cells.length > total) '1' else '0'))
+  }
+
+  /** Gate entry: perceptual-hash media dedup — the image-dedup stage of
+    * a multimodal training pipeline (near-identical images collapse to
+    * one exemplar). Each payload decodes to samples, average-pools to a
+    * [[PhashCells]]-bit aHash, and dedup is an exact groupBy on the hash
+    * with min-id keeper + group size, exactly t05's digest-dedup shape
+    * over a PERCEPTUAL key instead of an exact one. Hamming-distance-
+    * tolerant matching at scale is the banded variant t08 already
+    * demonstrates (split the bitstring into bands, hash-join per band,
+    * verify candidates); exact-hash equality is the hamming-0 special
+    * case a production pipeline runs first.
+    *
+    * Scale: the kernel is per-row right after the scan — payloads never
+    * shuffle, only (id, 16-char hash) pairs feed the single hash
+    * aggregate. The real-decode arms (PNG/WAV) feed the same hash in
+    * MultimodalSpec; gate payloads exercise the stub arm, recomputed by
+    * the oracle from hex(encode(text)). */
+  val mm04 = QueryDef(
+    "mm04_phash_dedup",
+    (s, d) => {
+      import s.implicits._
+      val media = mediaFromDocuments(
+          Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
+        .as[MediaRow]
+      media.mapPartitions { rows =>
+        rows.map { r =>
+          (r.id, phash(frameSampleStub(decode(r.payload), stride = 2)))
+        }
+      }.toDF("id", "phash")
+        .groupBy(col("phash"))
+        .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_media"))
+        .orderBy(col("phash"), col("keep_id"))
+    },
+    Some(s"""WITH b AS (
+      |  SELECT doc_id AS id, hex(encode(text)) AS h,
+      |         (octet_length(encode(text)) + 1) // 2 AS len
+      |  FROM documents
+      |), samp AS (
+      |  SELECT id, CAST(i AS BIGINT) AS k,
+      |         CAST(('0x' || substr(h, CAST(i * 4 + 1 AS INTEGER), 2)) AS INTEGER) AS s
+      |  FROM (SELECT id, h, unnest(range(len)) AS i FROM b)
+      |), cells AS (
+      |  SELECT id, len, CASE WHEN len < $PhashCells THEN len ELSE $PhashCells END AS n,
+      |         unnest(range(CASE WHEN len < $PhashCells THEN len ELSE $PhashCells END)) AS cell
+      |  FROM b
+      |), lvl AS (
+      |  SELECT c.id, CAST(c.cell AS BIGINT) AS cell, c.n,
+      |         CAST(SUM(s.s) AS BIGINT) // COUNT(*) AS level
+      |  FROM cells c JOIN samp s ON s.id = c.id
+      |    AND s.k >= (c.cell * c.len) // c.n AND s.k < ((c.cell + 1) * c.len) // c.n
+      |  GROUP BY c.id, c.cell, c.n
+      |), ph AS (
+      |  SELECT id,
+      |         string_agg(CASE WHEN level * n > tot THEN '1' ELSE '0' END, ''
+      |                    ORDER BY cell) AS phash
+      |  FROM (SELECT id, cell, level, n,
+      |               SUM(level) OVER (PARTITION BY id) AS tot
+      |        FROM lvl)
+      |  GROUP BY id
+      |)
+      |SELECT phash, MIN(id) AS keep_id, COUNT(*) AS n_media
+      |FROM ph GROUP BY phash ORDER BY phash, keep_id""".stripMargin))
+
+  val catalog: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04)
 }
