@@ -721,7 +721,47 @@ object Advanced {
            |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
            |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
 
+  /** Window-function breadth in one pass: offset functions (lag/lead),
+    * running frame aggregates (first_value, running max), and relative
+    * rank (percent_rank, cume_dist) — all over ONE (user_id, ts,
+    * event_id) window, so the whole suite costs a single sort shuffle
+    * (Spark plans every function in this query into one Window node —
+    * the plan shape a 100 TB per-entity history scan wants; all outputs
+    * are row selections or integer-rank ratios, never float
+    * accumulations, so the doubles hash-match). */
+  val q25 = QueryDef(
+    "q25_window_suite",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("prev_v", lag(col("value"), 1).over(w))
+        .withColumn("next_v", lead(col("value"), 1).over(w))
+        .withColumn("first_v", first(col("value")).over(run))
+        .withColumn("run_max", max(col("value")).over(run))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .select(col("user_id"), col("event_id"), col("prev_v"), col("next_v"),
+          col("first_v"), col("run_max"), col("pct_rank"), col("cume"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id,
+           |       LAG(value, 1) OVER w AS prev_v,
+           |       LEAD(value, 1) OVER w AS next_v,
+           |       FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |         ROWS UNBOUNDED PRECEDING) AS first_v,
+           |       MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |         ROWS UNBOUNDED PRECEDING) AS run_max,
+           |       PERCENT_RANK() OVER w AS pct_rank,
+           |       CUME_DIST() OVER w AS cume
+           |FROM events
+           |WHERE event_type = 'purchase'
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |ORDER BY user_id, event_id""".stripMargin))
+
   val catalog: Seq[QueryDef] =
     Seq(e01, e02, e03, q16, q17, t09, c01, tj01, tj02, tj03, v01, v02, j01, q18,
-      t10, q19, q20, q21, q24)
+      t10, q19, q20, q21, q24, q25)
 }

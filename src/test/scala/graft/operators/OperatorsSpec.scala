@@ -204,6 +204,14 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
   }
 
+  test("q25 runs the whole window suite on ONE hash exchange") {
+    val plan = Advanced.q25.fn(spark, sf).queryExecution.executedPlan.toString
+    // all six window functions share (partition, order): one shuffle on
+    // user_id feeds every frame; a second hashpartitioning means a frame
+    // stopped sharing the exchange
+    assert("hashpartitioning".r.findAllIn(plan).length == 1, s"plan:\n$plan")
+  }
+
   test("s06 drops exactly the vectors dominated by a smaller-id cell-mate (vs s01 exact pairs)") {
     val rows = Similarity.s06.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
