@@ -127,6 +127,30 @@ object SourcesStreaming {
     },
     Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"))
 
+  /** Hive-style partitioned sink + pruned read, proven through the gate:
+    * documents written `partitionBy(lang)`, read back with a partition
+    * filter. At 100 TB partition layout is THE scan lever — the lang
+    * filter prunes at the DIRECTORY level before any file is listed into
+    * tasks (PartitionedWriteSpec pins `PartitionFilters` in this exact
+    * query's plan; the oracle checks value-level equivalence). The
+    * partition column round-trips as a string directory value, cast back
+    * to match the source schema. */
+  val r04 = QueryDef(
+    "r04_partitioned_roundtrip",
+    (s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_part_" +
+        Integer.toHexString(d.hashCode)
+      Tables.documents(s, d)
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("text"), col("lang").cast("string").as("lang"),
+          col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, text, lang, source, n_chars FROM documents
+           |WHERE lang = 'en' ORDER BY doc_id""".stripMargin))
+
   val st01 = QueryDef(
     "st01_stream_hourly_agg",
     (s, d) => graft.streaming.EventsStream.hourlyAgg(s, d),
@@ -330,5 +354,6 @@ object SourcesStreaming {
       |FROM occ o CROSS JOIN rws r
       |GROUP BY 1, 2 ORDER BY rw, bucket""".stripMargin))
 
-  val catalog: Seq[QueryDef] = Seq(r01, r02, r03, st01, st02, st03, st04, st05)
+  val catalog: Seq[QueryDef] =
+    Seq(r01, r02, r03, r04, st01, st02, st03, st04, st05)
 }

@@ -207,6 +207,35 @@ object ScaleSmoke {
       println(f"SCALE-EMB-09 vecs=${e0 * k}%7d exact=${tExact09}%6.1fs (${exact09.size} pairs)  " +
         f"lsh(T16,P8)=${tTuned}%6.1fs (${tuned.size} pairs)  recall=$recall09%.4f")
     }
+
+    // ---- r8 additions: semantic dedup (s06) and phash dedup (mm04) ----
+    // s06's pairwise stage is bounded by the IVF cell sizes (~N/K per
+    // cell), so with K fixed the compare cost grows ~N^2/K — the
+    // measurement shows the knee that production flattens by scaling K
+    // with the corpus; the index BUILD (KMeans fit) is timed separately
+    // because a deployment amortizes it across runs. mm04 is a per-row
+    // kernel into one hash aggregate: time should track N ~linearly.
+    locally {
+      def time[T](f: => T): (Double, T) = {
+        val t0 = System.nanoTime(); val v = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.Lifecycle.release(spark)
+        (dt, v)
+      }
+      Seq(1, 4, 12).foreach { k =>
+        val dir = s"/tmp/graft_scale_emb_${k}x"
+        val (tBuild, _) = time(graft.operators.Similarity.IvfIndex.ensure(spark, dir))
+        val (tS06, rows) = time(graft.operators.Similarity.s06.fn(spark, dir).collect())
+        val dropped = rows.count(r => !r.getBoolean(2))
+        println(f"SCALE-SEMDEDUP vecs=${e0 * k}%7d build=${tBuild}%6.1fs " +
+          f"probe=${tS06}%6.1fs (${rows.length} vecs, $dropped dropped)")
+      }
+      Seq(1, 4, 12).foreach { k =>
+        val dir = s"/tmp/graft_scale_${k}x"
+        val (tMm, groups) = time(graft.operators.Multimodal.mm04.fn(spark, dir).count())
+        println(f"SCALE-PHASH docs=${n0 * k}%7d mm04=${tMm}%6.1fs ($groups hash groups)")
+      }
+    }
     spark.stop()
   }
 }

@@ -27,4 +27,14 @@ class PartitionedWriteSpec extends SparkSpec {
     assert(read.count() == expected)
     assert(expected > 0)
   }
+
+  test("r04 gate query prunes the lang partitions it filters") {
+    val sf = "/root/testdata/sf0.001"
+    val df = SourcesStreaming.r04.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("en"),
+      s"expected lang partition filter in:\n$plan")
+    assert(df.count() ==
+      Tables.documents(spark, sf).filter(col("lang") === "en").count())
+  }
 }
