@@ -393,7 +393,64 @@ object Relational {
            |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** MERGE/upsert — the incremental-load primitive a daily batch ETL
+    * (the reference's schedule, tabjolt_email.py's daily run) needs once
+    * it stops truncate-and-reloading: a change batch of UPDATEs (status
+    * flip + price adjustment on keys % 17 == 0) and INSERTs (new keys,
+    * offset beyond the keyspace, from keys % 23 == 0) merged into the
+    * base by key, change winning. The batch is DERIVED deterministically
+    * from the base table so the gate needs no side input; the merge
+    * itself is the generic `base FULL OUTER JOIN changes ON key,
+    * COALESCE(change, base)` — exactly what MERGE WHEN MATCHED /
+    * NOT MATCHED lowers to.
+    *
+    * Scale: one co-partitioned shuffle on the merge key (full outer
+    * cannot broadcast); at 100 TB the merge pairs with the partitioned
+    * layout r04 proves — group changes by partition value and rewrite
+    * only affected partitions (copy-on-write), so the join touches the
+    * changed slice, not the table. The price adjustment is a single
+    * IEEE double add — identical in both engines, no accumulation. */
+  val q26 = QueryDef(
+    "q26_merge_upsert",
+    (s, d) => {
+      val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      val cur = Tables.orders(s, d)
+        .select(col("o_orderkey") +: cols.map(col): _*)
+      val upd = cur.filter(col("o_orderkey") % 17 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+      val ins = cur.filter(col("o_orderkey") % 23 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+        .withColumn("o_orderstatus", lit("N"))
+      val changes = upd.unionByName(ins)
+      val base = cur.select(col("o_orderkey"), struct(cols.map(col): _*).as("c"))
+      val delta = changes.select(col("o_orderkey"), struct(cols.map(col): _*).as("u"))
+      base.join(delta, Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey") +:
+          cols.map(f => coalesce(col(s"u.$f"), col(s"c.$f")).as(f)): _*)
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH cur AS (
+           |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+           |  FROM orders),
+           |upd AS (
+           |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+           |         o_totalprice + 1.0 AS o_totalprice, o_orderdate
+           |  FROM cur WHERE o_orderkey % 17 = 0),
+           |ins AS (
+           |  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+           |         'N' AS o_orderstatus, o_totalprice, o_orderdate
+           |  FROM cur WHERE o_orderkey % 23 = 0),
+           |ch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+           |SELECT COALESCE(ch.o_orderkey, cur.o_orderkey) AS o_orderkey,
+           |       COALESCE(ch.o_custkey, cur.o_custkey) AS o_custkey,
+           |       COALESCE(ch.o_orderstatus, cur.o_orderstatus) AS o_orderstatus,
+           |       COALESCE(ch.o_totalprice, cur.o_totalprice) AS o_totalprice,
+           |       COALESCE(ch.o_orderdate, cur.o_orderdate) AS o_orderdate
+           |FROM cur FULL OUTER JOIN ch ON cur.o_orderkey = ch.o_orderkey
+           |ORDER BY o_orderkey""".stripMargin))
+
   val catalog: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q14, q15, q22, q23, j02)
+      q14, q15, q22, q23, q26, j02)
 }

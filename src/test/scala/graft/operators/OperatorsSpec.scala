@@ -204,6 +204,24 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
   }
 
+  test("q26 merge applies updates in place, appends inserts, leaves the rest") {
+    import org.apache.spark.sql.functions.col
+    val base = graft.Tables.orders(spark, sf)
+    val n = base.count()
+    val nUpd = base.filter(col("o_orderkey") % 17 === 0).count()
+    val nIns = base.filter(col("o_orderkey") % 23 === 0).count()
+    val m = Relational.q26.fn(spark, sf)
+    assert(m.count() == n + nIns)
+    assert(m.filter(col("o_orderstatus") === "X").count() == nUpd)
+    assert(m.filter(col("o_orderkey") >= 1000000000L).count() == nIns)
+    assert(nUpd > 0 && nIns > 0)
+    // a key not in the change batch survives byte-identical
+    val untouched = base.filter(col("o_orderkey") % 17 =!= 0).limit(1).collect()(0)
+    val after = m.filter(col("o_orderkey") === untouched.getLong(0)).collect()(0)
+    assert(after.getString(2) == untouched.getAs[String]("o_orderstatus"))
+    assert(after.getDouble(3) == untouched.getAs[Double]("o_totalprice"))
+  }
+
   test("q25 runs the whole window suite on ONE hash exchange") {
     val plan = Advanced.q25.fn(spark, sf).queryExecution.executedPlan.toString
     // all six window functions share (partition, order): one shuffle on
