@@ -721,6 +721,58 @@ object Advanced {
            |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
            |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
 
+  /** Daily-metric anomaly detection by z-score — the statistical form of
+    * the reference's fixed pct-diff alert (tabjolt_email.py's +20% red
+    * flag): a day is anomalous when its total deviates from the
+    * all-days mean by more than [[AnomalyZ]] standard deviations.
+    *
+    * Cross-engine determinism: both moments are EXACT decimal
+    * aggregates — daily sums in DECIMAL(18,2), their squares in
+    * DECIMAL(38,4) (both multiplications stay inside the type, no
+    * rounding) — so aggregation order cannot perturb them; mean,
+    * variance, sqrt and z are then a fixed chain of per-row IEEE double
+    * ops written identically in both engines. Scale: one hash aggregate
+    * on day + a 1-row moment frame broadcast back; no window, no second
+    * scan. */
+  private val AnomalyZ = 1.5
+
+  val e04 = QueryDef(
+    "e04_daily_anomaly",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val daily = Tables.events(s, d)
+        .groupBy(dayofmonth(col("ts")).as("dom"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("dsum_dec"))
+      val st = daily.agg(
+        sum(col("dsum_dec")).cast("double").as("tot"),
+        sum((col("dsum_dec") * col("dsum_dec")).cast(DecimalType(38, 4)))
+          .cast("double").as("totsq"),
+        count(lit(1)).as("n"))
+      val z = (col("dsum") - col("tot") / col("n")) /
+        sqrt(col("totsq") / col("n") -
+          (col("tot") / col("n")) * (col("tot") / col("n")))
+      daily.crossJoin(broadcast(st))
+        .withColumn("dsum", col("dsum_dec").cast("double"))
+        .withColumn("z", z)
+        .select(col("dom"), col("dsum"), col("z"),
+          (abs(col("z")) > AnomalyZ).as("is_anomaly"))
+        .orderBy(col("dom"))
+    },
+    Some(s"""WITH daily AS (
+           |  SELECT day(ts) AS dom, SUM(CAST(value AS DECIMAL(18,2))) AS dsum_dec
+           |  FROM events GROUP BY 1),
+           |st AS (
+           |  SELECT CAST(SUM(dsum_dec) AS DOUBLE) AS tot,
+           |         CAST(SUM(CAST(dsum_dec * dsum_dec AS DECIMAL(38,4))) AS DOUBLE) AS totsq,
+           |         COUNT(*) AS n
+           |  FROM daily)
+           |SELECT dom, CAST(dsum_dec AS DOUBLE) AS dsum,
+           |       (CAST(dsum_dec AS DOUBLE) - tot / n)
+           |         / sqrt(totsq / n - (tot / n) * (tot / n)) AS z,
+           |       abs((CAST(dsum_dec AS DOUBLE) - tot / n)
+           |         / sqrt(totsq / n - (tot / n) * (tot / n))) > $AnomalyZ AS is_anomaly
+           |FROM daily, st ORDER BY dom""".stripMargin))
+
   /** Window-function breadth in one pass: offset functions (lag/lead),
     * running frame aggregates (first_value, running max), and relative
     * rank (percent_rank, cume_dist) — all over ONE (user_id, ts,
@@ -762,6 +814,6 @@ object Advanced {
            |ORDER BY user_id, event_id""".stripMargin))
 
   val catalog: Seq[QueryDef] =
-    Seq(e01, e02, e03, q16, q17, t09, c01, tj01, tj02, tj03, v01, v02, j01, q18,
-      t10, q19, q20, q21, q24, q25)
+    Seq(e01, e02, e03, e04, q16, q17, t09, c01, tj01, tj02, tj03, v01, v02, j01,
+      q18, t10, q19, q20, q21, q24, q25)
 }
