@@ -204,6 +204,26 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
   }
 
+  test("t25 incremental dedup agrees with the t07 pair set") {
+    import org.apache.spark.sql.functions.col
+    val rows = TextDedup.t25.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val batch = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 7)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(rows.map(_._1).toSet == batch)
+    val pairs = TextDedup.t07.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expectedDropped = batch.filter { b =>
+      pairs.exists { case (a, c) =>
+        (c == b && (a % 10 != 7 || a < b)) || (a == b && (c % 10 != 7 || c < b))
+      }
+    }
+    val dropped = rows.filterNot(_._2).map(_._1).toSet
+    assert(dropped == expectedDropped,
+      s"missed=${expectedDropped.diff(dropped)} invented=${dropped.diff(expectedDropped)}")
+  }
+
   test("q26 merge applies updates in place, appends inserts, leaves the rest") {
     import org.apache.spark.sql.functions.col
     val base = graft.Tables.orders(spark, sf)
