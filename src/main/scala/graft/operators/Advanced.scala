@@ -813,7 +813,44 @@ object Advanced {
            |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
            |ORDER BY user_id, event_id""".stripMargin))
 
+  /** Event-transition matrix — the per-entity sequence statistic a
+    * behavioral model (or a next-event training corpus) is built from:
+    * for every consecutive (event, next event) pair within a user's
+    * timeline, the transition count and the row-normalized transition
+    * probability P(to | from). The probability is a ratio of two exact
+    * integer counts evaluated in IEEE double — both engines divide the
+    * same integers, so the doubles hash-match (the [[v02]] PMI pattern).
+    *
+    * Scale: the lead() window shares e01's (user_id, ts) sort shuffle —
+    * in a pipeline computing both, one exchange serves the two; the
+    * transition aggregate collapses to |event_types|² rows, so the
+    * normalizing window runs on a trivially small frame. */
+  val e05 = QueryDef(
+    "e05_event_transitions",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          col("n") * lit(1.0) /
+            sum(col("n")).over(Window.partitionBy(col("from_type"))))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""WITH nx AS (
+           |  SELECT user_id, event_type,
+           |         LEAD(event_type) OVER (PARTITION BY user_id
+           |                                ORDER BY ts, event_id) AS next_type
+           |  FROM events)
+           |SELECT event_type AS from_type, next_type AS to_type,
+           |       COUNT(*) AS n,
+           |       COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS p
+           |FROM nx WHERE next_type IS NOT NULL
+           |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin))
+
   val catalog: Seq[QueryDef] =
-    Seq(e01, e02, e03, e04, q16, q17, t09, c01, tj01, tj02, tj03, v01, v02, j01,
-      q18, t10, q19, q20, q21, q24, q25)
+    Seq(e01, e02, e03, e04, e05, q16, q17, t09, c01, tj01, tj02, tj03, v01, v02,
+      j01, q18, t10, q19, q20, q21, q24, q25)
 }

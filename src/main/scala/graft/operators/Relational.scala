@@ -450,7 +450,40 @@ object Relational {
            |FROM cur FULL OUTER JOIN ch ON cur.o_orderkey = ch.o_orderkey
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** Correlated scalar subquery — each customer's personal-best orders,
+    * phrased as `WHERE o_totalprice = (SELECT MAX(...) correlated)`.
+    * The point is the PLAN, not the answer: Catalyst's subquery
+    * decorrelation (RewriteCorrelatedScalarSubquery) lowers the
+    * per-row subquery into one aggregate over orders plus a join back
+    * on the correlation key — the distributed form a naive engine
+    * would execute as N subqueries. MAX on a double is
+    * order-independent, so the equality filter is deterministic
+    * cross-engine (no float accumulation anywhere).
+    *
+    * Scale: the rewrite is exactly the argmax-per-group plan — one
+    * partial+final aggregate keyed by o_custkey (tiny output: one row
+    * per customer) joined back to orders on the same key; AQE
+    * broadcasts the aggregate side when it fits. */
+  val q27 = QueryDef(
+    "q27_correlated_subquery",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("q27_orders")
+      s.sql("""
+        SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+        FROM q27_orders o
+        WHERE o.o_totalprice = (SELECT MAX(o2.o_totalprice)
+                                FROM q27_orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_custkey, o_orderkey""")
+    },
+    Some("""SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+           |FROM orders o
+           |WHERE o.o_totalprice = (SELECT MAX(o2.o_totalprice)
+           |                        FROM orders o2
+           |                        WHERE o2.o_custkey = o.o_custkey)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
   val catalog: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q14, q15, q22, q23, q26, j02)
+      q14, q15, q22, q23, q26, q27, j02)
 }

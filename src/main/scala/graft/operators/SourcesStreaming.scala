@@ -151,6 +151,30 @@ object SourcesStreaming {
     Some("""SELECT doc_id, text, lang, source, n_chars FROM documents
            |WHERE lang = 'en' ORDER BY doc_id""".stripMargin))
 
+  /** ORC sink + source round-trip — the fourth interchange format, and
+    * the one that matters when the downstream is a Hive-era warehouse:
+    * documents written as ORC, read back schema'd, value-identical to
+    * the parquet source. Spark's native ORC datasource gives the same
+    * columnar virtues as parquet (stripe-level column projection,
+    * predicate pushdown via stripe statistics, splittable files), so at
+    * 100 TB the scan behavior is interchangeable — the round-trip
+    * proves the engine is not parquet-locked. */
+  val r05 = QueryDef(
+    "r05_orc_roundtrip",
+    (s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_orc_" +
+        Integer.toHexString(d.hashCode)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"))
+
   val st01 = QueryDef(
     "st01_stream_hourly_agg",
     (s, d) => graft.streaming.EventsStream.hourlyAgg(s, d),
@@ -355,5 +379,5 @@ object SourcesStreaming {
       |GROUP BY 1, 2 ORDER BY rw, bucket""".stripMargin))
 
   val catalog: Seq[QueryDef] =
-    Seq(r01, r02, r03, r04, st01, st02, st03, st04, st05)
+    Seq(r01, r02, r03, r04, r05, st01, st02, st03, st04, st05)
 }

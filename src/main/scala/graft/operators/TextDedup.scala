@@ -808,6 +808,73 @@ object TextDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Non-overlapping token span length for t26 chunk dedup. */
+  private val ChunkTokens = 16
+
+  /** Span-level exact dedup — the sub-document granularity the document
+    * ops (t05/t06/t07) cannot see: each document is cut into consecutive
+    * [[ChunkTokens]]-token spans, exact-duplicate spans are removed
+    * corpus-wide keeping the first occurrence (lowest (doc_id, cidx) —
+    * a total, engine-independent order), and each document is
+    * re-assembled from its surviving spans. This is the distributed
+    * approximation of exact-substring training-data dedup (suffix-array
+    * family): boilerplate repeated INSIDE otherwise-distinct documents
+    * is removed without dropping the documents. Emits the per-doc audit
+    * (span counts) plus the scrubbed text.
+    *
+    * Scale: one per-row chunking pass (HOF over the token array — the
+    * protective exchange before it both parallelizes the single-file
+    * scan and stops CollapseProject from re-tokenizing per span), then
+    * a first-occurrence window keyed by span text and a per-doc
+    * re-assembly aggregate — two shuffles, both on bounded rows (spans,
+    * ~n_tokens/16 per doc). A production deployment keys the window on
+    * a span digest instead of the text to cut shuffle bytes; the gate
+    * keeps the text key (same partitioning, and the span is shuffled
+    * for re-assembly anyway). Span-frequency skew (a boilerplate span
+    * in 30% of docs) concentrates a window partition exactly like
+    * t20's hot shingle; the same aggregate hatch applies. */
+  val t26 = QueryDef(
+    "t26_chunk_dedup",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .repartition(s.sparkContext.defaultParallelism)
+      val spans = toks.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(size(col("toks")) / lit(ChunkTokens.toDouble)).cast("int") - 1),
+          i => array_join(slice(col("toks"), i * ChunkTokens + 1, lit(ChunkTokens)), " ")))
+          .as(Seq("cidx", "chunk")))
+      val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("cidx"))
+      spans.withColumn("rk", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(when(col("rk") === 1,
+              struct(col("cidx"), col("chunk"))))),
+            x => x("chunk")), " ").as("kept_text"))
+        .orderBy(col("doc_id"))
+    },
+    Some(TokCte + s""",
+      |pos AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS p
+      |        FROM tok WHERE len(toks) > 0),
+      |ch AS (SELECT doc_id, p // $ChunkTokens AS cidx,
+      |              string_agg(tok, ' ' ORDER BY p) AS chunk
+      |       FROM pos GROUP BY 1, 2),
+      |rk AS (SELECT doc_id, cidx, chunk,
+      |              ROW_NUMBER() OVER (PARTITION BY chunk
+      |                                 ORDER BY doc_id, cidx) AS rk
+      |       FROM ch)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |       CAST(COUNT(*) FILTER (rk = 1) AS BIGINT) AS n_kept,
+      |       COALESCE(string_agg(chunk, ' ' ORDER BY cidx) FILTER (rk = 1), '')
+      |         AS kept_text
+      |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val catalog: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t15, t16, t20, t21, t22, t25)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t15, t16, t20, t21, t22, t25,
+      t26)
 }

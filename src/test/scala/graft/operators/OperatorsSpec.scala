@@ -267,6 +267,69 @@ class OperatorsSpec extends SparkSpec {
       s"missed=${expectedDropped.diff(dropped)} invented=${dropped.diff(expectedDropped)}")
   }
 
+  test("t26 chunk dedup: exact-replica docs keep zero spans; clean docs round-trip") {
+    import org.apache.spark.sql.functions.col
+    val rows = TextDedup.t26.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    // independent driver-side re-implementation over the raw corpus
+    val docs = graft.Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .sortBy(_._1)
+    val chunksOf = docs.map { case (id, text) =>
+      val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      id -> toks.grouped(16).map(_.mkString(" ")).toVector
+    }
+    val seen = scala.collection.mutable.HashSet[String]()
+    val expected = chunksOf.toSeq.map { case (id, cs) =>
+      val kept = cs.filter(seen.add) // first occurrence in (doc_id, cidx) order
+      (id, cs.size.toLong, kept.size.toLong, kept.mkString(" "))
+    }.filter(_._2 > 0)
+    assert(rows.sortBy(_._1) == expected.sortBy(_._1))
+    // the dedup is non-trivial on this corpus (near-dups share spans)...
+    assert(rows.exists(r => r._3 < r._2), "no duplicate span was dropped")
+    // ...and a clean doc round-trips to its normalized token join
+    assert(rows.exists(r => r._2 == r._3 && r._4.nonEmpty))
+  }
+
+  test("e05 transition probabilities row-normalize and counts cover the timeline") {
+    import org.apache.spark.sql.functions.col
+    val rows = Advanced.e05.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val byFrom = rows.groupBy(_._1)
+    byFrom.foreach { case (f, ts) =>
+      val psum = ts.map(_._4).sum
+      assert(math.abs(psum - 1.0) < 1e-9, s"from=$f sums to $psum")
+    }
+    // transitions = events - users-with-events (each user: count-1 pairs)
+    val ev = graft.Tables.events(spark, sf)
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_._3).sum == expected)
+  }
+
+  test("q27 decorrelates to the argmax-per-group result (and broadcasts the agg side)") {
+    import org.apache.spark.sql.functions.{col, max}
+    val got = Relational.q27.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val o = graft.Tables.orders(spark, sf)
+    val best = o.groupBy(col("o_custkey")).agg(max(col("o_totalprice")).as("m"))
+    val expected = o.join(best, "o_custkey")
+      .filter(col("o_totalprice") === col("m"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    // the correlated subquery must lower to a join, not a per-row loop
+    val plan = Relational.q27.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Subquery"), s"subquery survived decorrelation:\n$plan")
+  }
+
+  test("r05 ORC round-trip preserves schema types") {
+    val src = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val back = SourcesStreaming.r05.fn(spark, sf)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      src.schema.map(f => (f.name, f.dataType)))
+  }
+
   test("JSONL load diverts malformed lines to the rejected channel") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
     java.nio.file.Files.writeString(dir.resolve("part-0.json"),
