@@ -850,7 +850,56 @@ object Advanced {
            |FROM nx WHERE next_type IS NOT NULL
            |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin))
 
+  /** RFM user segmentation — the classic entity-level rollup a
+    * behavioral warehouse serves: per user, Recency (days from last
+    * activity to the corpus end), Frequency (event count), Monetary
+    * (cents-exact purchase sum), and an NTILE(4) frequency quartile.
+    * The quartile's order key is (frequency DESC, user_id) — total, so
+    * NTILE's even-split-with-remainder-first semantics (identical in
+    * both engines) is deterministic. The corpus end timestamp is a
+    * scalar MAX broadcast into the per-user projection.
+    *
+    * Scale: one aggregate keyed by user_id; the NTILE window is a
+    * global sort over |users| rows — the one genuinely global step, and
+    * it runs on the AGGREGATED frame (at 100 TB: users << events; if
+    * users themselves explode, swap NTILE for a percentile cut from
+    * sk04's mergeable histogram and the global sort disappears). */
+  val e06 = QueryDef(
+    "e06_rfm",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables.events(s, d)
+      val endTs = ev.agg(max(col("ts")).as("end_ts"))
+      val perUser = ev.groupBy(col("user_id")).agg(
+        max(col("ts")).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          col("value").cast(DecimalType(18, 2)))), lit(0).cast(DecimalType(18, 2)))
+          .cast("double").as("monetary"))
+      val w = Window.orderBy(col("frequency").desc, col("user_id"))
+      perUser.crossJoin(broadcast(endTs))
+        .withColumn("recency_days",
+          datediff(to_date(col("end_ts")), to_date(col("last_ts"))))
+        .withColumn("f_quartile", ntile(4).over(w))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"), col("f_quartile"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH endt AS (SELECT MAX(ts) AS end_ts FROM events),
+           |pu AS (
+           |  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
+           |         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+           |           THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS monetary
+           |  FROM events GROUP BY user_id)
+           |SELECT user_id,
+           |       CAST(date_diff('day', CAST(last_ts AS DATE), CAST(end_ts AS DATE))
+           |            AS INTEGER) AS recency_days,
+           |       frequency, monetary,
+           |       CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS INTEGER)
+           |         AS f_quartile
+           |FROM pu, endt ORDER BY user_id""".stripMargin))
+
   val catalog: Seq[QueryDef] =
-    Seq(e01, e02, e03, e04, e05, q16, q17, t09, c01, tj01, tj02, tj03, v01, v02,
-      j01, q18, t10, q19, q20, q21, q24, q25)
+    Seq(e01, e02, e03, e04, e05, e06, q16, q17, t09, c01, tj01, tj02, tj03,
+      v01, v02, j01, q18, t10, q19, q20, q21, q24, q25)
 }

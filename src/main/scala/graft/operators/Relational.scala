@@ -483,7 +483,36 @@ object Relational {
            |                        WHERE o2.o_custkey = o.o_custkey)
            |ORDER BY o_custkey, o_orderkey""".stripMargin))
 
+  /** Set-operator surface beyond q13's UNION: INTERSECT and EXCEPT
+    * (both DISTINCT forms), tagged and recombined — which nations have
+    * both customers and suppliers, and which have customers only.
+    * Spark lowers INTERSECT to a left-semi and EXCEPT to a left-anti
+    * over aggregated (distinct) inputs — the same hash-join family as
+    * q22, but reached through the set-algebra API.
+    *
+    * Scale: both sides aggregate to |nations| rows before joining, so
+    * the exchanges carry key cardinality, not table cardinality. */
+  val q28 = QueryDef(
+    "q28_intersect_except",
+    (s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      c.intersect(sup).withColumn("tag", lit("both"))
+        .unionByName(c.except(sup).withColumn("tag", lit("customer_only")))
+        .orderBy(col("nationkey"), col("tag"))
+    },
+    Some("""SELECT nationkey, 'both' AS tag FROM (
+           |  SELECT c_nationkey AS nationkey FROM customer
+           |  INTERSECT
+           |  SELECT s_nationkey AS nationkey FROM supplier)
+           |UNION ALL
+           |SELECT nationkey, 'customer_only' AS tag FROM (
+           |  SELECT c_nationkey AS nationkey FROM customer
+           |  EXCEPT
+           |  SELECT s_nationkey AS nationkey FROM supplier)
+           |ORDER BY nationkey, tag""".stripMargin))
+
   val catalog: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q14, q15, q22, q23, q26, q27, j02)
+      q14, q15, q22, q23, q26, q27, q28, j02)
 }

@@ -378,6 +378,46 @@ object SourcesStreaming {
       |FROM occ o CROSS JOIN rws r
       |GROUP BY 1, 2 ORDER BY rw, bucket""".stripMargin))
 
+  /** Watermarked streaming dedup — `dropDuplicatesWithinWatermark` in
+    * Append mode over a DELIBERATELY duplicated stream (the events scan
+    * unioned with itself: the at-least-once delivery a real ingest
+    * fights). Each event_id is emitted exactly once; unlike st02's
+    * Complete-mode state dump, this is the production shape: per-key
+    * state is EVICTED once the watermark passes (event time + delay),
+    * so state is bounded by arrival-rate × delay, not by corpus keys.
+    * Correct under any batching: a duplicate either hits live state
+    * (within the watermark) and is suppressed, or arrives below the
+    * watermark and is dropped as late — either way one emission.
+    *
+    * Scale: state hash-partitions on event_id; the memory sink is the
+    * gate's stand-in for a transactional sink. */
+  val st06 = QueryDef(
+    "st06_stream_watermark_dedup",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      import graft.streaming.EventsStream
+      val name = "graft_stream_wm_dedup"
+      val side = () => EventsStream.source(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val deduped = side().union(side())
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      EventsStream.withStatePartitions(s, 4) {
+        val q = deduped.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      graft.Lifecycle.defer { s.catalog.dropTempView(name); () }
+      s.table(name).orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, ts, user_id, event_type, value
+           |FROM events ORDER BY event_id""".stripMargin))
+
   val catalog: Seq[QueryDef] =
-    Seq(r01, r02, r03, r04, r05, st01, st02, st03, st04, st05)
+    Seq(r01, r02, r03, r04, r05, st01, st02, st03, st04, st05, st06)
 }

@@ -330,6 +330,45 @@ class OperatorsSpec extends SparkSpec {
       src.schema.map(f => (f.name, f.dataType)))
   }
 
+  test("q28 set algebra partitions customer nations into both/customer_only") {
+    import org.apache.spark.sql.functions.col
+    val rows = Relational.q28.fn(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1)))
+    val cN = graft.Tables.customer(spark, sf)
+      .select(col("c_nationkey")).distinct().collect()
+      .map(_.getAs[Number](0).longValue).toSet
+    val sN = graft.Tables.supplier(spark, sf)
+      .select(col("s_nationkey")).distinct().collect()
+      .map(_.getAs[Number](0).longValue).toSet
+    assert(rows.collect { case (k, "both") => k }.toSet == (cN & sN))
+    assert(rows.collect { case (k, "customer_only") => k }.toSet == (cN -- sN))
+    // the two tags partition exactly the customer nations: no dupes, no gaps
+    assert(rows.map(_._1).toSet == cN && rows.length == cN.size)
+  }
+
+  test("e06 RFM: quartiles are balanced and monetary equals the purchase sum") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val rows = Advanced.e06.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    val users = graft.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.length == users)
+    // NTILE(4): bucket sizes differ by at most one, ordered by frequency
+    val sizes = rows.groupBy(_._5).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set(1, 2, 3, 4))
+    assert(sizes.values.max - sizes.values.min <= 1)
+    val byQuartile = rows.groupBy(_._5).view.mapValues(_.map(_._3)).toMap
+    assert(byQuartile(1).min >= byQuartile(4).max,
+      "q1 (top frequency) overlaps q4 beyond the tie boundary")
+    // monetary totals to the corpus purchase sum (cents-exact both sides)
+    val total = BigDecimal(rows.map(r => BigDecimal(r._4)).sum.toString)
+    val expected = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))))
+      .collect()(0).getDecimal(0)
+    assert(total == BigDecimal(expected))
+  }
+
   test("JSONL load diverts malformed lines to the rejected channel") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
     java.nio.file.Files.writeString(dir.resolve("part-0.json"),

@@ -65,6 +65,36 @@ class StreamingSpec extends SparkSpec {
     assert(u7.head.sum_value == 7.0)
   }
 
+  test("watermarked dedup emits each key once and drops late duplicates after eviction") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = mem.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("wm_dedup")
+      .outputMode(OutputMode.Append).start()
+    // in-batch duplicate suppressed
+    mem.addData(Event(1, ts(0), 7, "click", 1.0), Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(10), 7, "view", 2.0))
+    q.processAllAvailable()
+    // cross-batch duplicate hits live state (watermark hasn't passed ts 0)
+    mem.addData(Event(1, ts(0), 7, "click", 1.0))
+    q.processAllAvailable()
+    // far-future event advances the watermark past ts(0)+1h: key-1 state
+    // is evicted — bounded state is the operator's contract
+    mem.addData(Event(9, ts(600), 9, "view", 0.0))
+    q.processAllAvailable()
+    // duplicate arriving AFTER eviction is below the watermark: dropped
+    // as late input, not re-emitted — the exactly-once output survives
+    mem.addData(Event(1, ts(0), 7, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("wm_dedup").select($"event_id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(1L, 2L, 9L), s"got $ids")
+    spark.catalog.dropTempView("wm_dedup")
+  }
+
   test("watermarked Append-mode hourly agg emits a window only once the watermark closes it") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
