@@ -397,6 +397,18 @@ object TextDedup {
     }
   }
 
+  /** NEGATIVE RESULT (r8, measured): a [[PairIndex]]-style persisted
+    * posting list for the raw (doc_id, shingle) pairs LOSES to
+    * re-deriving from the source — sk03 1.26s -> 1.92s, t15 0.56s ->
+    * 0.65s, sk02 0.25s -> 0.34s at sf0.1 (min-of-3, quiet window).
+    * The exploded posting list is ~3x the corpus bytes, so the parquet
+    * round-trip plus the re-spread exchange costs more than the fused
+    * scan + shingle kernel it replaces. Materialize-once pays only
+    * when the artifact is SMALLER than its derivation is expensive
+    * (PairIndex: LSH + exact verify compressed to a sparse pair set);
+    * raw posting lists fail that test at any scale — same calculus at
+    * 100 TB, where the posting list would be ~300 TB of intermediate.
+    */
   val t07 = QueryDef(
     "t07_minhash_lsh",
     (s, d) => PairIndex.ensure(s, d).orderBy(col("doc1"), col("doc2")),

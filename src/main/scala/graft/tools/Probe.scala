@@ -189,3 +189,39 @@ object RecallCheck {
     spark.stop()
   }
 }
+
+/** Targeted per-query timer: min-of-3 `.count()` per named catalog query
+  * at SPARK_GRAFT_SF_DIR, same measurement as graft.Bench but scoped —
+  * the before/after loop for single-operator perf work. Usage:
+  *   sbt "runMain graft.tools.TimeQueries sk03_bloom_decon t15_decontamination"
+  */
+object TimeQueries {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val qs = graft.SparkEntry.queries
+    args.foreach { name =>
+      val fn = qs(name)
+      // one warmup at sf0.001 (codegen/JIT), then min-of-3 timed
+      try { fn(spark, "/root/testdata/sf0.001").count() } catch { case _: Throwable => }
+      graft.Lifecycle.release(spark)
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, d).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.Lifecycle.release(spark)
+        dt
+      }
+      println(f"TIME $name%-28s min=${ts.min}%6.2fs runs=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
