@@ -512,7 +512,38 @@ object Relational {
            |  SELECT s_nationkey AS nationkey FROM supplier)
            |ORDER BY nationkey, tag""".stripMargin))
 
+  /** LATERAL correlated subquery — top-3 customers by balance PER
+    * nation, written as the per-row subquery a SQL user reaches for.
+    * The other decorrelation family next to q27's scalar form: a
+    * LATERAL emits ROWS per outer row, and Catalyst rewrites it into
+    * the rank-window plan (DecorrelateInnerQuery) instead of executing
+    * |nations| subqueries. The order key (c_acctbal DESC, c_custkey)
+    * is total, so the LIMIT's cut is deterministic cross-engine.
+    *
+    * Scale: the rewrite is q12's window top-k — one hash exchange on
+    * the correlation key, rank, filter; per-key state is the top-k
+    * heap, never the group. */
+  val q29 = QueryDef(
+    "q29_lateral_topk",
+    (s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("q29_nation")
+      Tables.customer(s, d).createOrReplaceTempView("q29_customer")
+      s.sql("""
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM q29_nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM q29_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+        ORDER BY n_name, c_acctbal DESC, c_custkey""")
+    },
+    Some("""SELECT n.n_name, t.c_custkey, t.c_acctbal
+           |FROM nation n, LATERAL (
+           |  SELECT c_custkey, c_acctbal FROM customer c
+           |  WHERE c.c_nationkey = n.n_nationkey
+           |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+           |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin))
+
   val catalog: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q14, q15, q22, q23, q26, q27, q28, j02)
+      q14, q15, q22, q23, q26, q27, q28, q29, j02)
 }

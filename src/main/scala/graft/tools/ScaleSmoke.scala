@@ -235,6 +235,23 @@ object ScaleSmoke {
         val (tMm, groups) = time(graft.operators.Multimodal.mm04.fn(spark, dir).count())
         println(f"SCALE-PHASH docs=${n0 * k}%7d mm04=${tMm}%6.1fs ($groups hash groups)")
       }
+      // ---- span-level chunk dedup (r8 continuation) ----
+      // Replicas differ from their source doc only in the final span
+      // (one appended token), so KEPT spans should stay ~flat while
+      // total spans grow ~Kx — the sub-document analog of the
+      // replica-dominated semantic-dedup result above. Cost shape:
+      // scan + two span-bounded shuffles (first-occurrence window,
+      // per-doc reassembly); a corpus-hot span concentrates a window
+      // partition exactly like t20's hot shingle (same hatch family).
+      Seq(1, 4, 12).foreach { k =>
+        val dir = s"/tmp/graft_scale_${k}x"
+        val (tCh, r) = time(
+          graft.operators.TextDedup.t26.fn(spark, dir)
+            .agg(sum(col("n_chunks")).as("spans"), sum(col("n_kept")).as("kept"))
+            .collect()(0))
+        println(f"SCALE-CHUNK docs=${n0 * k}%7d t26=${tCh}%6.1fs " +
+          f"spans=${r.getLong(0)} kept=${r.getLong(1)}")
+      }
     }
     spark.stop()
   }

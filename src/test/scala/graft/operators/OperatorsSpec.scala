@@ -330,6 +330,15 @@ class OperatorsSpec extends SparkSpec {
       src.schema.map(f => (f.name, f.dataType)))
   }
 
+  test("q29 LATERAL decorrelates to map-side WindowGroupLimit + broadcast join") {
+    val plan = Relational.q29.fn(spark, sf).queryExecution.executedPlan.toString
+    // the per-outer-row subquery must become the rank-window plan with
+    // the partial top-k pushed below the exchange — not a nested loop
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"lateral executed as a loop join:\n$plan")
+  }
+
   test("q28 set algebra partitions customer nations into both/customer_only") {
     import org.apache.spark.sql.functions.col
     val rows = Relational.q28.fn(spark, sf).collect()
