@@ -899,7 +899,41 @@ object Advanced {
            |         AS f_quartile
            |FROM pu, endt ORDER BY user_id""".stripMargin))
 
+  /** Rolling active users — DAU and 7-day WAU per day, the dashboard
+    * twin every engagement warehouse serves. Rolling DISTINCT cannot
+    * ride a window frame (distinct isn't decomposable over frames), so
+    * the plan is the date-band join: the tiny day dimension BROADCAST
+    * against per-(user, day) activity, one aggregate with a conditional
+    * distinct for DAU. Counts of exact integers — deterministic.
+    *
+    * Scale: activity collapses to |users|×|days| before the join (the
+    * events table never enters the band join), the day dimension is
+    * O(days) and broadcast, and the aggregate shuffles (day, user)
+    * pairs — 7×|user-days| rows, independent of event volume. At
+    * multi-year scale the band join keys by (day bucket) instead of
+    * broadcasting a giant day axis; the shape is unchanged. */
+  val e07 = QueryDef(
+    "e07_rolling_active",
+    (s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val days = ud.select(col("d").as("day")).distinct()
+      ud.join(broadcast(days),
+          col("d") >= date_sub(col("day"), 6) && col("d") <= col("day"))
+        .groupBy(col("day"))
+        .agg(
+          countDistinct(when(col("d") === col("day"), col("user_id"))).as("dau"),
+          countDistinct(col("user_id")).as("wau"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+           |days AS (SELECT DISTINCT d AS day FROM ud)
+           |SELECT day, COUNT(DISTINCT CASE WHEN d = day THEN user_id END) AS dau,
+           |       COUNT(DISTINCT user_id) AS wau
+           |FROM days JOIN ud ON d BETWEEN day - 6 AND day
+           |GROUP BY day ORDER BY day""".stripMargin))
+
   val catalog: Seq[QueryDef] =
-    Seq(e01, e02, e03, e04, e05, e06, q16, q17, t09, c01, tj01, tj02, tj03,
-      v01, v02, j01, q18, t10, q19, q20, q21, q24, q25)
+    Seq(e01, e02, e03, e04, e05, e06, e07, q16, q17, t09, c01, tj01, tj02,
+      tj03, v01, v02, j01, q18, t10, q19, q20, q21, q24, q25)
 }

@@ -330,6 +330,23 @@ class OperatorsSpec extends SparkSpec {
       src.schema.map(f => (f.name, f.dataType)))
   }
 
+  test("e07 WAU dominates DAU and equals the 7-day union, driver-recomputed") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val rows = Advanced.e07.fn(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, dau, wau) => assert(wau >= dau, s"$d: wau $wau < dau $dau") }
+    val ud = graft.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val byDay = ud.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    rows.foreach { case (d, dau, wau) =>
+      assert(dau == byDay.getOrElse(d, Set.empty).size)
+      val window = (0 to 6).flatMap(i => byDay.getOrElse(d.minusDays(i.toLong), Set.empty)).toSet
+      assert(wau == window.size, s"$d: wau $wau != union ${window.size}")
+    }
+  }
+
   test("q29 LATERAL decorrelates to map-side WindowGroupLimit + broadcast join") {
     val plan = Relational.q29.fn(spark, sf).queryExecution.executedPlan.toString
     // the per-outer-row subquery must become the rank-window plan with
