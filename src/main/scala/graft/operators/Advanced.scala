@@ -933,7 +933,67 @@ object Advanced {
            |FROM days JOIN ud ON d BETWEEN day - 6 AND day
            |GROUP BY day ORDER BY day""".stripMargin))
 
+  /** Per-source vocabulary divergence — the domain-drift diagnostic a
+    * corpus-mixing pipeline tracks: L1 distance between each source's
+    * token distribution and the corpus-wide distribution. Computed in
+    * INTEGER cross-multiplied form — Σ|c_src·N_all − c_all·N_src| over
+    * the full source×vocab grid (zeros included via the left join) —
+    * so the aggregate is an exact integer sum with no float-accumulation
+    * order anywhere; the reported ratio is ONE division of two exact
+    * integers (the v02 determinism pattern, pushed through an entire
+    * distance metric).
+    *
+    * Scale: two token aggregates (per-source and global vocab — the
+    * second is the zipfian t22 shape), a source×vocab grid whose size
+    * is |sources|·|vocab| (grid rows, not corpus rows), and a grouped
+    * integer sum. The products stay in i64 while
+    * corpus_tokens × source_tokens < 2^63 — beyond that, the same query
+    * in DECIMAL(38,0). */
+  val v03 = QueryDef(
+    "v03_source_divergence",
+    (s, d) => {
+      import graft.functions.TextFunctions._
+      val occ = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      val src = occ.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      val stot = src.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val allv = occ.groupBy(col("tok")).agg(count(lit(1)).as("ac"))
+      val atot = allv.agg(sum(col("ac")).as("an"))
+      stot.crossJoin(broadcast(atot))
+        .crossJoin(allv)
+        .join(src, Seq("source", "tok"), "left")
+        .groupBy(col("source"), col("n"), col("an"))
+        .agg(sum(abs(coalesce(col("c"), lit(0L)) * col("an") - col("ac") * col("n")))
+          .as("l1_num"))
+        .select(col("source"), col("l1_num"),
+          (col("n") * col("an")).as("l1_den"),
+          (col("l1_num").cast("double") / (col("n") * col("an"))).as("l1"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH tok AS (
+           |  SELECT source, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           |                             t -> t <> '') AS toks
+           |  FROM documents),
+           |occ AS (SELECT source, unnest(toks) AS tok FROM tok),
+           |src AS (SELECT source AS s_source, tok AS s_tok, COUNT(*) AS c
+           |        FROM occ GROUP BY 1, 2),
+           |stot AS (SELECT s_source AS source, SUM(c) AS n FROM src GROUP BY 1),
+           |allv AS (SELECT tok, COUNT(*) AS ac FROM occ GROUP BY 1),
+           |atot AS (SELECT SUM(ac) AS an FROM allv)
+           |SELECT s.source,
+           |       CAST(SUM(ABS(COALESCE(src.c, 0) * atot.an - allv.ac * s.n))
+           |            AS BIGINT) AS l1_num,
+           |       CAST(s.n * atot.an AS BIGINT) AS l1_den,
+           |       CAST(CAST(SUM(ABS(COALESCE(src.c, 0) * atot.an - allv.ac * s.n))
+           |            AS BIGINT) AS DOUBLE) / CAST(s.n * atot.an AS BIGINT) AS l1
+           |FROM stot s CROSS JOIN atot
+           |JOIN allv ON TRUE
+           |LEFT JOIN src ON src.s_source = s.source AND src.s_tok = allv.tok
+           |GROUP BY s.source, s.n, atot.an
+           |ORDER BY source""".stripMargin))
+
   val catalog: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, q16, q17, t09, c01, tj01, tj02,
-      tj03, v01, v02, j01, q18, t10, q19, q20, q21, q24, q25)
+      tj03, v01, v02, v03, j01, q18, t10, q19, q20, q21, q24, q25)
 }

@@ -456,5 +456,38 @@ object Corpus {
       |SELECT r.doc_id, r.lang FROM ranked r JOIN tgt USING (lang)
       |WHERE r.rk <= tgt.target ORDER BY doc_id""".stripMargin))
 
-  val catalog: Seq[QueryDef] = Seq(t11, t12, t13, t14, t17, t18, t19, t23, t24)
+  /** Cross-source duplication matrix — WHERE near-duplication lives:
+    * every near-dup pair labeled with its (unordered) source pair and
+    * counted. The mirror-site / syndication diagnostic a crawl pipeline
+    * reads before deciding which source to de-prioritize; diagonal
+    * entries are intra-source duplication. least/greatest canonicalizes
+    * the pair so (a,b) and (b,a) accumulate together.
+    *
+    * Scale: rides the persisted [[TextDedup.PairIndex]] (the sparse
+    * expensive artifact, built once), joins the tiny (doc → source) map
+    * on each end, and aggregates to |sources|² rows — cost proportional
+    * to the PAIR set, never the corpus. */
+  val t28 = QueryDef(
+    "t28_dup_source_matrix",
+    (s, d) => {
+      val pairs = TextDedup.PairIndex.ensure(s, d).select(col("doc1"), col("doc2"))
+      val srcs = docs(s, d).select(col("doc_id"), col("source"))
+      pairs
+        .join(srcs.select(col("doc_id").as("doc1"), col("source").as("s1")), "doc1")
+        .join(srcs.select(col("doc_id").as("doc2"), col("source").as("s2")), "doc2")
+        .groupBy(least(col("s1"), col("s2")).as("source_a"),
+          greatest(col("s1"), col("s2")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some(s"""WITH jp AS (${TextDedup.JaccardPairsSql}),
+       |sp AS (SELECT doc_id, source FROM documents)
+       |SELECT LEAST(a.source, b.source) AS source_a,
+       |       GREATEST(a.source, b.source) AS source_b,
+       |       COUNT(*) AS n_pairs
+       |FROM jp JOIN sp a ON a.doc_id = jp.doc1 JOIN sp b ON b.doc_id = jp.doc2
+       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin))
+
+  val catalog: Seq[QueryDef] =
+    Seq(t11, t12, t13, t14, t17, t18, t19, t23, t24, t28)
 }

@@ -330,6 +330,38 @@ class OperatorsSpec extends SparkSpec {
       src.schema.map(f => (f.name, f.dataType)))
   }
 
+  test("v03 L1 divergence is driver-recomputed exactly; bounds hold") {
+    val rows = Advanced.v03.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows.foreach { case (src, num, den, l1) =>
+      assert(l1 >= 0.0 && l1 <= 2.0, s"$src: l1 $l1 out of [0,2]")
+      assert(l1 == num.toDouble / den)
+    }
+    // independent recompute from raw tokens
+    val occ = graft.Tables.documents(spark, sf).collect()
+      .flatMap(r => r.getAs[String]("text").toLowerCase.trim
+        .split("\\s+").filter(_.nonEmpty).map(r.getAs[String]("source") -> _))
+    val bySrc = occ.groupBy(_._1)
+    val allCnt = occ.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val an = occ.length.toLong
+    rows.foreach { case (src, num, den, _) =>
+      val cnt = bySrc(src).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val n = bySrc(src).length.toLong
+      val expNum = allCnt.map { case (t, ac) =>
+        math.abs(cnt.getOrElse(t, 0L) * an - ac * n)
+      }.sum
+      assert(num == expNum && den == n * an, s"$src: $num/$den vs $expNum/${n * an}")
+    }
+  }
+
+  test("t28 source matrix is canonicalized and accounts for every near-dup pair") {
+    val rows = Corpus.t28.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    rows.foreach { case (a, b, _) => assert(a <= b, s"uncanonical ($a, $b)") }
+    val totalPairs = TextDedup.PairIndex.ensure(spark, sf).count()
+    assert(rows.map(_._3).sum == totalPairs && totalPairs > 0)
+  }
+
   test("e07 WAU dominates DAU and equals the 7-day union, driver-recomputed") {
     import org.apache.spark.sql.functions.{col, to_date}
     val rows = Advanced.e07.fn(spark, sf).collect()
