@@ -956,9 +956,16 @@ object Advanced {
       val occ = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      // ONE corpus pass: the global vocab and totals roll up from the
+      // per-source aggregate by linearity. localCheckpoint materializes
+      // the tiny |sources|x|vocab| aggregate for its three consumers
+      // (measured vs recompute-with-ReuseExchange: 0.70s vs 0.82s at
+      // sf0.1 — AQE re-plans each consumer independently and the shared
+      // exchange dedup does not survive); freed by Lifecycle.release.
       val src = occ.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val stot = src.groupBy(col("source")).agg(sum(col("c")).as("n"))
-      val allv = occ.groupBy(col("tok")).agg(count(lit(1)).as("ac"))
+      val allv = src.groupBy(col("tok")).agg(sum(col("c")).as("ac"))
       val atot = allv.agg(sum(col("ac")).as("an"))
       stot.crossJoin(broadcast(atot))
         .crossJoin(allv)
