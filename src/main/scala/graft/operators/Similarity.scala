@@ -585,5 +585,60 @@ object Similarity {
          |ORDER BY a.vec_id""".stripMargin
     })
 
-  val catalog: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06)
+  /** Scalar-quantized (int8) ANN — the memory-side scale lever the
+    * float ops (s01–s06) don't cover: each vector compresses 4x to 64
+    * bytes (per-vector symmetric scale = 127/max|x|), and the search
+    * score is an INTEGER dot product over the quantized codes. The
+    * whole pipeline is exactly reproducible cross-engine — the scale is
+    * one IEEE division of a max (order-independent), the code is
+    * round-half-away-from-zero (identical in both engines on identical
+    * doubles), and ranking ties break on neighbor_id — so unlike most
+    * quantized-ANN deployments the gate hash-checks it exactly; recall
+    * against the float top-k is pinned in the spec.
+    *
+    * Scale: at 100 TB of embeddings this is the difference between the
+    * candidate scan fitting in executor memory or not (int8 codes +
+    * SIMD-friendly integer MACs); the re-rank stage (exact float cosine
+    * on the shortlist, s02's shape) bolts on behind it unchanged. */
+  val s07 = QueryDef(
+    "s07_quantized_ann",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val q8 = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("emb"))
+        .withColumn("scale",
+          lit(127.0) / array_max(transform(col("emb"), x => abs(x))))
+        .select(col("vec_id"),
+          transform(col("emb"), x => round(x * col("scale")).cast("long")).as("qv"))
+      val q = q8.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("qv").as("qq"))
+      val c = q8.select(col("vec_id").as("neighbor_id"), col("qv").as("cq"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("qdot").desc, col("neighbor_id"))
+      q.join(c, col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("qdot"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH q8 AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS qv
+      |  FROM (SELECT vec_id, embedding,
+      |               127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      |        FROM embeddings))
+      |SELECT query_id, neighbor_id, qdot, rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         list_reduce(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.qv[i]), (x,y)->x+y) AS qdot,
+      |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |           ORDER BY list_reduce(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.qv[i]), (x,y)->x+y) DESC,
+      |                    c.vec_id) AS rank
+      |  FROM q8 q JOIN q8 c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < $NumQueries)
+      |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
+
+  val catalog: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07)
 }
