@@ -468,6 +468,7 @@ object Relational {
     "q27_correlated_subquery",
     (s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("q27_orders")
+      graft.Lifecycle.defer { s.catalog.dropTempView("q27_orders"); () }
       s.sql("""
         SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
         FROM q27_orders o
@@ -528,6 +529,10 @@ object Relational {
     (s, d) => {
       Tables.nation(s, d).createOrReplaceTempView("q29_nation")
       Tables.customer(s, d).createOrReplaceTempView("q29_customer")
+      graft.Lifecycle.defer {
+        s.catalog.dropTempView("q29_nation")
+        s.catalog.dropTempView("q29_customer"); ()
+      }
       s.sql("""
         SELECT n.n_name, t.c_custkey, t.c_acctbal
         FROM q29_nation n, LATERAL (

@@ -607,8 +607,11 @@ object Similarity {
       val q8 = Tables.embeddings(s, d)
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("emb"))
+        // zero-vector guard: scale 0 -> all-zero codes (not NaN/Inf —
+        // CAST(round(NaN)) would error in the oracle and null-rank here)
+        .withColumn("maxabs", array_max(transform(col("emb"), x => abs(x))))
         .withColumn("scale",
-          lit(127.0) / array_max(transform(col("emb"), x => abs(x))))
+          when(col("maxabs") > 0, lit(127.0) / col("maxabs")).otherwise(lit(0.0)))
         .select(col("vec_id"),
           transform(col("emb"), x => round(x * col("scale")).cast("long")).as("qv"))
       val q = q8.filter(col("vec_id") < NumQueries)
@@ -628,8 +631,10 @@ object Similarity {
       |  SELECT vec_id,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS qv
       |  FROM (SELECT vec_id, embedding,
-      |               127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
-      |        FROM embeddings))
+      |               CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale
+      |        FROM (SELECT vec_id, embedding,
+      |              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+      |              FROM embeddings)))
       |SELECT query_id, neighbor_id, qdot, rank FROM (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |         list_reduce(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.qv[i]), (x,y)->x+y) AS qdot,

@@ -18,6 +18,13 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object SourcesStreaming {
 
+  /** Scratch dir for a sink round-trip, keyed by format prefix and the
+    * corpus dir (hex of the path hash: collisions only re-overwrite a
+    * scratch dir that the same query rewrites anyway). */
+  private def roundtripDir(prefix: String, d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_roundtrip_${prefix}_" +
+      Integer.toHexString(d.hashCode)
+
   private val csvSchema = StructType(
     Seq("doc_id", "text", "lang", "source", "n_chars")
       .map(StructField(_, StringType)) :+ StructField(Schemas.Rejected, StringType))
@@ -25,8 +32,7 @@ object SourcesStreaming {
   val r01 = QueryDef(
     "r01_csv_roundtrip",
     (s, d) => {
-      val out = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_" +
-        Integer.toHexString(d.hashCode)
+      val out = roundtripDir("csv", d)
       Tables.documents(s, d)
         .select(col("doc_id").cast("string"), col("text"), col("lang"),
           col("source"), col("n_chars").cast("string"))
@@ -49,8 +55,7 @@ object SourcesStreaming {
   val r02 = QueryDef(
     "r02_tsv_roundtrip",
     (s, d) => {
-      val out = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_tsv_" +
-        Integer.toHexString(d.hashCode)
+      val out = roundtripDir("tsv", d)
       Tables.documents(s, d)
         .select(col("doc_id").cast("string"), col("text"), col("lang"),
           col("source"), col("n_chars").cast("string"))
@@ -112,8 +117,7 @@ object SourcesStreaming {
   val r03 = QueryDef(
     "r03_jsonl_roundtrip",
     (s, d) => {
-      val out = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_jsonl_" +
-        Integer.toHexString(d.hashCode)
+      val out = roundtripDir("jsonl", d)
       Tables.documents(s, d)
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
@@ -138,8 +142,7 @@ object SourcesStreaming {
   val r04 = QueryDef(
     "r04_partitioned_roundtrip",
     (s, d) => {
-      val out = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_part_" +
-        Integer.toHexString(d.hashCode)
+      val out = roundtripDir("part", d)
       Tables.documents(s, d)
         .write.mode("overwrite").partitionBy("lang").parquet(out)
       s.read.parquet(out)
@@ -162,8 +165,7 @@ object SourcesStreaming {
   val r05 = QueryDef(
     "r05_orc_roundtrip",
     (s, d) => {
-      val out = s"${sys.props("java.io.tmpdir")}/graft_roundtrip_orc_" +
-        Integer.toHexString(d.hashCode)
+      val out = roundtripDir("orc", d)
       Tables.documents(s, d)
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
@@ -385,9 +387,15 @@ object SourcesStreaming {
     * Complete-mode state dump, this is the production shape: per-key
     * state is EVICTED once the watermark passes (event time + delay),
     * so state is bounded by arrival-rate × delay, not by corpus keys.
-    * Correct under any batching: a duplicate either hits live state
-    * (within the watermark) and is suppressed, or arrives below the
-    * watermark and is dropped as late — either way one emission.
+    * DUPLICATES are handled under any batching (suppressed by live
+    * state, or dropped as late below the watermark); a FIRST occurrence
+    * below the watermark, however, is dropped with zero emissions, so
+    * batch-parity with the oracle needs every event inside the
+    * watermark when it arrives — guaranteed here by the single-file
+    * drain (one micro-batch), and asserted below so a multi-file
+    * source can't silently turn eviction into data loss. In production
+    * the watermark delay is sized to the source's real disorder bound,
+    * which is the same contract.
     *
     * Scale: state hash-partitions on event_id; the memory sink is the
     * gate's stand-in for a transactional sink. */
@@ -403,7 +411,7 @@ object SourcesStreaming {
       val deduped = side().union(side())
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
-      EventsStream.withStatePartitions(s, 4) {
+      val q = EventsStream.withStatePartitions(s, 4) {
         val q = deduped.writeStream
           .format("memory")
           .queryName(name)
@@ -411,7 +419,16 @@ object SourcesStreaming {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        q
       }
+      // batch-parity precondition (see docstring): all events must land
+      // in one micro-batch, or first occurrences below the advanced
+      // watermark would be dropped as late — missing rows, not dedup
+      val fedBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(fedBatches <= 1,
+        s"st06 drained $fedBatches micro-batches with input; the batch-" +
+          "parity oracle holds only when all events arrive inside the " +
+          "watermark (single-batch drain)")
       graft.Lifecycle.defer { s.catalog.dropTempView(name); () }
       s.table(name).orderBy(col("event_id"))
     },

@@ -212,8 +212,12 @@ object TimeQueries {
     val qs = graft.SparkEntry.queries
     args.foreach { name =>
       val fn = qs(name)
-      // one warmup at sf0.001 (codegen/JIT), then min-of-3 timed
-      try { fn(spark, "/root/testdata/sf0.001").count() } catch { case _: Throwable => }
+      // one warmup at sf0.001 (codegen/JIT), then min-of-3 timed; a
+      // failed warmup is VISIBLE (run 1 then absorbs JIT cost — the
+      // 0.1-0.3s class this tool exists to resolve)
+      try { fn(spark, "/root/testdata/sf0.001").count() }
+      catch { case e: Throwable =>
+        System.err.println(s"[time] $name warmup skipped: ${e.getMessage}") }
       graft.Lifecycle.release(spark)
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
