@@ -435,6 +435,53 @@ object SourcesStreaming {
     Some("""SELECT event_id, ts, user_id, event_type, value
            |FROM events ORDER BY event_id""".stripMargin))
 
+  /** Stream-static enrichment join — the third join regime next to
+    * st04's stateful stream-stream: a streaming fact (purchases)
+    * enriched against a STATIC dimension (customer) and aggregated by
+    * segment. The static side needs NO watermark and NO join state —
+    * Spark re-plans it per micro-batch (broadcast at this size), so
+    * the only stateful operator is the aggregate. This is the
+    * workhorse shape of production streaming ETL: facts stream,
+    * dimensions are tables.
+    *
+    * Scale: the dimension rebroadcasts per micro-batch (pin it with a
+    * storage-level cache, or hash-join when it outgrows broadcast);
+    * state is O(segments), not O(stream). Complete mode because the
+    * running per-segment totals ARE the product. */
+  val st07 = QueryDef(
+    "st07_stream_static_join",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      import org.apache.spark.sql.types.DecimalType
+      import graft.streaming.EventsStream
+      val name = "graft_stream_static"
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = EventsStream.source(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("value"))
+        .join(cust, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      EventsStream.withStatePartitions(s, 4) {
+        val q = agg.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      graft.Lifecycle.defer { s.catalog.dropTempView(name); () }
+      s.table(name).orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n,
+           |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM events JOIN customer ON user_id = c_custkey
+           |WHERE event_type = 'purchase'
+           |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
+
   val catalog: Seq[QueryDef] =
-    Seq(r01, r02, r03, r04, r05, st01, st02, st03, st04, st05, st06)
+    Seq(r01, r02, r03, r04, r05, st01, st02, st03, st04, st05, st06, st07)
 }

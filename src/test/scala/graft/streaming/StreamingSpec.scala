@@ -65,6 +65,30 @@ class StreamingSpec extends SparkSpec {
     assert(u7.head.sum_value == 7.0)
   }
 
+  test("stream-static join keeps state only in the aggregate, never the join") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val cust = Seq((7L, "SEG_A"), (9L, "SEG_B")).toDF("c_custkey", "c_mktsegment")
+    val q = mem.toDF().filter($"event_type" === "purchase")
+      .join(cust, $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment").count()
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Complete).start()
+    mem.addData(Event(1, ts(0), 7, "purchase", 1.0),
+      Event(2, ts(1), 9, "purchase", 2.0), Event(3, ts(2), 7, "view", 1.0))
+    q.processAllAvailable()
+    // the static side is re-planned per batch, not buffered: exactly one
+    // stateful operator (the aggregate) in the progress report
+    val ops = q.lastProgress.stateOperators
+    assert(ops.length == 1, s"state operators: ${ops.map(_.operatorName).mkString(",")}")
+    q.stop()
+    val rows = spark.table("ss_join").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("SEG_A", 1L), ("SEG_B", 1L)))
+    spark.catalog.dropTempView("ss_join")
+  }
+
   test("watermarked dedup emits each key once and drops late duplicates after eviction") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
