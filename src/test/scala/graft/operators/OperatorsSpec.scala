@@ -155,6 +155,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("embedding dedup keep-map index is rebuilt on regeneration and equals the inline derivation") {
+    import org.apache.spark.sql.functions.{col, min}
+    // result-identity with the non-persisted pipeline on the main corpus
+    val fromIndex = Advanced.EmbDedupIndex.ensure(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = Similarity.lshPairsDedupRaw(spark, sf)
+      .groupBy(col("id2").as("vec_id")).agg(min(col("id1")).as("keep_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromIndex == inline)
+    // staleness: regenerating embeddings at the same path changes the dir
+    val scratch = java.nio.file.Files.createTempDirectory("embdedup_corpus").toFile
+    val src = spark.read.parquet(s"$sf/embeddings.parquet")
+    src.write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+    val dir1 = Advanced.EmbDedupIndex.indexDirFor(scratch.getAbsolutePath)
+    assert(Advanced.EmbDedupIndex.ensure(spark, scratch.getAbsolutePath).count() > 0)
+    src.orderBy("vec_id").limit(100)
+      .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+    val dir2 = Advanced.EmbDedupIndex.indexDirFor(scratch.getAbsolutePath)
+    assert(dir1 != dir2, "fingerprint did not change with the corpus")
+  }
+
   test("s03 signature index is rebuilt when the corpus is regenerated") {
     val scratch = java.nio.file.Files.createTempDirectory("sig_corpus").toFile
     val src = spark.read.parquet(s"$sf/embeddings.parquet")
