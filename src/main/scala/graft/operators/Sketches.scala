@@ -375,7 +375,8 @@ object Sketches {
     * SketchesSpec. Exact side: rank-based (percentile_disc semantics,
     * `doc_id` tiebreak) — no cross-engine interpolation drift; at
     * production scale the exact side is dropped and the sketch answers
-    * alone, merged across slices. */
+    * alone, merged across slices — or, when an exact audit IS required,
+    * computed by [[lengthQuantilesGuided]] instead of this per-key sort. */
   def lengthQuantiles(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
@@ -396,6 +397,58 @@ object Sketches {
       .drop(col("doc_id"))
     val exact = tgt.join(rk, Seq("lang"))
       .filter(col("rn") >= col("target"))
+      .groupBy(col("lang"), col("p")).agg(min(col("n_chars")).as("exact"))
+    est.join(exact, Seq("lang", "p"))
+      .select(col("lang"), col("p"), col("est_hi"), col("exact"))
+      .orderBy(col("lang"), col("p"))
+  }
+
+  /** HISTOGRAM-GUIDED exact selection — the 100 TB form of the exact
+    * side of [[lengthQuantiles]] (result-identical, pinned in
+    * SketchesSpec). The cumulative histogram pins the bin containing
+    * each target rank, so only rows inside those ≤|percents| bins per
+    * language are ranked: the global `target`-th smallest equals the
+    * `(target − rows-below-bin)`-th smallest within its bin, because
+    * bins partition the value domain. A per-key TOTAL sort of the corpus
+    * (the [[lengthQuantiles]] exact side — unschedulable at 100 TB)
+    * becomes one O(langs×bins) histogram plus a re-scan behind a
+    * broadcast candidate-bin semi-join and a window over candidate rows
+    * only; degenerate worst case (all rows in one bin) degrades to the
+    * sort it replaced. NOT the bench path: at sf0.1 the longer stage
+    * chain (histogram → candidate bins → broadcast → re-scan) measures
+    * 1.27s vs 0.73s for the plain sort — the crossover needs per-key
+    * data that dwarfs the candidate bins (PLANS.md, round-8 audit). */
+  def lengthQuantilesGuided(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val dd = graft.Tables.documents(s, d)
+    val hist = lengthHistogram(dd)
+    val n = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
+    val cum = hist.withColumn("run",
+      sum(col("cnt")).over(Window.partitionBy(col("lang")).orderBy(col("bin"))))
+    val tgt = n.crossJoin(broadcast(QPercents.toDF("p")))
+      .withColumn("target", expr("(p * n + 99) DIV 100"))
+    // per (lang, p): the bin holding the target rank, rows strictly
+    // below it, and the within-bin rank k of the quantile row
+    val qb = tgt.join(cum, Seq("lang"))
+      .filter(col("run") >= col("target"))
+      .groupBy(col("lang"), col("p"), col("target"))
+      .agg(min(col("bin")).as("ebin"))
+      .join(cum.select(col("lang"), col("bin").as("ebin"),
+        (col("run") - col("cnt")).as("below")), Seq("lang", "ebin"))
+      .withColumn("k", col("target") - col("below"))
+    val est = qb.withColumn("est_hi", (col("ebin") + 1) * QBinWidth - 1)
+      .select(col("lang"), col("p"), col("est_hi"))
+    val candBins = qb.select(col("lang"), col("ebin").as("bin")).distinct()
+    val rkIn = dd.select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("bin", expr(s"n_chars DIV $QBinWidth"))
+      .join(broadcast(candBins), Seq("lang", "bin"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"), col("bin"))
+          .orderBy(col("n_chars"), col("doc_id"))))
+      .select(col("lang"), col("bin").as("ebin"), col("n_chars"), col("rn"))
+    val exact = qb.join(rkIn, Seq("lang", "ebin"))
+      .filter(col("rn") >= col("k"))
       .groupBy(col("lang"), col("p")).agg(min(col("n_chars")).as("exact"))
     est.join(exact, Seq("lang", "p"))
       .select(col("lang"), col("p"), col("est_hi"), col("exact"))

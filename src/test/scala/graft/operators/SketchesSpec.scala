@@ -93,6 +93,16 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("histogram-guided exact selection equals the full-sort quantiles") {
+    // the 100 TB form: ranks only candidate-bin rows, never a per-key
+    // total sort — must be row-identical to the sort-based gate query
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val sorted = Sketches.lengthQuantiles(spark, d).collect().map(_.toSeq).toSeq
+      val guided = Sketches.lengthQuantilesGuided(spark, d).collect().map(_.toSeq).toSeq
+      assert(guided == sorted && sorted.nonEmpty, d)
+    }
+  }
+
   test("drained streaming CMS counters equal the batch sketch") {
     val streamed = SourcesStreaming.st05.fn(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
