@@ -243,18 +243,31 @@ object Sketches {
 
   // ------------------------------------------------------------ Bloom
 
-  /** Bloom filter geometry: m = 2^16 bits, k = 4 md5-derived positions
-    * per key. At 5% benchmark share of a 27k-shingle corpus the set
-    * fraction is ~8.5%, so the false-positive rate is ~0.085^4 ≈ 5e-5. */
+  /** Bloom filter geometry: m = 2^16 bits, k = 4 positions per key, all
+    * four sliced from ONE md5 digest (16 hex chars = 4 × 16-bit
+    * positions — the standard one-strong-hash construction; the slices
+    * are disjoint digest bits, so they behave as independent uniforms).
+    * One digest per probed key instead of k quarters the per-row
+    * hashing on BOTH engines; at sf0.1 the end-to-end gain is inside
+    * the noise floor (~1.2s both forms — the pipeline is dominated by
+    * the shingle derivation and the k broadcast builds, PLANS.md), but
+    * per-row hashing is the term that grows with the corpus. At 5%
+    * benchmark share of a 27k-shingle corpus the set fraction is
+    * ~8.5%, so the false-positive rate is ~0.085^4 ≈ 5e-5. */
   private val BloomBits = 1 << 16
   private val BloomK = 4
 
-  private def bloomPos(i: Int, key: Column): Column =
-    conv(substring(md5(concat(lit(s"B$i:"), key).cast("binary")), 1, 15), 16, 10)
-      .cast("long") % BloomBits
+  /** The shared digest; position i is hex chars [4i+1, 4i+4]. */
+  private def bloomDigest(key: Column): Column =
+    md5(concat(lit("B:"), key).cast("binary"))
 
-  private def bloomPosSql(i: String, key: String): String =
-    s"CAST(('0x' || substr(md5('B' || $i || ':' || $key), 1, 15)) AS BIGINT) % $BloomBits"
+  private def bloomPos(i: Int, digest: Column): Column =
+    conv(substring(digest, 4 * i + 1, 4), 16, 10).cast("long")
+
+  private def bloomPosSql(i: Int, digest: String): String =
+    s"CAST(('0x' || substr($digest, ${4 * i + 1}, 4)) AS BIGINT)"
+
+  private def bloomDigestSql(key: String): String = s"md5('B:' || $key)"
 
   /** Bloom-prefiltered benchmark decontamination — [[TextDedup.t15]]'s
     * exact contract (corpus docs sharing >= 5 distinct 3-token shingles
@@ -286,20 +299,22 @@ object Sketches {
       .localCheckpoint()
     // the filter: distinct set bit positions of the benchmark shingles
     val bits = bench
+      .withColumn("dg", bloomDigest(col("shingle")))
       .select(explode(array((0 until BloomK).map(i =>
-        bloomPos(i, col("shingle"))): _*)).as("pos"))
+        bloomPos(i, col("dg"))): _*)).as("pos"))
       .distinct()
     // probe: a shingle survives iff ALL k of its positions are set —
     // k chained broadcast LEFT SEMI joins, no explode and no
     // (doc, shingle)-grained aggregate (the exploded join+HAVING form
     // measured 1.7s vs 1.2s: the 4x-row hash aggregate on string
     // shingle keys was the cost). The joins pipeline inside one codegen
-    // stage, so each row computes position i only if positions 0..i-1
-    // already passed — the per-row short-circuit a hand-written Bloom
-    // probe loop would have.
+    // stage over the ONE shared digest per row; slicing position i is
+    // free, so nothing is gained by short-circuiting and nothing is
+    // paid re-hashing.
     var surv = sh.filter(col("doc_id") % 20 =!= 7)
+      .withColumn("dg", bloomDigest(col("shingle")))
     (0 until BloomK).foreach { i =>
-      surv = surv.withColumn(s"p$i", bloomPos(i, col("shingle")))
+      surv = surv.withColumn(s"p$i", bloomPos(i, col("dg")))
         .join(broadcast(bits.withColumnRenamed("pos", s"p$i")),
           Seq(s"p$i"), "left_semi")
     }
@@ -318,23 +333,25 @@ object Sketches {
       s"""${TextDedup.ShingleCte},
         |bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 20 = 7),
         |corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 7),
-        |ks AS (SELECT unnest(range($BloomK)) AS i),
         |bits AS (
-        |  SELECT DISTINCT ${bloomPosSql("k.i", "b.shingle")} AS pos
-        |  FROM bench b CROSS JOIN ks k
+        |  SELECT DISTINCT pos FROM (
+        |    SELECT unnest([${(0 until BloomK)
+                  .map(i => bloomPosSql(i, "dg")).mkString(", ")}]) AS pos
+        |    FROM (SELECT ${bloomDigestSql("shingle")} AS dg FROM bench))
         |),
         |probe AS (
-        |  -- positions materialized BEFORE the join: an expression join
-        |  -- key spanning the cross join forces a nested-loop plan with
-        |  -- an md5 per comparison; a plain column hash-joins
-        |  SELECT c.doc_id, c.shingle, ${bloomPosSql("k.i", "c.shingle")} AS pos
-        |  FROM corpus c CROSS JOIN ks k
+        |  -- ONE digest per corpus shingle; the four positions are
+        |  -- slices of it, materialized BEFORE the joins so they
+        |  -- hash-join as plain columns
+        |  SELECT doc_id, shingle, ${(0 until BloomK)
+              .map(i => s"${bloomPosSql(i, "dg")} AS p$i").mkString(", ")}
+        |  FROM (SELECT doc_id, shingle, ${bloomDigestSql("shingle")} AS dg
+        |        FROM corpus)
         |),
         |survivors AS (
-        |  SELECT p.doc_id, p.shingle
-        |  FROM probe p JOIN bits ON bits.pos = p.pos
-        |  GROUP BY p.doc_id, p.shingle
-        |  HAVING COUNT(*) = $BloomK
+        |  SELECT p.doc_id, p.shingle FROM probe p
+        |  ${(0 until BloomK).map(i =>
+             s"JOIN bits b$i ON b$i.pos = p.p$i").mkString(" ")}
         |)
         |SELECT s.doc_id, b.bench_id, COUNT(*) AS n_shared
         |FROM survivors s JOIN bench b ON s.shingle = b.shingle
