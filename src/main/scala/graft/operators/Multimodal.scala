@@ -396,5 +396,121 @@ object Multimodal {
       |SELECT phash, MIN(id) AS keep_id, COUNT(*) AS n_media
       |FROM ph GROUP BY phash ORDER BY phash, keep_id""".stripMargin))
 
-  val catalog: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04)
+  /** Autocorrelation lags probed for the pitch-proxy argmax. */
+  private val AcLags = 8
+
+  /** Per-clip audio features over a decoded 0-255 level stream, ALL
+    * integer-exact (hash-checkable cross-engine): sample count,
+    * mid-level (128) zero crossings, energy `Σ(s-128)²`, and the
+    * autocorrelation pitch proxy — the lag in [1, [[AcLags]]] maximizing
+    * `Σ (s_i-128)(s_{i+lag}-128)` (ties → smallest lag; a periodic
+    * signal peaks at its period, the classic integer autocorrelation
+    * pitch detector). Returns (n_samples, zero_crossings, energy,
+    * best_lag, best_autocorr). */
+  def audioFeatures(samples: Array[Int]): (Int, Long, Long, Int, Long) = {
+    val n = samples.length
+    var zc = 0L
+    var i = 0
+    while (i + 1 < n) {
+      if ((samples(i) >= 128) != (samples(i + 1) >= 128)) zc += 1
+      i += 1
+    }
+    var energy = 0L
+    i = 0
+    while (i < n) {
+      val v = samples(i) - 128
+      energy += v.toLong * v
+      i += 1
+    }
+    var bestLag = 1
+    var bestAc = Long.MinValue
+    var lag = 1
+    while (lag <= AcLags) {
+      var ac = 0L
+      i = 0
+      while (i + lag < n) {
+        ac += (samples(i) - 128).toLong * (samples(i + lag) - 128)
+        i += 1
+      }
+      if (ac > bestAc) { bestAc = ac; bestLag = lag }
+      lag += 1
+    }
+    (n, zc, energy, bestLag, bestAc)
+  }
+
+  /** Gate entry: integer-exact audio analysis over the audio-modality
+    * clips — zero-crossing rate, energy, and the autocorrelation pitch
+    * proxy of [[audioFeatures]]. Everything is integer arithmetic on
+    * the decoded levels, so the gate hash-checks the whole feature row
+    * (no float drift); the real-decode WAV arm feeds the same kernel in
+    * MultimodalSpec (a period-8 square wave argmaxes at lag 8).
+    *
+    * Scale: same discipline as mm01–mm04 — the kernel runs per-row
+    * right after the scan, payloads never shuffle, only the six-column
+    * feature row crosses the exchange; the modality filter prunes
+    * before decode. The oracle recomputes the features relationally
+    * (self-joins on sample index for crossings/lags) from
+    * hex(encode(text)) — the same quadratic-in-SQL vs linear-in-kernel
+    * contrast as mm03/mm04. */
+  val mm05 = QueryDef(
+    "mm05_audio_autocorr",
+    (s, d) => {
+      import s.implicits._
+      val media = mediaFromDocuments(
+          Tables.documents(s, d).filter(col("doc_id") % 3 === 1)
+            .repartition(s.sparkContext.defaultParallelism))
+        .as[MediaRow]
+      media.mapPartitions { rows =>
+        rows.map { r =>
+          val (n, zc, energy, bestLag, bestAc) =
+            audioFeatures(frameSampleStub(decode(r.payload), stride = 2))
+          (r.id, n, zc, energy, bestLag, bestAc)
+        }
+      }.toDF("id", "n_samples", "zero_crossings", "energy",
+          "best_lag", "best_autocorr")
+        .orderBy(col("id"))
+    },
+    Some(s"""WITH b AS (
+      |  SELECT doc_id AS id, hex(encode(text)) AS h,
+      |         (octet_length(encode(text)) + 1) // 2 AS len
+      |  FROM documents WHERE doc_id % 3 = 1
+      |), samp AS (
+      |  SELECT id, CAST(i AS BIGINT) AS k,
+      |         CAST(('0x' || substr(h, CAST(i * 4 + 1 AS INTEGER), 2)) AS INTEGER) - 128 AS v
+      |  FROM (SELECT id, h, unnest(range(len)) AS i FROM b)
+      |), zc AS (
+      |  SELECT a.id,
+      |         COUNT(*) FILTER (WHERE (a.v >= 0) <> (c.v >= 0)) AS zero_crossings
+      |  FROM samp a JOIN samp c ON c.id = a.id AND c.k = a.k + 1
+      |  GROUP BY a.id
+      |), en AS (
+      |  SELECT id, CAST(SUM(v * v) AS BIGINT) AS energy FROM samp GROUP BY id
+      |), lags AS (SELECT unnest(range(1, ${AcLags + 1})) AS lag),
+      |prod AS (
+      |  SELECT a.id, c.k - a.k AS lag, a.v * c.v AS p
+      |  FROM samp a JOIN samp c
+      |    ON c.id = a.id AND c.k > a.k AND c.k <= a.k + $AcLags
+      |), ac AS (
+      |  SELECT g.id, g.lag, CAST(COALESCE(SUM(p.p), 0) AS BIGINT) AS acv
+      |  FROM (SELECT id, lag FROM b CROSS JOIN lags) g
+      |  LEFT JOIN prod p ON p.id = g.id AND p.lag = g.lag
+      |  GROUP BY g.id, g.lag
+      |), best AS (
+      |  SELECT id, lag, acv,
+      |         ROW_NUMBER() OVER (PARTITION BY id
+      |           ORDER BY acv DESC, lag) AS rn
+      |  FROM ac
+      |)
+      |SELECT b.id, CAST(b.len AS INTEGER) AS n_samples,
+      |       COALESCE(zc.zero_crossings, 0) AS zero_crossings,
+      |       COALESCE(en.energy, 0) AS energy,
+      |       CAST(best.lag AS INTEGER) AS best_lag,
+      |       best.acv AS best_autocorr
+      |FROM b
+      |LEFT JOIN zc ON zc.id = b.id
+      |LEFT JOIN en ON en.id = b.id
+      |JOIN best ON best.id = b.id AND best.rn = 1
+      |ORDER BY b.id""".stripMargin))
+
+  val catalog: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04, mm05)
 }
