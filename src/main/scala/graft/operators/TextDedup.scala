@@ -886,7 +886,62 @@ object TextDedup {
       |         AS kept_text
       |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Blocklist / opt-out scrub — the compliance primitive of a
+    * training-data pipeline (takedown requests, opt-out registries,
+    * license revocations): given a blocklist of exact content
+    * fingerprints, drop every corpus document whose normalized-text
+    * digest matches, and report the per-source audit (how many
+    * documents each source lost). The blocklist here is a deterministic
+    * stand-in slice (every 31st document's fingerprint — an "opt-out
+    * set" the gate can reproduce); production swaps in the registry
+    * table unchanged.
+    *
+    * The scrub IS a broadcast LEFT ANTI join on the digest — the
+    * first-class form of "NOT IN (blocklist)" (no null-semantics trap,
+    * no shuffle of the corpus side); the audit counts the complement
+    * with the matching LEFT SEMI. At 100 TB the corpus never shuffles:
+    * an opt-out registry is small by nature, so both probes are
+    * broadcast hash joins pipelined in the scan stage, and only
+    * per-source counters cross the exchange. (A single-pass
+    * left-join-plus-conditional-count emits the same audit; the
+    * two-probe form is deliberate — semi and anti are the operators a
+    * user of the scrub actually calls, and each branch map-side
+    * combines to |sources| rows before the tiny final join.) */
+  val t29 = QueryDef(
+    "t29_blocklist_scrub",
+    (s, d) => {
+      val dg = docs(s, d)
+        .select(col("source"), fingerprint(col("text")).as("digest"))
+      val block = docs(s, d).filter(col("doc_id") % 31 === 5)
+        .select(fingerprint(col("text")).as("digest"))
+      val blocked = dg.join(broadcast(block), Seq("digest"), "left_semi")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_blocked"))
+      val kept = dg.join(broadcast(block), Seq("digest"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      kept.join(blocked, Seq("source"), "full_outer")
+        .select(col("source"),
+          (coalesce(col("n_kept"), lit(0L)) +
+            coalesce(col("n_blocked"), lit(0L))).as("n_docs"),
+          coalesce(col("n_blocked"), lit(0L)).as("n_blocked"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH dg AS (
+      |  SELECT source,
+      |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS digest
+      |  FROM documents
+      |), b AS (
+      |  SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS digest
+      |  FROM documents WHERE doc_id % 31 = 5
+      |)
+      |SELECT dg.source,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(COUNT(*) FILTER (WHERE b.digest IS NOT NULL) AS BIGINT) AS n_blocked,
+      |       CAST(COUNT(*) FILTER (WHERE b.digest IS NULL) AS BIGINT) AS n_kept
+      |FROM dg LEFT JOIN b ON b.digest = dg.digest
+      |GROUP BY dg.source ORDER BY dg.source""".stripMargin))
+
   val catalog: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t15, t16, t20, t21, t22, t25,
-      t26)
+      t26, t29)
 }

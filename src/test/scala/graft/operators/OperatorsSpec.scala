@@ -225,6 +225,28 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
   }
 
+  test("t29 blocklist scrub partitions every document and scrubs by CONTENT") {
+    import org.apache.spark.sql.functions.{col, lower, md5, regexp_replace, trim}
+    val out = TextDedup.t29.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // audit identity: blocked + kept == docs, per source and in total
+    assert(out.forall { case (_, n, b, k) => b + k == n })
+    val docs = graft.Tables.documents(spark, sf)
+    assert(out.map(_._2).sum == docs.count())
+    // content semantics: every doc sharing a blocklisted digest is
+    // blocked, even when its own doc_id is not on the stand-in slice
+    val dg = docs.select(col("doc_id"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("digest"))
+    val blockDigests = dg.filter(col("doc_id") % 31 === 5)
+      .select("digest").collect().map(_.getString(0)).toSet
+    val expectBlocked = dg.collect()
+      .count(r => blockDigests.contains(r.getString(1)))
+    assert(out.map(_._3).sum == expectBlocked && expectBlocked > 0)
+    // both probes stay broadcast: the corpus side never shuffles
+    val plan = TextDedup.t29.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
+  }
+
   test("t25 incremental dedup agrees with the t07 pair set") {
     import org.apache.spark.sql.functions.col
     val rows = TextDedup.t25.fn(spark, sf).collect()
