@@ -596,6 +596,18 @@ object Similarity {
     * quantized-ANN deployments the gate hash-checks it exactly; recall
     * against the float top-k is pinned in the spec.
     *
+    * Ranking is NORM-CORRECTED: the raw integer qdot is biased by each
+    * candidate's own scale (a small-max-component vector gets larger
+    * codes per unit of true value), so candidates rank by the
+    * dequantized reconstruction `qdot · (qmax/127) · (cmax/127)` — the
+    * stored-scale correction every scalar-quantization deployment
+    * applies at score time. Still hash-exact: qdot is an exact integer,
+    * the two scale factors are exact maxima of cast floats, and both
+    * engines evaluate the same three-operation product left to right
+    * (measured at sf0.001: mean top-5 overlap with the float-cosine
+    * ranking rises 0.68 → 0.98, worst query 0.6 → 0.8 — pinned in
+    * OperatorsSpec).
+    *
     * Scale: at 100 TB of embeddings this is the difference between the
     * candidate scan fitting in executor memory or not (int8 codes +
     * SIMD-friendly integer MACs); the re-rank stage (exact float cosine
@@ -612,37 +624,52 @@ object Similarity {
         .withColumn("maxabs", array_max(transform(col("emb"), x => abs(x))))
         .withColumn("scale",
           when(col("maxabs") > 0, lit(127.0) / col("maxabs")).otherwise(lit(0.0)))
-        .select(col("vec_id"),
+        .select(col("vec_id"), col("maxabs"),
           transform(col("emb"), x => round(x * col("scale")).cast("long")).as("qv"))
       val q = q8.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("qv").as("qq"))
-      val c = q8.select(col("vec_id").as("neighbor_id"), col("qv").as("cq"))
+        .select(col("vec_id").as("query_id"), col("qv").as("qq"),
+          col("maxabs").as("qmax"))
+      val c = q8.select(col("vec_id").as("neighbor_id"), col("qv").as("cq"),
+        col("maxabs").as("cmax"))
       val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("qdot").desc, col("neighbor_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
       q.join(c, col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
           aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
-            lit(0L), (acc, x) => acc + x).as("qdot"))
+            lit(0L), (acc, x) => acc + x).as("qdot"),
+          col("qmax"), col("cmax"))
+        // dequantized reconstruction, evaluated strictly left to right
+        // (the oracle mirrors the association) so the doubles hash-match
+        .withColumn("score",
+          col("qdot").cast("double") * (col("qmax") / lit(127.0)) *
+            (col("cmax") / lit(127.0)))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("neighbor_id"), col("qdot"),
+          col("score"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s"""WITH q8 AS (
-      |  SELECT vec_id,
+      |  SELECT vec_id, m,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS qv
-      |  FROM (SELECT vec_id, embedding,
+      |  FROM (SELECT vec_id, embedding, m,
       |               CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale
       |        FROM (SELECT vec_id, embedding,
       |              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
-      |              FROM embeddings)))
-      |SELECT query_id, neighbor_id, qdot, rank FROM (
+      |              FROM embeddings))),
+      |scored AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |         list_reduce(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.qv[i]), (x,y)->x+y) AS qdot,
-      |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
-      |           ORDER BY list_reduce(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.qv[i]), (x,y)->x+y) DESC,
-      |                    c.vec_id) AS rank
+      |         q.m AS qmax, c.m AS cmax
       |  FROM q8 q JOIN q8 c ON q.vec_id <> c.vec_id
       |  WHERE q.vec_id < $NumQueries)
+      |SELECT query_id, neighbor_id, qdot, score, rank FROM (
+      |  SELECT query_id, neighbor_id, qdot,
+      |         (CAST(qdot AS DOUBLE) * (qmax / 127.0)) * (cmax / 127.0) AS score,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id
+      |           ORDER BY (CAST(qdot AS DOUBLE) * (qmax / 127.0)) * (cmax / 127.0) DESC,
+      |                    neighbor_id) AS rank
+      |  FROM scored)
       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
 
   val catalog: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07)

@@ -381,11 +381,12 @@ class OperatorsSpec extends SparkSpec {
     val overlaps = exact.map { case (q, ns) =>
       ns.toSet.intersect(qz(q).toSet).size.toDouble / ns.size
     }.toSeq
-    // int8 quantized MIPS vs float cosine: both pipelines are fully
-    // deterministic, so these are exact corpus constants, not bounds
-    // with slack (measured 0.68 mean / 0.6 min at sf0.001)
-    assert(overlaps.min >= 0.6, s"min overlap ${overlaps.min}")
-    assert(overlaps.sum / overlaps.size >= 0.65,
+    // int8 quantized MIPS (norm-corrected rank) vs float cosine: both
+    // pipelines are fully deterministic, so these are exact corpus
+    // constants, not bounds with slack (measured 0.98 mean / 0.8 min at
+    // sf0.001; the uncorrected raw-qdot rank measured 0.68 / 0.6)
+    assert(overlaps.min >= 0.8, s"min overlap ${overlaps.min}")
+    assert(overlaps.sum / overlaps.size >= 0.95,
       s"mean overlap ${overlaps.sum / overlaps.size}")
   }
 
