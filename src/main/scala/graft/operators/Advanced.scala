@@ -1032,7 +1032,62 @@ object Advanced {
            |GROUP BY s.source, s.n, atot.an
            |ORDER BY source""".stripMargin))
 
+  /** Time-series gap-fill / resampling — the dashboard-ETL staple the
+    * reference's daily trend queries assume upstream: a metric stream
+    * resampled onto a complete hourly calendar, absent buckets
+    * zero-filled for additive metrics (event counts) and FORWARD-FILLED
+    * for gauges (the last observed hourly max carries across the gap).
+    * 24% of (event_type, hour) buckets are empty at sf0.001 — a chart
+    * drawn from the raw aggregate silently connects across holes.
+    *
+    * Scale: the only corpus-sized work is the hourly pre-aggregate
+    * (map-side combined count/max, one shuffle on (type, hour)); the
+    * calendar scaffold is `sequence()` over each type's [min, max] span
+    * — O(types × hours), bounded by wall-clock time, not data — so the
+    * left join and the per-type ordered window both run on the tiny
+    * resampled frame. Forward fill is `last(_, ignoreNulls)` over rows
+    * unbounded-preceding — one pass per type, no self-join. MAX (not
+    * SUM) keeps the double gauge deterministic cross-engine. */
+  val e08 = QueryDef(
+    "e08_hourly_gapfill",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"), max(col("value")).as("hr_max"))
+      val span = hourly.groupBy(col("event_type"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      val scaffold = span.select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scaffold.join(hourly, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          col("n").isNull.as("is_gap"),
+          last(col("hr_max"), ignoreNulls = true).over(w).as("filled_max"))
+        .orderBy(col("event_type"), col("hr"))
+    },
+    Some("""WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n,
+      |         MAX(value) AS hr_max
+      |  FROM events GROUP BY 1, 2
+      |), span AS (
+      |  SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly GROUP BY 1
+      |), cal AS (
+      |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+      |  FROM span
+      |)
+      |SELECT c.event_type, c.hr,
+      |       COALESCE(h.n, 0) AS n_events,
+      |       h.n IS NULL AS is_gap,
+      |       LAST_VALUE(h.hr_max IGNORE NULLS) OVER (
+      |         PARTITION BY c.event_type ORDER BY c.hr
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max
+      |FROM cal c LEFT JOIN hourly h ON h.event_type = c.event_type AND h.hr = c.hr
+      |ORDER BY 1, 2""".stripMargin))
+
   val catalog: Seq[QueryDef] =
-    Seq(e01, e02, e03, e04, e05, e06, e07, q16, q17, t09, c01, tj01, tj02,
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, q16, q17, t09, c01, tj01, tj02,
       tj03, v01, v02, v03, j01, q18, t10, q19, q20, q21, q24, q25)
 }

@@ -21,6 +21,33 @@ class AdvancedSpec extends SparkSpec {
     assert(batch == streaming)
   }
 
+  test("e08 gap-fill scaffolds a complete hourly calendar and forward-fills gauges") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Advanced.e08.fn(spark, sf).collect().map(r =>
+      (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getBoolean(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (tpe, tr) =>
+      val sorted = tr.sortBy(_._2.getTime)
+      // calendar completeness: consecutive rows are exactly one hour apart
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2.getTime - a._2.getTime == 3600000L, s"$tpe gap in scaffold")
+        case _ =>
+      }
+      // gaps are empty, and the series has real gaps to fill at this SF
+      assert(sorted.filter(_._4).forall(_._3 == 0L))
+      assert(sorted.exists(_._4), s"$tpe has no gaps — grain too coarse")
+      // spans start on data, so the forward-filled gauge is never null,
+      // and it only changes on hours that actually observed events
+      assert(!sorted.head._4 && sorted.forall(_._5.nonEmpty))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => if (b._4) assert(b._5 == a._5, s"$tpe gap changed gauge")
+        case _ =>
+      }
+    }
+  }
+
   test("curation keeps a nontrivial subset") {
     val sf = "/root/testdata/sf0.001"
     val total = graft.Tables.documents(spark, sf).count()
