@@ -941,7 +941,77 @@ object TextDedup {
       |FROM dg LEFT JOIN b ON b.digest = dg.digest
       |GROUP BY dg.source ORDER BY dg.source""".stripMargin))
 
+  /** Minimum token length admitted to typo matching — unigrams and
+    * bigrams are one edit from half the alphabet and carry no typo
+    * signal. */
+  private val TypoMinLen = 3
+
+  /** Maximum edit distance for typo matching (SymSpell depth — the
+    * deletion neighborhood is generated to this depth). */
+  private val TypoMaxDist = 2
+
+  /** Fuzzy vocabulary matching via the DELETION-NEIGHBORHOOD banded
+    * join (the SymSpell construction): every token emits itself plus
+    * every way of deleting up to [[TypoMaxDist]] characters as join
+    * keys; two tokens within [[TypoMaxDist]] edits always share a key
+    * (each edit is covered by deleting at most one character per side),
+    * so a hash join on the key generates every candidate and an exact
+    * `levenshtein <= 2` verify discards the collisions (unrelated
+    * tokens that happen to share a depth-2 deletion). The fuzzy-match
+    * family the string-identity dedups (t05 exact, t06–t08 token-set)
+    * don't cover: OCR/typo variant collapse over a corpus vocabulary.
+    *
+    * Scale: candidate generation is O(Σ|token|²) keys off the tiny
+    * vocab aggregate (never the corpus — the only corpus-sized work is
+    * the token count t22 already pays), the join is banded by key
+    * exactly like t07's LSH bands, and the verify is
+    * per-candidate-pair. The oracle is the QUADRATIC all-pairs
+    * levenshtein join — so the gate hash-match PROVES the neighborhood
+    * join exhaustive at this distance, the s01-vs-lshPairs argument
+    * applied to edit distance. */
+  val t30 = QueryDef(
+    "t30_typo_pairs",
+    (s, d) => {
+      val vocab = docs(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .filter(length(col("token")) >= TypoMinLen)
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      // the token, its single deletions, and its double deletions
+      // (ordered position pairs i < j) — SymSpell depth 2
+      val delKeys =
+        "concat(array(token)," +
+          " transform(sequence(0, length(token) - 1)," +
+          "   i -> concat(substr(token, 1, i), substr(token, i + 2)))," +
+          " CASE WHEN length(token) < 2 THEN array()" +
+          " ELSE flatten(transform(sequence(0, length(token) - 2)," +
+          "   i -> transform(sequence(i + 1, length(token) - 1)," +
+          "     j -> concat(substr(token, 1, i)," +
+          "                 substr(token, i + 2, j - i - 1)," +
+          "                 substr(token, j + 2))))) END)"
+      val keys = vocab.select(col("token"), col("n"),
+        explode(array_distinct(expr(delKeys))).as("key"))
+      val a = keys.select(col("key"), col("token").as("token_a"), col("n").as("n_a"))
+      val b = keys.select(col("key"), col("token").as("token_b"), col("n").as("n_b"))
+      a.join(b, Seq("key"))
+        .filter(col("token_a") < col("token_b"))
+        .select(col("token_a"), col("token_b"), col("n_a"), col("n_b"))
+        .distinct()
+        .filter(levenshtein(col("token_a"), col("token_b")) <= TypoMaxDist)
+        .orderBy(col("token_a"), col("token_b"))
+    },
+    Some(TokCte + s""",
+      |vocab AS (
+      |  SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(toks) AS tok FROM tok)
+      |  WHERE len(tok) >= $TypoMinLen
+      |  GROUP BY tok
+      |)
+      |SELECT a.token AS token_a, b.token AS token_b, a.n AS n_a, b.n AS n_b
+      |FROM vocab a JOIN vocab b ON a.token < b.token
+      |WHERE levenshtein(a.token, b.token) <= $TypoMaxDist
+      |ORDER BY token_a, token_b""".stripMargin))
+
   val catalog: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t15, t16, t20, t21, t22, t25,
-      t26, t29)
+      t26, t29, t30)
 }

@@ -252,6 +252,32 @@ object ScaleSmoke {
         println(f"SCALE-CHUNK docs=${n0 * k}%7d t26=${tCh}%6.1fs " +
           f"spans=${r.getLong(0)} kept=${r.getLong(1)}")
       }
+      // ---- gap-fill scaffold is bounded by wall-clock, not data ----
+      // K event replicas land inside the SAME hour span, so e08's
+      // output (types x hours) must stay EXACTLY constant while input
+      // rows grow Kx; cost should grow only with the map-side combined
+      // hourly pre-aggregate (sub-linear end to end), never with the
+      // scaffold/window side.
+      locally {
+        val ev0 = graft.Tables.events(spark, "/root/testdata/sf0.1")
+        val ne0 = ev0.count()
+        var rows1 = -1L
+        Seq(1, 4, 12).foreach { k =>
+          val dir = s"/tmp/graft_scale_ev_${k}x"
+          (0 until k).map { i =>
+            if (i == 0) ev0
+            else ev0.withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+          }.reduce(_ unionAll _)
+            // back to the int64-nanos layout Tables.events expects
+            .withColumn("ts", expr("unix_micros(ts) * 1000"))
+            .write.mode("overwrite").parquet(s"$dir/events.parquet")
+          val (tGf, rows) = time(graft.operators.Advanced.e08.fn(spark, dir).count())
+          if (k == 1) rows1 = rows
+          println(f"SCALE-GAPFILL events=${ne0 * k}%8d e08=${tGf}%6.1fs ($rows rows)")
+          assert(rows == rows1,
+            s"scaffold grew with data volume: $rows vs $rows1")
+        }
+      }
     }
     spark.stop()
   }

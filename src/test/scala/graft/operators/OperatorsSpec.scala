@@ -247,6 +247,37 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
   }
 
+  test("t30 deletion-neighborhood join finds EVERY pair within edit distance 2") {
+    import spark.implicits._
+    // crafted typo families: transposition (from/form), deletion chains
+    // (spark/sprk/park), substitution (cable/table), plus unrelated
+    // far words that must NOT pair
+    val words = Seq("from", "form", "fom", "fork", "spark", "spork", "sprk",
+      "park", "table", "tale", "tble", "cable", "alpha", "omega")
+    val scratch = java.nio.file.Files.createTempDirectory("typo_corpus").toFile
+    words.zipWithIndex.map { case (w, i) =>
+      (i.toLong, s"$w padding words", "en", "srcX", w.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val got = TextDedup.t30.fn(spark, scratch.getAbsolutePath).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val vocab = (words ++ Seq("padding", "words")).filter(_.length >= 3).distinct
+    val want = (for {
+      a <- vocab; b <- vocab if a < b && lev(a, b) <= 2
+    } yield (a, b)).toSet
+    assert(got == want && want.nonEmpty, s"got $got, want $want")
+    assert(want.contains(("form", "from")) && want.contains(("park", "spark")))
+    assert(!got.exists { case (a, b) => lev(a, b) > 2 })
+  }
+
   test("t25 incremental dedup agrees with the t07 pair set") {
     import org.apache.spark.sql.functions.col
     val rows = TextDedup.t25.fn(spark, sf).collect()
