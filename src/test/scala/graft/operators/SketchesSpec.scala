@@ -124,6 +124,38 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("grouped HLL: per-source registers merge by max; estimates land in envelope") {
+    import graft.Tables
+    val docs = Tables.documents(spark, sf)
+    def srcShingles(df: org.apache.spark.sql.DataFrame) = {
+      graft.functions.TextExpressions.register(spark)
+      df.select(col("source"),
+        explode(call_function("graft_shingles", col("text"))).as("shingle"))
+    }
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegistersBy(srcShingles(df), "source",
+          TextDedup.shingleHash60(col("shingle")))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val full = regs(docs)
+    val merged = Sketches.hllRegistersBy(
+        srcShingles(docs.filter(col("doc_id") % 2 === 0)), "source",
+        TextDedup.shingleHash60(col("shingle")))
+      .union(Sketches.hllRegistersBy(
+        srcShingles(docs.filter(col("doc_id") % 2 === 1)), "source",
+        TextDedup.shingleHash60(col("shingle"))))
+      .groupBy(col("source"), col("bucket")).agg(max(col("m_j")).as("m_j"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(merged == full && full.nonEmpty)
+    // every per-source estimate lands within a loose multiple of the
+    // m=256 standard error (1.04/sqrt(m) ~ 6.5%) of its exact count
+    Sketches.hllDistinctBySource(spark, sf).collect().foreach { r =>
+      val est = r.getAs[Double]("hll_estimate")
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      assert(math.abs(est - exact) / exact < 0.26,
+        s"${r.getString(0)}: est $est vs exact $exact")
+    }
+  }
+
   test("HLL registers merge by max across disjoint corpus slices") {
     val idx = TextDedup.shingleIndex(spark, sf)
     def regs(df: org.apache.spark.sql.DataFrame) =
