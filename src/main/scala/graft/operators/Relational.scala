@@ -548,7 +548,43 @@ object Relational {
            |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
            |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin))
 
+  /** CDC latest-wins compaction — the maintenance twin of [[q26]]'s
+    * MERGE: treat the event stream as a change log keyed by
+    * (user_id, event_type) and keep only each key's most recent row
+    * (ts, then event_id as the total tiebreak — the upsert-stream
+    * compaction every lakehouse table format runs). Raw column
+    * pass-through (no arithmetic), so the double `value` hash-checks
+    * untouched.
+    *
+    * Scale: rank <= 1 under a row_number window is Spark's
+    * WindowGroupLimit shape (pinned in the spec) — each map partition
+    * keeps one candidate row per key BEFORE the exchange, so the
+    * shuffle carries O(keys) rows, not the log; that partial top-1 is
+    * exactly how log-structured compaction stays linear at 100 TB. */
+  val q30 = QueryDef(
+    "q30_latest_compaction",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("last_event_id"), col("ts").as("last_ts"),
+          col("value").as("last_value"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""SELECT user_id, event_type, event_id AS last_event_id,
+           |       ts AS last_ts, value AS last_value
+           |FROM (SELECT *, ROW_NUMBER() OVER (
+           |        PARTITION BY user_id, event_type
+           |        ORDER BY ts DESC, event_id DESC) AS rn
+           |      FROM events)
+           |WHERE rn = 1
+           |ORDER BY user_id, event_type""".stripMargin))
+
   val catalog: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q14, q15, q22, q23, q26, q27, q28, q29, j02)
+      q14, q15, q22, q23, q26, q27, q28, q29, q30, j02)
 }

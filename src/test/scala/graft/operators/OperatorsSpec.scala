@@ -479,6 +479,29 @@ class OperatorsSpec extends SparkSpec {
       s"lateral executed as a loop join:\n$plan")
   }
 
+  test("q30 latest-wins compaction keeps one row per key via WindowGroupLimit") {
+    val plan = Relational.q30.fn(spark, sf).queryExecution.executedPlan.toString
+    // the rn = 1 filter must push a partial top-1 below the exchange —
+    // the shuffle carries O(keys) rows, not the change log
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$plan")
+    val rows = Relational.q30.fn(spark, sf).collect()
+    val keys = rows.map(r => (r.getLong(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length && rows.nonEmpty)
+    // the kept row really is the key's maximum (ts, event_id)
+    val ev = graft.Tables.events(spark, sf).collect()
+      .map { r =>
+        val ts = r.getAs[java.sql.Timestamp]("ts")
+        // full-resolution ordering key (getTime alone drops micros)
+        ((r.getLong(2), r.getString(3)),
+          (ts.getTime / 1000 * 1000000000L + ts.getNanos, r.getLong(0)))
+      }
+      .groupMapReduce(_._1)(_._2)((a, b) => if (a._1 != b._1) { if (a._1 > b._1) a else b } else if (a._2 > b._2) a else b)
+    rows.foreach { r =>
+      val want = ev((r.getLong(0), r.getString(1)))
+      assert(r.getLong(2) == want._2, s"key ${(r.getLong(0), r.getString(1))}")
+    }
+  }
+
   test("q28 set algebra partitions customer nations into both/customer_only") {
     import org.apache.spark.sql.functions.col
     val rows = Relational.q28.fn(spark, sf).collect()
