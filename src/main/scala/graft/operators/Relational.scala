@@ -584,7 +584,35 @@ object Relational {
            |WHERE rn = 1
            |ORDER BY user_id, event_type""".stripMargin))
 
+  /** Typed JSON extraction over a semi-structured column — the
+    * first-class form of what [[q06]] does with the reference's regex
+    * guard: `from_json` with an explicit schema parses `props` once
+    * into a typed struct (codegen'd Jackson parse, null on malformed —
+    * the safe-cast contract), and the extracted field feeds ordinary
+    * integer-exact aggregation. At 100 TB the schema-typed parse is the
+    * scale path: one pass, no per-field re-parse (`get_json_object`
+    * re-parses the document per call), and the struct projection prunes
+    * to the fields named. */
+  val q31 = QueryDef(
+    "q31_json_extract",
+    (s, d) => {
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+      val schema = StructType(Seq(StructField("k", IntegerType)))
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), schema).getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("k").cast("long")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           |       CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+           |       MAX(CAST(props->>'k' AS INTEGER)) AS max_k
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val catalog: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q14, q15, q22, q23, q26, q27, q28, q29, q30, j02)
+      q14, q15, q22, q23, q26, q27, q28, q29, q30, q31, j02)
 }
