@@ -205,45 +205,58 @@ object TextDedup {
            |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin))
 
   /** N-gram Jaccard near-dup pairs via an inverted shingle index — exact,
-    * no cross join: docs only meet if they share a shingle. */
+    * no cross join: docs only meet if they share a shingle.
+    *
+    * The catalog entry runs the STATS-GATED plan ([[jaccardPairsHatched]]):
+    * the hot-shingle set is computed from the shingle frame itself, so the
+    * skew escape engages automatically when corpus df stats cross
+    * [[HotShingleDf]] and the plan degrades to the direct self-join when
+    * they don't (AQE collapses the empty-broadcast semi/anti joins). The
+    * direct plan survives as [[jaccardPairsDirect]] — the identity-pin
+    * reference (OperatorsSpec) and ScaleSmoke's SKEW comparison row. */
   val t06 = QueryDef(
     "t06_jaccard_pairs",
-    (s, d) => {
-      graft.functions.TextExpressions.register(s)
-      // ONE corpus pass: graft_shingles_n stamps the per-doc distinct
-      // count on every generator element, so the jaccard denominator
-      // needs no separate sz aggregate over a recomputed index (the
-      // previous shape; 1.30s -> 0.98s at sf0.1). The count must ride
-      // the GENERATOR OUTPUT: a computed column projected across the
-      // explode is re-evaluated per generated row (19-22s, PLANS.md).
-      // ReuseExchange dedups the self-join sides, so the kernel runs
-      // once per document total; the join-group count IS the
-      // intersection size because the index is distinct per doc.
-      val sh = docs(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          explode(call_function("graft_shingles_n", col("text"))).as("sh"))
-        .select(col("doc_id"), col("sh.shingle").as("shingle"), col("sh.n").as("n"))
-      val a = sh.select(col("doc_id").as("doc1"), col("n").as("n1"), col("shingle"))
-        .hint("SHUFFLE_HASH")
-      // SHUFFLE_HASH: the join output feeds a hash aggregate, so the
-      // sort-merge join's per-partition sorts are pure waste; hashing
-      // the build side instead is 0.95s -> 0.69s at sf0.1 (Tune,
-      // min-of-2) and the build is bounded by per-partition index size
-      // (AQE splits oversized partitions; the df histogram at sf0.1
-      // peaks at max df = 25, so no single key group can blow the
-      // build). ReuseExchange still dedups the two sides.
-      val b = sh.select(col("doc_id").as("doc2"), col("n").as("n2"), col("shingle"))
-        .hint("SHUFFLE_HASH")
-      a.join(b, a("shingle") === b("shingle") && col("doc1") < col("doc2"))
-        .groupBy(col("doc1"), col("doc2"))
-        .agg(count(lit(1)).as("inter"), min(col("n1")).as("n1"), min(col("n2")).as("n2"))
-        .withColumn("jaccard", col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter")))
-        .filter(col("jaccard") >= JaccardThreshold)
-        .select(col("doc1"), col("doc2"), col("jaccard"))
-        .orderBy(col("doc1"), col("doc2"))
-    },
+    (s, d) => jaccardPairsHatched(s, d),
     Some(JaccardPairsSql))
+
+  /** The direct (un-hatched) inverted-index self-join. Correct and optimal
+    * when no shingle is hot; kept as the exactness reference for the
+    * stats-gated default. */
+  private[graft] def jaccardPairsDirect(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextExpressions.register(s)
+    // ONE corpus pass: graft_shingles_n stamps the per-doc distinct
+    // count on every generator element, so the jaccard denominator
+    // needs no separate sz aggregate over a recomputed index (the
+    // previous shape; 1.30s -> 0.98s at sf0.1). The count must ride
+    // the GENERATOR OUTPUT: a computed column projected across the
+    // explode is re-evaluated per generated row (19-22s, PLANS.md).
+    // ReuseExchange dedups the self-join sides, so the kernel runs
+    // once per document total; the join-group count IS the
+    // intersection size because the index is distinct per doc.
+    val sh = docs(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(call_function("graft_shingles_n", col("text"))).as("sh"))
+      .select(col("doc_id"), col("sh.shingle").as("shingle"), col("sh.n").as("n"))
+    val a = sh.select(col("doc_id").as("doc1"), col("n").as("n1"), col("shingle"))
+      .hint("SHUFFLE_HASH")
+    // SHUFFLE_HASH: the join output feeds a hash aggregate, so the
+    // sort-merge join's per-partition sorts are pure waste; hashing
+    // the build side instead is 0.95s -> 0.69s at sf0.1 (Tune,
+    // min-of-2) and the build is bounded by per-partition index size
+    // (AQE splits oversized partitions; the df histogram at sf0.1
+    // peaks at max df = 25, so no single key group can blow the
+    // build). ReuseExchange still dedups the two sides.
+    val b = sh.select(col("doc_id").as("doc2"), col("n").as("n2"), col("shingle"))
+      .hint("SHUFFLE_HASH")
+    a.join(b, a("shingle") === b("shingle") && col("doc1") < col("doc2"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("inter"), min(col("n1")).as("n1"), min(col("n2")).as("n2"))
+      .withColumn("jaccard", col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
 
   /** Hot-shingle escape hatch defaults: a shingle in >= [[HotShingleDf]]
     * docs routes through the blocked self-join ([[jaccardPairsHatched]]);
@@ -251,9 +264,10 @@ object TextDedup {
   private[graft] val HotShingleDf = 256
   private[graft] val HotBlocks = 16
 
-  /** t06 with the hot-shingle escape hatch: EXACT (result-identical to
-    * t06 — pinned in OperatorsSpec on a normal corpus and a skew-stress
-    * corpus in ScaleSmoke), but skew-immune.
+  /** t06's default plan: the inverted-index self-join with a stats-gated
+    * hot-shingle escape hatch. EXACT (result-identical to
+    * [[jaccardPairsDirect]] — pinned in OperatorsSpec on a normal corpus
+    * and a skew-stress corpus in ScaleSmoke), but skew-immune.
     *
     * A shingle shared by m docs emits m^2/2 join rows all carrying ONE
     * join key — at web scale a boilerplate shingle in 30% of a shard
@@ -272,12 +286,17 @@ object TextDedup {
     *  5. per-pair intersections from both streams combine in ONE
     *     groupBy(doc1, doc2).
     *
-    * The catalog t06 keeps the direct plan: the gate corpus has max
-    * df = 25 at sf0.1 (measured histogram in PLANS.md) — far below any
-    * sane threshold, so the hatch would only add the df-profile pass.
-    * A deployment flips to this form when corpus df stats cross the
-    * threshold (it degrades to exactly the direct plan when no shingle
-    * is hot: the broadcasts carry an empty set). */
+    * Why this is the DEFAULT (r10): at 100x the corpus a single
+    * boilerplate shingle puts the m^2/2 fan-out on one task and no
+    * runtime mechanism can split it after the fact — the engine must
+    * flip itself on observed df stats, not wait for a deployment to.
+    * The gate corpus has max df = 25 at sf0.1 (measured histogram in
+    * PLANS.md), so here the hot set is empty and the hatch degrades to
+    * the direct plan plus the df-profile pass: AQE sees the empty hot
+    * broadcast, rewrites the semi join to an empty relation (killing
+    * the whole hot branch, kernel included) and the anti join to its
+    * stream side. Measured cost of the gate at sf0.1: within noise of
+    * the direct plan (PLANS.md r10). */
   private[graft] def jaccardPairsHatched(
       s: SparkSession, d: String,
       hotDf: Int = HotShingleDf, blocks: Int = HotBlocks): DataFrame = {

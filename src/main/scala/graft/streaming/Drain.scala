@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Bounded-drain scaffolding shared by the st* catalog entries: run a
+  * streaming plan to exhaustion with `Trigger.AvailableNow` into a memory
+  * sink and hand the drained table back as a DataFrame.
+  *
+  * Two structural costs this module removes from every drain:
+  *
+  *  1. **The conf landmine.** The r8 `withStatePartitions` helper mutated
+  *     the session-global `spark.sql.shuffle.partitions` for the drain's
+  *     duration — any query planned concurrently on the same session
+  *     silently inherited the narrowed setting. Here each drain plans on
+  *     a dedicated CHILD session (`parent.newSession()` — own SQLConf,
+  *     shared SparkContext/catalog-state), whose shuffle-partition count
+  *     is set once at session creation and never mutated again. The
+  *     parent session's conf is untouched at every point in time.
+  *
+  *  2. **The micro-batch floor.** A stateful streaming query creates and
+  *     commits one state store per shuffle partition per micro-batch
+  *     (store count fixed at first plan, independent of data), so a
+  *     bounded drain of tiny state wants FEW stores: the drain session
+  *     pins `spark.sql.shuffle.partitions = statePartitions`. It also
+  *     disables no-data micro-batches: every st* drain either emits its
+  *     rows in the data batch itself (Append-mode stream-stream inner
+  *     join, dropDuplicatesWithinWatermark, the per-batch-flushing
+  *     bounded sessionizer) or retains all state by definition (Complete
+  *     mode) — the extra empty batch Spark schedules to advance the
+  *     watermark would only pay another round of state-store commits and
+  *     emit nothing. (A future Append-mode windowed aggregate drain WOULD
+  *     need that batch — route it through its own session, not this one.)
+  *
+  * The child session is memoized per (parent, statePartitions): the seven
+  * st* gate entries reuse one session, so [[graft.Tables]]' scan-plan
+  * memoization (keyed by session identity) keeps paying and session
+  * setup is amortized across the catalog. The harness consumes drains
+  * sequentially; concurrent drains on the same child session are safe
+  * conf-wise (nothing is ever mutated post-creation) — only the memory
+  * sink's queryName needs to stay unique per concurrent drain.
+  */
+object Drain {
+
+  private val sessions =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), SparkSession]()
+
+  /** The memoized drain session for `parent`: own conf, shared context.
+    * Conf is written exactly once, before any use. */
+  def session(parent: SparkSession, statePartitions: Int = 4): SparkSession =
+    sessions.computeIfAbsent(
+      (System.identityHashCode(parent), statePartitions), _ => {
+        val s2 = parent.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+        s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        s2
+      })
+
+  /** Build `plan` against the drain session, run it to exhaustion into a
+    * memory sink named `name`, and return (query handle, drained table).
+    * The temp view is dropped at the next [[graft.Lifecycle.release]];
+    * the query handle carries `recentProgress` for batch-count
+    * preconditions (st03/st06). */
+  def toTable(parent: SparkSession, name: String, mode: OutputMode,
+              statePartitions: Int = 4)(plan: SparkSession => DataFrame)
+      : (StreamingQuery, DataFrame) = {
+    val s2 = session(parent, statePartitions)
+    val q = plan(s2).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the memory sink pins every batch's result in driver memory via the
+    // temp view — drop it once the harness has consumed the frame
+    graft.Lifecycle.defer { s2.catalog.dropTempView(name); () }
+    (q, s2.table(name))
+  }
+}

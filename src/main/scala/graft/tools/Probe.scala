@@ -231,3 +231,34 @@ object TimeQueries {
     spark.stop()
   }
 }
+
+/** Same-window cost audit of the t06 stats-gated dispatch: times the
+  * direct inverted-index plan against the catalog default (hatched,
+  * df-profile-gated) on the SAME session at SPARK_GRAFT_SF_DIR. The
+  * delta is the price of the df-profile pass when no shingle is hot —
+  * the number the r10 default flip is accountable to (PLANS.md). */
+object T06DispatchAudit {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def timeMin(label: String)(f: => Long): Double = {
+      f // warmup (codegen/JIT)
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"T06PAIR $label%-8s min=${ts.min}%5.2fs runs=${ts.map(t => f"$t%.2f").mkString(",")}")
+      ts.min
+    }
+    val td = timeMin("direct")(graft.operators.TextDedup.jaccardPairsDirect(spark, d).count())
+    val th = timeMin("default")(graft.operators.TextDedup.t06.fn(spark, d).count())
+    println(f"T06PAIR dispatch overhead = ${th - td}%+.2fs (${(th / td - 1) * 100}%+.0f%%)")
+    spark.stop()
+  }
+}

@@ -34,6 +34,12 @@ object ScaleSmoke {
   }
 
   def main(args: Array[String]): Unit = {
+    // Section selection: no args = run everything (the r8 behavior);
+    // otherwise each arg names a section. `sketch` and `extra` re-read
+    // the /tmp corpora that `growth` writes, so run growth first (or
+    // once) when invoking those selectively.
+    val want: String => Boolean =
+      if (args.isEmpty) _ => true else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -44,7 +50,7 @@ object ScaleSmoke {
 
     val base = graft.Tables.documents(spark, "/root/testdata/sf0.1")
     val n0 = base.count()
-    Seq(1, 4, 12).foreach { k =>
+    if (want("growth")) Seq(1, 4, 12).foreach { k =>
       val dir = s"/tmp/graft_scale_${k}x"
       // K copies; copies beyond the first get the replica id appended to
       // every token so they are distinct-but-similar documents.
@@ -81,7 +87,7 @@ object ScaleSmoke {
     // CMS counters stay <= d x w = 4096 rows and HLL registers stay 256
     // however large the corpus; what should grow is ONLY the scan. The
     // accuracy contracts must hold as distinct shingles grow ~12x.
-    locally {
+    if (want("sketch")) {
       def time[T](f: => T): (Double, T) = {
         val t0 = System.nanoTime(); val v = f
         val dt = (System.nanoTime() - t0) / 1e9
@@ -101,12 +107,14 @@ object ScaleSmoke {
       }
     }
 
-    // ---- hot-shingle skew stress (r8): one phrase in ~30% of docs ----
-    // The direct t06 join lands a df=1500 shingle's ~1.1M-pair fan-out
-    // on ONE key group (AQE splits skewed partitions, not key groups);
-    // the hatch spreads it over HotBlocks keys. Both must return the
+    // ---- hot-shingle skew stress (r8; r10 flips the default) ----
+    // One phrase in ~30% of docs: the direct t06 join lands a df=1500
+    // shingle's ~1.1M-pair fan-out on ONE key group (AQE splits skewed
+    // partitions, not key groups); the stats-gated hatch — now the
+    // catalog t06 default — detects the hot shingle from its own df
+    // profile and spreads it over HotBlocks keys. Both must return the
     // SAME pairs (exactness also pinned forced-hot in OperatorsSpec).
-    locally {
+    if (want("skew")) {
       val skewDir = "/tmp/graft_scale_skew"
       base.select(col("doc_id"),
           when(pmod(col("doc_id"), lit(10)) < 3,
@@ -115,11 +123,11 @@ object ScaleSmoke {
           col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
       val (tD, nD, maxD, p50D) = spreadOf(spark)(
-        graft.operators.TextDedup.t06.fn(spark, skewDir).count())
+        graft.operators.TextDedup.jaccardPairsDirect(spark, skewDir).count())
       val (tH, nH, maxH, p50H) = spreadOf(spark)(
-        graft.operators.TextDedup.jaccardPairsHatched(spark, skewDir).count())
+        graft.operators.TextDedup.t06.fn(spark, skewDir).count())
       println(f"SKEW direct  t06=${tD}%6.1fs ($nD pairs) maxTask=${maxD}ms p50Task=${p50D}ms")
-      println(f"SKEW hatched t06=${tH}%6.1fs ($nH pairs) maxTask=${maxH}ms p50Task=${p50H}ms")
+      println(f"SKEW default t06=${tH}%6.1fs ($nH pairs) maxTask=${maxH}ms p50Task=${p50H}ms")
       assert(nD == nH, s"skew hatch changed the pair count: $nD vs $nH")
     }
 
@@ -132,7 +140,7 @@ object ScaleSmoke {
     // broadcast-head hatch. t20's window is the opposite: a window key
     // group CANNOT be skew-split, so the agg+broadcast hatch is the only
     // escape. Numbers -> PLANS.md hot-key table.
-    locally {
+    if (want("zipf")) {
       val zipfDir = "/tmp/graft_scale_zipf"
       base.select(col("doc_id"),
           concat(col("text"), lit(" zzcommon" * 20)).as("text"),
@@ -168,7 +176,7 @@ object ScaleSmoke {
     // any banding miss shows up as recall < 1 against the exact twin.
     val emb0 = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
     val e0 = emb0.count()
-    Seq(1, 4, 12).foreach { k =>
+    if (want("emb")) Seq(1, 4, 12).foreach { k =>
       val dir = s"/tmp/graft_scale_emb_${k}x"
       val copies = (0 until k).map { i =>
         if (i == 0) emb0
@@ -215,7 +223,7 @@ object ScaleSmoke {
     // with the corpus; the index BUILD (KMeans fit) is timed separately
     // because a deployment amortizes it across runs. mm04 is a per-row
     // kernel into one hash aggregate: time should track N ~linearly.
-    locally {
+    if (want("extra")) {
       def time[T](f: => T): (Double, T) = {
         val t0 = System.nanoTime(); val v = f
         val dt = (System.nanoTime() - t0) / 1e9

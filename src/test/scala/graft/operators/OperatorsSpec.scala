@@ -107,15 +107,15 @@ class OperatorsSpec extends SparkSpec {
     assert(n1 > 100 && a2.count() == 100)
   }
 
-  test("hot-shingle hatch is result-identical to t06, even forced fully hot") {
+  test("hot-shingle hatch (the t06 default) is result-identical to the direct plan, even forced fully hot") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1),
         math.round(r.getDouble(2) * 1e12))).toSeq
-    val direct = rows(TextDedup.t06.fn(spark, sf))
+    val direct = rows(TextDedup.jaccardPairsDirect(spark, sf))
     assert(direct.nonEmpty)
-    // default threshold: no shingle is hot on this corpus -> the hatch
-    // must degrade to the direct result
-    assert(rows(TextDedup.jaccardPairsHatched(spark, sf)) == direct)
+    // default threshold: no shingle is hot on this corpus -> the catalog
+    // t06 (stats-gated hatch) must degrade to the direct result
+    assert(rows(TextDedup.t06.fn(spark, sf)) == direct)
     // hotDf=2 routes EVERY shared shingle through the blocked self-join:
     // the strongest exactness check (all pairs come from the hot stream)
     assert(rows(TextDedup.jaccardPairsHatched(spark, sf, hotDf = 2, blocks = 4)) == direct)
