@@ -203,29 +203,19 @@ object SourcesStreaming {
         StructField("lang", StringType),
         StructField("source", StringType),
         StructField("n_chars", org.apache.spark.sql.types.LongType)))
-      val name = "graft_stream_dedup"
-      val agg = s.readStream
-        .schema(docSchema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(d)
-        .groupBy(fingerprint(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
       // per-partition state-store commit overhead dominates a bounded
-      // drain: scope the stream to 4 stores (see
-      // EventsStream.withStatePartitions), restored for the sink read
-      graft.streaming.EventsStream.withStatePartitions(s, 4) {
-        val q = agg.writeStream
-          .format("memory")
-          .queryName(name)
-          .outputMode(OutputMode.Complete)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      // drain: the shared drain session scopes the stream to 4 stores
+      // (see graft.streaming.Drain) without touching this session's conf
+      val (_, t) = graft.streaming.Drain.toTable(
+        s, "graft_stream_dedup", OutputMode.Complete) { s2 =>
+        s2.readStream
+          .schema(docSchema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(d)
+          .groupBy(fingerprint(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
       }
-      // the memory sink pins every batch's result in driver memory via the
-      // temp view — drop it once the harness has consumed the frame
-      graft.Lifecycle.defer { s.catalog.dropTempView(name); () }
-      s.table(name).orderBy(col("fp"))
+      t.orderBy(col("fp"))
     },
     Some("""SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
            |       MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
@@ -247,20 +237,13 @@ object SourcesStreaming {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.streaming.{OutputMode, Trigger}
       import graft.streaming.EventsStream
-      val name = "graft_stream_sessions"
-      val ev = EventsStream.source(s, d)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
-        .as[EventsStream.Event]
-      val q = EventsStream.withStatePartitions(s, 4) {
-        val q = EventsStream.sessionize(ev).writeStream
-          .format("memory")
-          .queryName(name)
-          .outputMode(OutputMode.Append)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        q
+      val (q, t) = graft.streaming.Drain.toTable(
+        s, "graft_stream_sessions", OutputMode.Append) { s2 =>
+        val ev = EventsStream.source(s2, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[EventsStream.Event]
+        EventsStream.sessionize(ev).toDF()
       }
       // The bounded sessionizer flushes open sessions per micro-batch, so
       // it equals the batch oracle ONLY when every user's events land in
@@ -272,10 +255,8 @@ object SourcesStreaming {
         s"st03 drained $fedBatches micro-batches with input; the bounded " +
           "sessionizer is batch-equal only when all events arrive in one " +
           "(use EventsStream.sessionizeUnbounded for multi-batch input)")
-      graft.Lifecycle.defer { s.catalog.dropTempView(name); () }
       val w = Window.partitionBy(col("user_id")).orderBy(col("start"))
-      s.table(name)
-        .withColumn("sid", row_number().over(w).cast("long"))
+      t.withColumn("sid", row_number().over(w).cast("long"))
         .select(col("user_id"), col("sid"), col("start").as("start_ts"),
           col("end").as("end_ts"), col("n_events"), col("sum_value"))
         .orderBy(col("user_id"), col("sid"))
@@ -301,22 +282,13 @@ object SourcesStreaming {
     (s, d) => {
       import org.apache.spark.sql.streaming.{OutputMode, Trigger}
       import graft.streaming.EventsStream
-      val name = "graft_stream_join"
-      val joined = EventsStream.viewClickJoin(
-        EventsStream.source(s, d).filter(col("event_type") === "view"),
-        EventsStream.source(s, d).filter(col("event_type") === "click"))
-      EventsStream.withStatePartitions(s, 4) {
-        val q = joined.writeStream
-          .format("memory")
-          .queryName(name)
-          .outputMode(OutputMode.Append)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      val (_, t) = graft.streaming.Drain.toTable(
+        s, "graft_stream_join", OutputMode.Append) { s2 =>
+        EventsStream.viewClickJoin(
+          EventsStream.source(s2, d).filter(col("event_type") === "view"),
+          EventsStream.source(s2, d).filter(col("event_type") === "click"))
       }
-      graft.Lifecycle.defer { s.catalog.dropTempView(name); () }
-      s.table(name)
-        .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+      t.select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
           col("view_ts"), col("click_ts"))
         .orderBy(col("view_id"), col("click_id"))
     },
@@ -350,27 +322,20 @@ object SourcesStreaming {
         StructField("lang", StringType),
         StructField("source", StringType),
         StructField("n_chars", org.apache.spark.sql.types.LongType)))
-      val name = "graft_stream_cms"
-      val counters = s.readStream
-        .schema(docSchema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(d)
-        .select(explode(call_function("graft_tokens", col("text"))).as("tok"))
-        .select(posexplode(array((0 until Sketches.CmsDepth).map(i =>
-          Sketches.cmsBucket(i, col("tok"))): _*)).as(Seq("rw", "bucket")))
-        .groupBy(col("rw"), col("bucket"))
-        .agg(count(lit(1)).as("c"))
-      graft.streaming.EventsStream.withStatePartitions(s, 4) {
-        val q = counters.writeStream
-          .format("memory")
-          .queryName(name)
-          .outputMode(OutputMode.Complete)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      val (_, t) = graft.streaming.Drain.toTable(
+        s, "graft_stream_cms", OutputMode.Complete) { s2 =>
+        graft.functions.TextExpressions.register(s2)
+        s2.readStream
+          .schema(docSchema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(d)
+          .select(explode(call_function("graft_tokens", col("text"))).as("tok"))
+          .select(posexplode(array((0 until Sketches.CmsDepth).map(i =>
+            Sketches.cmsBucket(i, col("tok"))): _*)).as(Seq("rw", "bucket")))
+          .groupBy(col("rw"), col("bucket"))
+          .agg(count(lit(1)).as("c"))
       }
-      graft.Lifecycle.defer { s.catalog.dropTempView(name); () }
-      s.table(name).orderBy(col("rw"), col("bucket"))
+      t.orderBy(col("rw"), col("bucket"))
     },
     Some(graft.operators.TextDedup.TokCte + s""",
       |occ AS (SELECT unnest(toks) AS tok FROM tok),
@@ -404,22 +369,14 @@ object SourcesStreaming {
     (s, d) => {
       import org.apache.spark.sql.streaming.{OutputMode, Trigger}
       import graft.streaming.EventsStream
-      val name = "graft_stream_wm_dedup"
-      val side = () => EventsStream.source(s, d)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
-      val deduped = side().union(side())
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark("event_id")
-      val q = EventsStream.withStatePartitions(s, 4) {
-        val q = deduped.writeStream
-          .format("memory")
-          .queryName(name)
-          .outputMode(OutputMode.Append)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        q
+      val (q, t) = graft.streaming.Drain.toTable(
+        s, "graft_stream_wm_dedup", OutputMode.Append) { s2 =>
+        val side = () => EventsStream.source(s2, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        side().union(side())
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
       }
       // batch-parity precondition (see docstring): all events must land
       // in one micro-batch, or first occurrences below the advanced
@@ -429,8 +386,7 @@ object SourcesStreaming {
         s"st06 drained $fedBatches micro-batches with input; the batch-" +
           "parity oracle holds only when all events arrive inside the " +
           "watermark (single-batch drain)")
-      graft.Lifecycle.defer { s.catalog.dropTempView(name); () }
-      s.table(name).orderBy(col("event_id"))
+      t.orderBy(col("event_id"))
     },
     Some("""SELECT event_id, ts, user_id, event_type, value
            |FROM events ORDER BY event_id""".stripMargin))
@@ -454,27 +410,19 @@ object SourcesStreaming {
       import org.apache.spark.sql.streaming.{OutputMode, Trigger}
       import org.apache.spark.sql.types.DecimalType
       import graft.streaming.EventsStream
-      val name = "graft_stream_static"
-      val cust = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_mktsegment"))
-      val agg = EventsStream.source(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("value"))
-        .join(cust, col("user_id") === col("c_custkey"))
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
-      EventsStream.withStatePartitions(s, 4) {
-        val q = agg.writeStream
-          .format("memory")
-          .queryName(name)
-          .outputMode(OutputMode.Complete)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      val (_, t) = graft.streaming.Drain.toTable(
+        s, "graft_stream_static", OutputMode.Complete) { s2 =>
+        val cust = Tables.customer(s2, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        EventsStream.source(s2, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("value"))
+          .join(cust, col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
       }
-      graft.Lifecycle.defer { s.catalog.dropTempView(name); () }
-      s.table(name).orderBy(col("c_mktsegment"))
+      t.orderBy(col("c_mktsegment"))
     },
     Some("""SELECT c_mktsegment, COUNT(*) AS n,
            |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

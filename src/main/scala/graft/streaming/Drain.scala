@@ -45,6 +45,32 @@ object Drain {
   private val sessions =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), SparkSession]()
 
+  /** Checkpoint root for bounded drains: tmpfs when the host has one.
+    * A drain's checkpoint (offset log, commit log, state-store deltas)
+    * is pure scratch — it exists only to satisfy the streaming engine's
+    * write-ahead contract for the few hundred milliseconds the drain
+    * runs, then is deleted — so paying ext4 I/O for it is waste. A
+    * PRODUCTION unbounded stream must of course checkpoint to durable
+    * storage instead: this root is only ever used for the bounded
+    * AvailableNow drains this module owns. */
+  private val ckptRoot: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) "/dev/shm"
+    else System.getProperty("java.io.tmpdir")
+  }
+  private val jvmTag = java.util.UUID.randomUUID().toString.take(8)
+  private val ckptSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Last drained query, for tools (StProbe) to read progress off —
+    * diagnostic only, never consulted by the engine. */
+  @volatile private[graft] var lastQuery: StreamingQuery = _
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete(); ()
+  }
+
   /** The memoized drain session for `parent`: own conf, shared context.
     * Conf is written exactly once, before any use. */
   def session(parent: SparkSession, statePartitions: Int = 4): SparkSession =
@@ -53,6 +79,11 @@ object Drain {
         val s2 = parent.newSession()
         s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
         s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        // a bounded drain commits exactly one batch: retaining more
+        // checkpoint generations or scheduling store maintenance is
+        // pure overhead at this lifetime
+        s2.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
+        s2.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
         s2
       })
 
@@ -64,14 +95,22 @@ object Drain {
   def toTable(parent: SparkSession, name: String, mode: OutputMode,
               statePartitions: Int = 4)(plan: SparkSession => DataFrame)
       : (StreamingQuery, DataFrame) = {
-    val s2 = session(parent, statePartitions)
+    val parts = sys.env.get("GRAFT_DRAIN_PARTS").map(_.toInt).getOrElse(statePartitions)
+    val s2 = session(parent, parts)
+    // unique per drain: a reused checkpoint would make AvailableNow see
+    // all offsets committed and drain NOTHING on a rerun (Bench runs the
+    // same query three times in one JVM)
+    val ckpt = s"$ckptRoot/graft-drain-$jvmTag-${ckptSeq.incrementAndGet()}"
+    graft.Lifecycle.defer { deleteRec(new java.io.File(ckpt)) }
     val q = plan(s2).writeStream
       .format("memory")
       .queryName(name)
+      .option("checkpointLocation", ckpt)
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    lastQuery = q
     // the memory sink pins every batch's result in driver memory via the
     // temp view — drop it once the harness has consumed the frame
     graft.Lifecycle.defer { s2.catalog.dropTempView(name); () }

@@ -30,24 +30,6 @@ object EventsStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Scope `spark.sql.shuffle.partitions` to `body` (restored after) —
-    * for bounded streaming drains, where a stateful agg creates and
-    * commits ONE state store per shuffle partition per micro-batch (the
-    * store count is fixed at first plan, independent of data), so small
-    * state wants few stores. Shared by st01 (hourlyAgg) and st02.
-    *
-    * NOT concurrency-safe: this mutates the session-global conf for the
-    * duration of `body`, so any query planned concurrently on the same
-    * SparkSession would silently pick up the narrowed setting. The gate
-    * harness runs queries strictly sequentially; a concurrent caller
-    * should scope the drain to its own `spark.newSession()` instead
-    * (note the memory sink's temp view is then visible only there). */
-  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
-
   /** Streaming source over the events parquet, ts converted to a proper
     * timestamp (floor ns -> us, matching DuckDB's coercion). */
   def source(spark: SparkSession, sfDir: String): DataFrame = {
@@ -86,27 +68,18 @@ object EventsStream {
     * GROUP BY time_bucket — exactly what the DuckDB oracle checks. */
   def hourlyAgg(spark: SparkSession, sfDir: String,
                 statePartitions: Int = 4): DataFrame = {
-    val name = "graft_stream_hourly"
-    val agg = source(spark, sfDir)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
     // This query's state is O(hours x event_types) rows — 32 stores are
     // pure commit overhead (measured 1.42s -> 0.94s at sf0.1 going
     // 32 -> 4). `statePartitions` is the knob a production deployment
-    // sizes to its state volume.
-    withStatePartitions(spark, statePartitions) {
-      val q = agg.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(OutputMode.Complete)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    // sizes to its state volume; the drain plans on Drain's dedicated
+    // child session so the caller's conf is never touched.
+    val (_, t) = Drain.toTable(spark, "graft_stream_hourly",
+      OutputMode.Complete, statePartitions) { s2 =>
+      source(s2, sfDir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
     }
-    // release the memory-sink view after the harness consumes the result
-    graft.Lifecycle.defer { spark.catalog.dropTempView(name); () }
-    spark.table(name)
-      .select(col("window.start").as("hour"), col("event_type"),
+    t.select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
       .orderBy(col("hour"), col("event_type"))
   }
