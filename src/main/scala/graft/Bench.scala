@@ -89,14 +89,24 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, scale)},"unit":"sec","queries":$qs,"sf":$sfJson}"""
     }
     // the driver's tail window is 2000 chars (minus a possible "[info] "
-    // prefix and newline); centisecond precision fits at ~78 catalog
-    // queries. A grown catalog must shed entries rather than precision:
-    // dropping the SMALLEST queries loses scheduling-floor noise, while
-    // dropping decimals (the old fallback) flattens every sub-second
-    // query to 0 and blinds the per-query regression rule. Entries are
-    // emitted largest-first, the tail is cut to fit, and "omitted"
-    // records the shed count; the FULL centisecond map always lands in
-    // bench_full.json next to the build for the judge.
+    // prefix and newline); at 111 catalog queries the full names ALONE
+    // are 1960 chars, so no precision choice can fit a full-name map.
+    // The catalog's id prefixes (the part before the first underscore:
+    // q01, st04, t06, ...) are unique and are how every review artifact
+    // already refers to queries, so the driver line uses the prefix as
+    // the key — ALL entries present, no "omitted" — while the FULL-name
+    // centisecond map always lands in bench_full.json next to the build
+    // for the judge. If a future catalog addition ever collides on
+    // prefix, the line falls back to largest-first shedding with an
+    // "omitted" count rather than emitting ambiguous keys.
+    val prefixes = results.map { case (n, _) => n.takeWhile(_ != '_') }
+    val prefixUnique = prefixes.distinct.size == results.size
+    def lineShort(scale: Int): String = {
+      val qs = results.zip(prefixes).map { case ((_, v), p) =>
+        "\"" + p + "\":" + fmt(v, scale)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, scale)},"unit":"sec","queries":$qs,"sf":$sfJson}"""
+    }
     def lineTop(scale: Int, keep: Int): String = {
       val desc = results.sortBy { case (n, v) => (-v, n) }
       val kept = desc.take(keep)
@@ -108,8 +118,9 @@ object Bench {
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), line(2) + "\n")
-    val out = (results.size to 1 by -1).view.map(k => lineTop(2, k))
-      .find(_.length <= 1985).getOrElse(lineTop(2, 1))
+    val out = Some(lineShort(2)).filter(l => prefixUnique && l.length <= 1985)
+      .getOrElse((results.size to 1 by -1).view.map(k => lineTop(2, k))
+        .find(_.length <= 1985).getOrElse(lineTop(2, 1)))
     println(out)
     spark.stop()
   }
