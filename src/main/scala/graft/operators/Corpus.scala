@@ -488,6 +488,88 @@ object Corpus {
        |FROM jp JOIN sp a ON a.doc_id = jp.doc1 JOIN sp b ON b.doc_id = jp.doc2
        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin))
 
+  // ---------------------------------------------- t27: schema-drift diff
+
+  /** DuckDB's logical name for a Spark type — the shared vocabulary the
+    * drift report is expressed in (it is what the oracle's DESCRIBE
+    * emits, so both engines describe the same physical schema in the
+    * same words). */
+  private[operators] def duckTypeName(
+      t: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    t match {
+      case LongType         => "BIGINT"
+      case IntegerType      => "INTEGER"
+      case ShortType        => "SMALLINT"
+      case ByteType         => "TINYINT"
+      case DoubleType       => "DOUBLE"
+      case FloatType        => "FLOAT"
+      case StringType       => "VARCHAR"
+      case BooleanType      => "BOOLEAN"
+      case BinaryType       => "BLOB"
+      case DateType         => "DATE"
+      case TimestampType    => "TIMESTAMP"
+      case ArrayType(e, _)  => duckTypeName(e) + "[]"
+      case d: DecimalType   => s"DECIMAL(${d.precision},${d.scale})"
+      case other            => other.sql
+    }
+  }
+
+  /** Cross-snapshot schema-drift diff — the warehouse-maintenance
+    * primitive that answers "what does the next pipeline version change
+    * about this table's shape" BEFORE a backfill runs. Snapshot A is the
+    * table's current physical schema (parquet footer); snapshot B is the
+    * schema of the v2 curation projection (`n_chars` narrowed to
+    * INTEGER, `source` dropped, a derived `quality` DOUBLE added). Every
+    * column is labeled added / removed / type_changed / unchanged.
+    *
+    * Deliberately DRIVER-SIDE: schema drift is O(columns) metadata,
+    * independent of table size — at 100 TB this still reads one footer
+    * and diffs a few dozen field entries; routing it through an executor
+    * shuffle would add cost and nothing else. (Reference analog: the
+    * implicit contract in tabjolt_email.py:351-388 that the extracted
+    * CSV's shape matches the dashboard queries — the failure mode this
+    * diff surfaces ahead of time.) */
+  val t27 = QueryDef(
+    "t27_schema_drift",
+    (s, d) => {
+      import s.implicits._
+      val cur = Tables.read(s, d, "documents")
+      val v2 = cur.select(col("doc_id"), col("text"), col("lang"),
+        col("n_chars").cast("int").as("n_chars"),
+        (col("n_chars").cast("double") / lit(1000.0)).as("quality"))
+      val a = cur.schema.fields.map(f => f.name -> duckTypeName(f.dataType)).toMap
+      val b = v2.schema.fields.map(f => f.name -> duckTypeName(f.dataType)).toMap
+      val rows = (a.keySet ++ b.keySet).toSeq.sorted.map { c =>
+        val status = (a.get(c), b.get(c)) match {
+          case (None, Some(_))               => "added"
+          case (Some(_), None)               => "removed"
+          case (Some(x), Some(y)) if x != y  => "type_changed"
+          case _                             => "unchanged"
+        }
+        (c, a.get(c), b.get(c), status)
+      }
+      rows.toDF("col_name", "old_type", "new_type", "status")
+        .orderBy(col("col_name"))
+    },
+    Some("""WITH a AS (SELECT column_name, column_type
+       |            FROM (DESCRIBE SELECT * FROM documents)),
+       |     b AS (SELECT column_name, column_type
+       |            FROM (DESCRIBE
+       |              SELECT doc_id, text, lang,
+       |                     CAST(n_chars AS INTEGER) AS n_chars,
+       |                     CAST(n_chars AS DOUBLE) / 1000.0 AS quality
+       |              FROM documents))
+       |SELECT COALESCE(a.column_name, b.column_name) AS col_name,
+       |       a.column_type AS old_type,
+       |       b.column_type AS new_type,
+       |       CASE WHEN a.column_name IS NULL THEN 'added'
+       |            WHEN b.column_name IS NULL THEN 'removed'
+       |            WHEN a.column_type <> b.column_type THEN 'type_changed'
+       |            ELSE 'unchanged' END AS status
+       |FROM a FULL JOIN b ON a.column_name = b.column_name
+       |ORDER BY col_name""".stripMargin))
+
   val catalog: Seq[QueryDef] =
-    Seq(t11, t12, t13, t14, t17, t18, t19, t23, t24, t28)
+    Seq(t11, t12, t13, t14, t17, t18, t19, t23, t24, t27, t28)
 }

@@ -145,4 +145,18 @@ class CorpusSpec extends SparkSpec {
     assert(kept(head) / mixTotal < langCnt(head).toDouble / total)
     assert(kept(tail) / mixTotal > langCnt(tail).toDouble / total)
   }
+
+  test("t27 labels every drift class and never touches row data") {
+    val rows = Corpus.t27.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)), r.getString(3))).toMap
+    assert(rows.size == 6)
+    assert(rows("quality") == ((None, Some("DOUBLE"), "added")))
+    assert(rows("source") == ((Some("VARCHAR"), None, "removed")))
+    assert(rows("n_chars") == ((Some("BIGINT"), Some("INTEGER"), "type_changed")))
+    Seq("doc_id", "text", "lang").foreach(c => assert(rows(c)._3 == "unchanged"))
+    // the v2 projection's schema is inspected, not executed: drift is
+    // O(columns) metadata regardless of table size
+    assert(rows("doc_id") == ((Some("BIGINT"), Some("BIGINT"), "unchanged")))
+  }
 }
