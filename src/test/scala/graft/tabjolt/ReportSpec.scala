@@ -4,6 +4,14 @@ import java.time.LocalDate
 import graft.SparkSpec
 import org.apache.spark.sql.Row
 
+/** Local filesystem that claims the `graftmock://` scheme — exists so the
+  * fetch test below can prove scheme dispatch goes through the Hadoop
+  * conf's `fs.<scheme>.impl` lookup (the mechanism that binds `s3a://`
+  * to S3AFileSystem on a deployment classpath). */
+class GraftMockFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftmock:///")
+}
+
 class ReportSpec extends SparkSpec {
 
   test("SVG chart renders one marker and label per point with 1000ms grid") {
@@ -75,6 +83,38 @@ class ReportSpec extends SparkSpec {
     assert(results.map(_.ok) == Seq(true, false))
     assert(Files.readString(java.nio.file.Path.of(s"$destDir/ok.csv")) == "a,b\n")
     assert(results(1).error.nonEmpty)
+  }
+
+  test("fetch dispatches filesystems by URI scheme through conf, not special-casing") {
+    // Register an alias scheme whose impl comes from the SAME conf lookup
+    // (fs.<scheme>.impl) that binds s3a:// to S3AFileSystem when
+    // hadoop-aws is on a deployment's classpath. Fetch copying through
+    // it proves the path is scheme-agnostic: nothing in Fetch or the
+    // pipeline inspects the scheme itself.
+    import java.nio.file.Files
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftmock.impl", classOf[GraftMockFileSystem].getName)
+    val src = Files.createTempFile("fetch-scheme-src", ".csv")
+    Files.writeString(src, "x,y\n")
+    val destDir = Files.createTempDirectory("fetch-scheme-dest")
+    val results = Fetch.fetchAll(spark, Seq(
+      (s"graftmock://$src", s"$destDir/via-scheme.csv")))
+    assert(results.map(_.ok) == Seq(true))
+    assert(Files.readString(java.nio.file.Path.of(s"$destDir/via-scheme.csv")) == "x,y\n")
+  }
+
+  test("s3a scheme binds to S3AFileSystem when hadoop-aws is on the classpath") {
+    // This container ships no hadoop-aws jar (offline build), so the
+    // test CANCELS here; on a deployment classpath that carries it, the
+    // binding is exercised for real. Covers the declared s3a:// support
+    // (SURVEY §2 S1) as far as is possible without the artifact.
+    val s3aImpl =
+      try Some(Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem"))
+      catch { case _: ClassNotFoundException => None }
+    assume(s3aImpl.nonEmpty, "hadoop-aws not on classpath; s3a binding untestable here")
+    val fs = new org.apache.hadoop.fs.Path("s3a://graft-test-bucket/key")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(s3aImpl.get.isInstance(fs))
   }
 
   test("a missing source yields an empty table and the report still sends") {
