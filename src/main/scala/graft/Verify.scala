@@ -23,6 +23,16 @@ object Verify {
       }
       Lifecycle.release(spark)
     }
+    dumpOracleSql(sfDir, outDir)
+    spark.stop()
+  }
+
+  /** Write `oracle_sql.json` for `sfDir` into `outDir`. Needs no Spark
+    * session (late-bound oracles fingerprint the corpus from the file
+    * listing), so tools can dump it standalone — see [[tools.OracleDump]]
+    * and tools/duck_bench.py's same-window pairing. */
+  def dumpOracleSql(sfDir: String, outDir: String): Unit = {
+    new java.io.File(outDir).mkdirs()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -38,6 +48,6 @@ object Verify {
     val json = SparkEntry.oracleSqlFor(sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    ()
   }
 }

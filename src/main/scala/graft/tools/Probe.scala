@@ -257,8 +257,22 @@ object T06DispatchAudit {
       ts.min
     }
     val td = timeMin("direct")(graft.operators.TextDedup.jaccardPairsDirect(spark, d).count())
+    val ti = timeMin("inline")(graft.operators.TextDedup.jaccardPairsHatched(spark, d).count())
     val th = timeMin("default")(graft.operators.TextDedup.t06.fn(spark, d).count())
-    println(f"T06PAIR dispatch overhead = ${th - td}%+.2fs (${(th / td - 1) * 100}%+.0f%%)")
+    println(f"T06PAIR inline-profile overhead  = ${ti - td}%+.2fs (${(ti / td - 1) * 100}%+.0f%%)")
+    println(f"T06PAIR persisted-profile overhead = ${th - td}%+.2fs (${(th / td - 1) * 100}%+.0f%%)")
     spark.stop()
+  }
+}
+
+/** Dump oracle_sql.json for an sfDir without running the catalog — the
+  * same-window pairing helper: run graft.Bench, dump, then
+  * tools/duck_bench.py, all inside one container window. Late-bound
+  * oracles (s04) reference persisted index dirs, so run after a Bench
+  * or Verify pass has ensured them. */
+object OracleDump {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    graft.Verify.dumpOracleSql(sfDir, outDir)
   }
 }

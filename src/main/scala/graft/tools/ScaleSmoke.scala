@@ -50,6 +50,43 @@ object ScaleSmoke {
 
     val base = graft.Tables.documents(spark, "/root/testdata/sf0.1")
     val n0 = base.count()
+
+    /** K doc replicas (distinct-but-similar: replica id appended to the
+      * text) at /tmp/graft_scale_{k}x — built only if absent, so
+      * sections can run standalone without repeating growth's writes. */
+    def ensureDocsReplicas(k: Int): String = {
+      val dir = s"/tmp/graft_scale_${k}x"
+      if (!new java.io.File(s"$dir/documents.parquet").isDirectory) {
+        val copies = (0 until k).map { i =>
+          if (i == 0) base
+          else base.select(
+            (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+            concat(col("text"), lit(s" replica$i")).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }
+        copies.reduce(_ unionAll _).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+      }
+      dir
+    }
+
+    /** K event replicas (new event_ids, SAME users and timestamps) at
+      * /tmp/graft_scale_ev_{k}x, in the int64-nanos layout Tables.events
+      * expects. Same-user/same-ts is the point: per-user and per-day
+      * shapes must collapse to constants while raw volume grows Kx. */
+    def ensureEventsReplicas(k: Int): String = {
+      val dir = s"/tmp/graft_scale_ev_${k}x"
+      if (!new java.io.File(s"$dir/events.parquet").isDirectory) {
+        val ev0 = graft.Tables.events(spark, "/root/testdata/sf0.1")
+        (0 until k).map { i =>
+          if (i == 0) ev0
+          else ev0.withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+        }.reduce(_ unionAll _)
+          .withColumn("ts", expr("unix_micros(ts) * 1000"))
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      }
+      dir
+    }
     if (want("growth")) Seq(1, 4, 12).foreach { k =>
       val dir = s"/tmp/graft_scale_${k}x"
       // K copies; copies beyond the first get the replica id appended to
@@ -214,6 +251,42 @@ object ScaleSmoke {
       val recall09 = if (exact09.isEmpty) 1.0 else (exact09 & tuned).size.toDouble / exact09.size
       println(f"SCALE-EMB-09 vecs=${e0 * k}%7d exact=${tExact09}%6.1fs (${exact09.size} pairs)  " +
         f"lsh(T16,P8)=${tTuned}%6.1fs (${tuned.size} pairs)  recall=$recall09%.4f")
+    }
+
+    // ---- band/grid joins stay grid-bounded as the fact side grows ----
+    // e07's date-band join collapses events to |user-day| pairs BEFORE
+    // the broadcast band join, and the K event replicas reuse the same
+    // users and timestamps — so the join's input, output (the day axis)
+    // and the band fan-out must stay EXACTLY constant while the scanned
+    // volume grows Kx; only the pre-distinct scan may grow. v03's grid
+    // is |sources|·|vocab| rows however large the corpus; replicas add
+    // one vocab token each, so the grid (and the |sources|-row result)
+    // stays ~fixed while the occurrence scan grows Kx. Numbers ->
+    // PLANS.md SCALE-BAND / SCALE-GRID tables.
+    if (want("bands")) {
+      def time[T](f: => T): (Double, T) = {
+        val t0 = System.nanoTime(); val v = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.Lifecycle.release(spark)
+        (dt, v)
+      }
+      val ne0 = graft.Tables.events(spark, "/root/testdata/sf0.1").count()
+      var e07Rows = -1L
+      Seq(1, 4, 12).foreach { k =>
+        val dir = ensureEventsReplicas(k)
+        val (tE, rows) = time(graft.operators.Advanced.e07.fn(spark, dir).count())
+        if (k == 1) e07Rows = rows
+        println(f"SCALE-BAND events=${ne0 * k}%8d e07=${tE}%6.1fs ($rows days)")
+        assert(rows == e07Rows, s"day axis grew with event volume: $rows vs $e07Rows")
+      }
+      var v03Rows = -1L
+      Seq(1, 4, 12).foreach { k =>
+        val dir = ensureDocsReplicas(k)
+        val (tV, rows) = time(graft.operators.Advanced.v03.fn(spark, dir).count())
+        if (k == 1) v03Rows = rows
+        println(f"SCALE-GRID docs=${n0 * k}%7d v03=${tV}%6.1fs ($rows sources)")
+        assert(rows == v03Rows, s"source axis changed: $rows vs $v03Rows")
+      }
     }
 
     // ---- r8 additions: semantic dedup (s06) and phash dedup (mm04) ----

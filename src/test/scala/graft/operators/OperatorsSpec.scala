@@ -119,6 +119,11 @@ class OperatorsSpec extends SparkSpec {
     // hotDf=2 routes EVERY shared shingle through the blocked self-join:
     // the strongest exactness check (all pairs come from the hot stream)
     assert(rows(TextDedup.jaccardPairsHatched(spark, sf, hotDf = 2, blocks = 4)) == direct)
+    // same force applied through the EXTERNAL hot-set arm (the persisted
+    // HotShingleProfile path): every distinct shingle marked hot
+    val allHot = TextDedup.shingleFrame(spark, sf)
+      .select(org.apache.spark.sql.functions.col("shingle")).distinct()
+    assert(rows(TextDedup.jaccardPairsOnHot(spark, sf, allHot, blocks = 4)) == direct)
   }
 
   test("t22 head hatch and t20 agg hatch are result-identical to the directs") {
