@@ -48,16 +48,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
-  /** events.ts is a nanosecond-precision parquet timestamp, which Spark
-    * has no native type for. Read it as raw nanos (legacy long mode) and
-    * floor-divide to micros — exactly what DuckDB does when it coerces
-    * TIMESTAMP_NS to its microsecond TIMESTAMP, so both engines see
-    * identical values. */
+  /** events.ts arrives as one of two physical encodings depending on the
+    * generator vintage, normalized here to session-zoned TimestampType so
+    * every downstream plan sees one type:
+    *
+    *  - nanosecond parquet timestamp (no native Spark type): read as raw
+    *    nanos (legacy long mode) and floor-divide to micros — exactly
+    *    what DuckDB does when it coerces TIMESTAMP_NS to its microsecond
+    *    TIMESTAMP, so both engines see identical values;
+    *  - microsecond parquet timestamp without UTC adjustment: Spark reads
+    *    TIMESTAMP_NTZ; cast to TimestampType — value-preserving under the
+    *    pinned UTC session zone (build.sbt), and DuckDB reads the same
+    *    file as its (naive) TIMESTAMP, so values again agree. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = read(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

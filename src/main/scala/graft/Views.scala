@@ -15,9 +15,10 @@ import org.apache.spark.sql.SparkSession
   *  - registration reads each table's parquet footer (schema inference),
   *    so it requires all table files to exist; query EXECUTION stays lazy;
   *  - loading `events` sets `spark.sql.legacy.parquet.nanosAsLong=true`
-  *    session-wide (required to read its nanosecond timestamps — see
-  *    [[Tables.events]]); other parquet sources with TIMESTAMP_NS columns
-  *    read in the same session will then surface them as nanos longs.
+  *    session-wide (required when the generator vintage stores ts as a
+  *    nanosecond timestamp — see [[Tables.events]], which normalizes both
+  *    physical encodings); other parquet sources with TIMESTAMP_NS
+  *    columns read in the same session will then surface as nanos longs.
   */
 object Views {
   def names: Seq[String] = Tables.loaders.map(_._1)

@@ -22,25 +22,27 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** On-disk schema of events.parquet: ts is a NANOSECOND timestamp
-    * stored as INT64, which Spark reads as long in nanosAsLong mode
-    * (see graft.Tables.events). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** Streaming source over the events parquet, ts converted to a proper
-    * timestamp (floor ns -> us, matching DuckDB's coercion). */
+  /** Streaming source over the events parquet, ts normalized to
+    * session-zoned TimestampType. The streaming file source needs a
+    * user-supplied schema, and the generator has shipped events.ts under
+    * two physical encodings (nanos-as-INT64 read as long; micros read as
+    * TIMESTAMP_NTZ) — so the declared schema is taken from the batch
+    * scan's inferred schema (one memoized footer read via graft.Tables),
+    * and the ts normalization matches graft.Tables.events exactly. */
   def source(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val onDisk = graft.Tables.read(spark, sfDir, "events").schema
+    val stream = spark.readStream
+      .schema(onDisk)
       // the streaming file source wants a directory: scan sfDir and
       // glob-filter to the events file
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    onDisk("ts").dataType match {
+      case LongType => stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => stream.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => stream
+    }
   }
 
   /** Watermarked hourly aggregate as an unbounded streaming plan: Append
