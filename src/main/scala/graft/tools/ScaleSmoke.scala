@@ -289,6 +289,80 @@ object ScaleSmoke {
       }
     }
 
+    // ---- watermark-bounded streaming state (the st* 100 TB claim) ----
+    // Replica i of the events table is TIME-SHIFTED by i x 31 days, so
+    // the timeline (and the emitted window count) grows ~Kx, while the
+    // files are written range-partitioned on ts and streamed in time
+    // order a couple at a time. Under a 1h watermark in Append mode the
+    // ONLY state the hourly aggregate may retain is the windows the
+    // watermark has not yet passed — so max in-flight state rows must
+    // stay ~flat as the timeline grows, while emitted windows scale Kx.
+    // That flatness IS the unbounded-ingest claim the st* catalog makes:
+    // state is O(open windows), never O(history). (Emitted lags total by
+    // the final batch's windows: Append emits a window only once a LATER
+    // batch advances the watermark past it, and a bounded drain has no
+    // later batch for the tail — a production stream's next arrival
+    // flushes it.)
+    if (want("stream")) {
+      val ev0 = graft.Tables.events(spark, "/root/testdata/sf0.1")
+      val ne0 = ev0.count()
+      var maxState1 = -1L; var emitted1 = -1L
+      Seq(1, 4, 12).foreach { k =>
+        val dir = s"/tmp/graft_scale_st_${k}x"
+        if (!new java.io.File(s"$dir/events.parquet").isDirectory) {
+          (0 until k).map { i =>
+            if (i == 0) ev0
+            else ev0
+              .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+              .withColumn("ts", col("ts") + expr(s"INTERVAL ${31 * i} DAYS"))
+          }.reduce(_ unionAll _)
+            .repartitionByRange(8 * k, col("ts"))
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite").parquet(s"$dir/events.parquet")
+          // the streaming file source schedules files by MODIFICATION
+          // time, and a parallel write stamps every part-file the same
+          // second — leaving batch order arbitrary, so an early batch
+          // can carry a late file, advance the watermark to the end,
+          // and get all earlier data dropped as late. Stamp ascending
+          // mtimes in part-file order (range partition i = i-th time
+          // slice) so arrival order is time order, as it would be for
+          // a production ingest directory fed by an upstream writer.
+          val parts = new java.io.File(s"$dir/events.parquet")
+            .listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+          val t00 = System.currentTimeMillis() - parts.length * 2000L
+          parts.zipWithIndex.foreach { case (f, i) =>
+            f.setLastModified(t00 + i * 2000L) }
+        }
+        val t0 = System.nanoTime()
+        val (q, out) = graft.streaming.Drain.toTable(
+          spark, s"scale_stream_${k}x", org.apache.spark.sql.streaming.OutputMode.Append()) { s2 =>
+          val onDisk = s2.read.parquet(s"$dir/events.parquet").schema
+          graft.streaming.EventsStream.hourlyAggPlan(
+            s2.readStream.schema(onDisk)
+              .option("maxFilesPerTrigger", "2")
+              .parquet(s"$dir/events.parquet"))
+        }
+        val emitted = out.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        val maxState = if (progs.isEmpty) 0L
+          else progs.map(_.stateOperators.head.numRowsTotal).max
+        val batches = progs.length
+        graft.Lifecycle.release(spark)
+        println(f"SCALE-STREAM events=${ne0 * k}%8d drain=${dt}%6.1fs " +
+          f"batches=$batches emitted=$emitted maxStateRows=$maxState")
+        if (k == 1) { maxState1 = maxState; emitted1 = emitted }
+        else {
+          // emitted windows scale with the timeline...
+          assert(emitted > emitted1 * k * 7 / 10,
+            s"emitted windows did not scale: $emitted vs ${emitted1}x$k")
+          // ...while in-flight state stays bounded by the watermark
+          assert(maxState <= maxState1 * 2,
+            s"state grew with history: $maxState vs $maxState1 at 1x")
+        }
+      }
+    }
+
     // ---- r8 additions: semantic dedup (s06) and phash dedup (mm04) ----
     // s06's pairwise stage is bounded by the IVF cell sizes (~N/K per
     // cell), so with K fixed the compare cost grows ~N^2/K — the
