@@ -25,6 +25,26 @@ object SourcesStreaming {
     s"${sys.props("java.io.tmpdir")}/graft_roundtrip_${prefix}_" +
       Integer.toHexString(d.hashCode)
 
+  /** Memoized per-parent WRITER session with the modern INT64-micros
+    * parquet timestamp encoding. Spark's legacy INT96 default carries NO
+    * min/max statistics, so a sink written with it can never be
+    * row-group skipped on time (the whole point of r07, and the reason
+    * r06's compacted files should keep their stats). The conf must not
+    * be set on the caller's session — a session-global mutation leaks
+    * into every OTHER write that session performs (Verify's own gate
+    * dumps, notably, whose encoding the driver's comparator has pinned)
+    * — so writes happen on a child session where the conf is set once at
+    * creation and never mutated, the same isolation discipline as
+    * [[graft.streaming.Drain]]. */
+  private val writerSessions =
+    new java.util.concurrent.ConcurrentHashMap[Int, org.apache.spark.sql.SparkSession]()
+  private def statsWriter(parent: org.apache.spark.sql.SparkSession) =
+    writerSessions.computeIfAbsent(System.identityHashCode(parent), _ => {
+      val w = parent.newSession()
+      w.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      w
+    })
+
   private val csvSchema = StructType(
     Seq("doc_id", "text", "lang", "source", "n_chars")
       .map(StructField(_, StringType)) :+ StructField(Schemas.Rejected, StringType))
@@ -176,6 +196,89 @@ object SourcesStreaming {
         .orderBy(col("doc_id"))
     },
     Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"))
+
+  /** Small-file compaction — the warehouse-maintenance primitive a 100 TB
+    * ingest cannot live without: long-running ingests (streaming sinks,
+    * per-batch appends) fragment a table into thousands of KB-scale
+    * files, and every later scan pays per-file open/footer cost plus a
+    * task per file. The operator: list the fragmented table, size it,
+    * rewrite at ceil(bytes / targetBytesPerFile) files via `coalesce` —
+    * a NARROW merge of input splits, no shuffle, no sort, no data
+    * movement beyond concatenation — then serve reads from the compacted
+    * copy. Content identity is the gate check (oracle reads the original
+    * table); the file-count/size contract is pinned in CompactionSpec.
+    * At cluster scale the same plan runs per-partition (compact each
+    * hive partition independently) so compaction parallelizes and never
+    * holds a table-wide lock. */
+  val r06 = QueryDef(
+    "r06_compaction",
+    (s, d) => {
+      // writes go through the stats-preserving child session (INT64
+      // micros timestamps, see statsWriter) so compacted files keep
+      // skippable l_shipdate statistics and the caller session's write
+      // encoding is untouched
+      val w = statsWriter(s)
+      val frag = roundtripDir("frag", d)
+      val out = roundtripDir("compact", d)
+      // model the fragmented state: a 64-way ingest of lineitem (at
+      // sf0.1 that is ~64 sub-MB files, the classic streaming-sink spray)
+      if (!new java.io.File(frag).isDirectory)
+        Tables.lineitem(w, d).repartition(64)
+          .write.mode("overwrite").parquet(frag)
+      val files = new java.io.File(frag).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      val totalBytes = files.map(_.length).sum
+      val targetBytesPerFile = 32L * 1024 * 1024
+      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerFile).toInt)
+      w.read.parquet(frag).coalesce(nOut)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Exact.exactSum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Clustered (sorted) write — the data-layout lever that governs scan
+    * cost at 100 TB: row groups written from ts-range-clustered,
+    * within-file-sorted data carry tight min/max statistics, so a
+    * time-range predicate skips whole row groups at the parquet reader
+    * instead of decoding and discarding. The operator rewrites events
+    * `repartitionByRange(ts).sortWithinPartitions(ts)` (range exchange +
+    * local sort — no global sort barrier; each output file covers a
+    * disjoint time slice) and serves a day-window scan from the
+    * clustered copy. Content equality is the gate check; the skipping
+    * effect itself (clustered scan emits ~the selected day from the
+    * reader, unclustered emits every row) is pinned on scan metrics in
+    * CompactionSpec. */
+  val r07 = QueryDef(
+    "r07_clustered_write",
+    (s, d) => {
+      // INT64-micros write via the child session: without the stats-
+      // preserving encoding the clustered layout has no ts statistics
+      // and the rewrite buys nothing
+      val w = statsWriter(s)
+      val out = roundtripDir("cluster", d)
+      Tables.events(w, d)
+        .repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Exact.exactSum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+           |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM events
+           |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+           |  AND ts <  TIMESTAMP '2024-01-16 00:00:00'
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
   val st01 = QueryDef(
     "st01_stream_hourly_agg",
@@ -440,5 +543,6 @@ object SourcesStreaming {
            |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
 
   val catalog: Seq[QueryDef] =
-    Seq(r01, r02, r03, r04, r05, st01, st02, st03, st04, st05, st06, st07)
+    Seq(r01, r02, r03, r04, r05, r06, r07,
+      st01, st02, st03, st04, st05, st06, st07)
 }
