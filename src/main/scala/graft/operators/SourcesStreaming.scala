@@ -37,13 +37,23 @@ object SourcesStreaming {
     * creation and never mutated, the same isolation discipline as
     * [[graft.streaming.Drain]]. */
   private val writerSessions =
-    new java.util.concurrent.ConcurrentHashMap[Int, org.apache.spark.sql.SparkSession]()
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.SparkSession]()
   private def statsWriter(parent: org.apache.spark.sql.SparkSession) =
-    writerSessions.computeIfAbsent(System.identityHashCode(parent), _ => {
-      val w = parent.newSession()
-      w.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      w
-    })
+    // weak-keyed by the parent OBJECT (an identity-hash key would leak
+    // the child forever and can collide with a later session allocated
+    // the same hash after the parent is GC'd); a cached child whose
+    // context has stopped is discarded and rebuilt
+    writerSessions.synchronized {
+      val cached = writerSessions.get(parent)
+      if (cached != null && !cached.sparkContext.isStopped) cached
+      else {
+        val w = parent.newSession()
+        w.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        writerSessions.put(parent, w)
+        w
+      }
+    }
 
   private val csvSchema = StructType(
     Seq("doc_id", "text", "lang", "source", "n_chars")
@@ -221,10 +231,14 @@ object SourcesStreaming {
       val frag = roundtripDir("frag", d)
       val out = roundtripDir("compact", d)
       // model the fragmented state: a 64-way ingest of lineitem (at
-      // sf0.1 that is ~64 sub-MB files, the classic streaming-sink spray)
-      if (!new java.io.File(frag).isDirectory)
-        Tables.lineitem(w, d).repartition(64)
-          .write.mode("overwrite").parquet(frag)
+      // sf0.1 that is ~64 sub-MB files, the classic streaming-sink
+      // spray). Rewritten EVERY run like the other r* fixtures: a
+      // skip-if-exists cache here would serve a torn write (overwrite is
+      // not atomic) or a stale corpus vintage silently — the staleness
+      // class IndexStore exists to prevent for indexes worth persisting;
+      // a scratch fixture is cheaper to rebuild than to validate.
+      Tables.lineitem(w, d).repartition(64)
+        .write.mode("overwrite").parquet(frag)
       val files = new java.io.File(frag).listFiles()
         .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       val totalBytes = files.map(_.length).sum

@@ -42,8 +42,12 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   */
 object Drain {
 
+  // weak-keyed by the parent session object: an identity-hash key would
+  // pin every child session forever and — after a parent is stopped and
+  // collected — could collide with a new session allocated the same
+  // hash, handing back a child bound to a stopped SparkContext
   private val sessions =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), SparkSession]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[Int, SparkSession]]()
 
   /** Checkpoint root for bounded drains: tmpfs when the host has one.
     * A drain's checkpoint (offset log, commit log, state-store deltas)
@@ -74,18 +78,24 @@ object Drain {
   /** The memoized drain session for `parent`: own conf, shared context.
     * Conf is written exactly once, before any use. */
   def session(parent: SparkSession, statePartitions: Int = 4): SparkSession =
-    sessions.computeIfAbsent(
-      (System.identityHashCode(parent), statePartitions), _ => {
-        val s2 = parent.newSession()
-        s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-        s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        // a bounded drain commits exactly one batch: retaining more
-        // checkpoint generations or scheduling store maintenance is
-        // pure overhead at this lifetime
-        s2.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
-        s2.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
-        s2
-      })
+    sessions.synchronized {
+      val perParent = sessions.computeIfAbsent(parent,
+        _ => scala.collection.mutable.Map.empty[Int, SparkSession])
+      perParent.get(statePartitions)
+        .filter(!_.sparkContext.isStopped)
+        .getOrElse {
+          val s2 = parent.newSession()
+          s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+          s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+          // a bounded drain commits exactly one batch: retaining more
+          // checkpoint generations or scheduling store maintenance is
+          // pure overhead at this lifetime
+          s2.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
+          s2.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
+          perParent.put(statePartitions, s2)
+          s2
+        }
+    }
 
   /** Build `plan` against the drain session, run it to exhaustion into a
     * memory sink named `name`, and return (query handle, drained table).

@@ -49,24 +49,35 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
 
     val base = graft.Tables.documents(spark, "/root/testdata/sf0.1")
-    val n0 = base.count()
+    // lazy: sections that never print a docs count (e.g. `stream`) must
+    // not pay a full documents scan at startup
+    lazy val n0 = base.count()
 
     /** K doc replicas (distinct-but-similar: replica id appended to the
-      * text) at /tmp/graft_scale_{k}x — built only if absent, so
-      * sections can run standalone without repeating growth's writes. */
+      * text) at /tmp/graft_scale_{k}x. The ONE builder for this corpus
+      * shape — growth rewrites unconditionally, the reusing sections go
+      * through [[ensureDocsReplicas]]; a second inline copy would let
+      * the two drift and desynchronize the shared /tmp corpora. */
+    def writeDocsReplicas(k: Int): String = {
+      val dir = s"/tmp/graft_scale_${k}x"
+      val copies = (0 until k).map { i =>
+        if (i == 0) base
+        else base.select(
+          (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+          concat(col("text"), lit(s" replica$i")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+      copies.reduce(_ unionAll _).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      dir
+    }
+
+    /** [[writeDocsReplicas]] only if absent, so sections can run
+      * standalone without repeating growth's writes. */
     def ensureDocsReplicas(k: Int): String = {
       val dir = s"/tmp/graft_scale_${k}x"
-      if (!new java.io.File(s"$dir/documents.parquet").isDirectory) {
-        val copies = (0 until k).map { i =>
-          if (i == 0) base
-          else base.select(
-            (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
-            concat(col("text"), lit(s" replica$i")).as("text"),
-            col("lang"), col("source"), col("n_chars"))
-        }
-        copies.reduce(_ unionAll _).write.mode("overwrite")
-          .parquet(s"$dir/documents.parquet")
-      }
+      if (!new java.io.File(s"$dir/documents.parquet").isDirectory)
+        writeDocsReplicas(k)
       dir
     }
 
@@ -88,18 +99,9 @@ object ScaleSmoke {
       dir
     }
     if (want("growth")) Seq(1, 4, 12).foreach { k =>
-      val dir = s"/tmp/graft_scale_${k}x"
-      // K copies; copies beyond the first get the replica id appended to
-      // every token so they are distinct-but-similar documents.
-      val copies = (0 until k).map { i =>
-        if (i == 0) base
-        else base.select(
-          (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
-          concat(col("text"), lit(s" replica$i")).as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }
-      copies.reduce(_ unionAll _).write.mode("overwrite")
-        .parquet(s"$dir/documents.parquet")
+      // growth owns the corpora: rewrite unconditionally so this run's
+      // timings are against freshly-written files
+      val dir = writeDocsReplicas(k)
       // warm the file cache / JIT on first use
       graft.operators.TextDedup.t05.fn(spark, dir).count()
       def time(f: => Long): (Double, Long) = {
@@ -212,7 +214,7 @@ object ScaleSmoke {
     // (one component shifted), so cross-replica pairs sit near cos=1 and
     // any banding miss shows up as recall < 1 against the exact twin.
     val emb0 = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
-    val e0 = emb0.count()
+    lazy val e0 = emb0.count()
     if (want("emb")) Seq(1, 4, 12).foreach { k =>
       val dir = s"/tmp/graft_scale_emb_${k}x"
       val copies = (0 until k).map { i =>
@@ -333,16 +335,30 @@ object ScaleSmoke {
           parts.zipWithIndex.foreach { case (f, i) =>
             f.setLastModified(t00 + i * 2000L) }
         }
+        // NOT Drain.toTable: the drain sessions disable no-data
+        // micro-batches (their st* plans all emit in the data batch),
+        // but this Append-mode windowed aggregate needs the trailing
+        // watermark-advancing empty batch or the final data batch's
+        // windows never flush — exactly the exclusion Drain's contract
+        // documents. Own child session, no-data batches left enabled.
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "4")
+        val viewName = s"scale_stream_${k}x"
+        val ckpt = s"/tmp/graft_scale_st_ckpt_${k}_${System.nanoTime()}"
         val t0 = System.nanoTime()
-        val (q, out) = graft.streaming.Drain.toTable(
-          spark, s"scale_stream_${k}x", org.apache.spark.sql.streaming.OutputMode.Append()) { s2 =>
-          val onDisk = s2.read.parquet(s"$dir/events.parquet").schema
-          graft.streaming.EventsStream.hourlyAggPlan(
+        val onDisk = s2.read.parquet(s"$dir/events.parquet").schema
+        val q = graft.streaming.EventsStream.hourlyAggPlan(
             s2.readStream.schema(onDisk)
               .option("maxFilesPerTrigger", "2")
               .parquet(s"$dir/events.parquet"))
-        }
-        val emitted = out.count()
+          .writeStream.format("memory").queryName(viewName)
+          .option("checkpointLocation", ckpt)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val emitted = s2.table(viewName).count()
+        s2.catalog.dropTempView(viewName)
         val dt = (System.nanoTime() - t0) / 1e9
         val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
         val maxState = if (progs.isEmpty) 0L

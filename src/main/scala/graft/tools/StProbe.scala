@@ -24,7 +24,11 @@ object StProbe {
       val t0 = System.nanoTime()
       fn(spark, d).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      val s2 = graft.streaming.Drain.session(spark)
+      // look up the SAME memoized child the drain used: toTable honors
+      // GRAFT_DRAIN_PARTS, so the probe must too or it inspects an idle
+      // sibling session and always reports zero active queries
+      val parts = sys.env.get("GRAFT_DRAIN_PARTS").map(_.toInt).getOrElse(4)
+      val s2 = graft.streaming.Drain.session(spark, parts)
       println(f"RUN $i dt=${dt}%5.2fs activeQueries=${s2.streams.active.length}")
       Option(graft.streaming.Drain.lastQuery).foreach { q =>
         q.recentProgress.foreach(p => println(s"  batch ${p.batchId} rows=${p.numInputRows} " +
