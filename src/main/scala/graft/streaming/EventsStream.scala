@@ -28,9 +28,11 @@ object EventsStream {
     * two physical encodings (nanos-as-INT64 read as long; micros read as
     * TIMESTAMP_NTZ) — so the declared schema is taken from the batch
     * scan's inferred schema (one memoized footer read via graft.Tables),
-    * and the ts normalization matches graft.Tables.events exactly. */
+    * and the ts normalization matches graft.Tables.events exactly.
+    * Like the batch loader, this never mutates the session's conf: the
+    * ns-vintage read flag comes from session creation
+    * ([[graft.Sessions.graftDefaults]]; Drain children also pin it). */
   def source(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val onDisk = graft.Tables.read(spark, sfDir, "events").schema
     val stream = spark.readStream
       .schema(onDisk)
@@ -78,6 +80,13 @@ object EventsStream {
     val (_, t) = Drain.toTable(spark, "graft_stream_hourly",
       OutputMode.Complete, statePartitions) { s2 =>
       source(s2, sfDir)
+        // the file source hands the whole batch (one parquet file) to a
+        // single scan task; fan out BEFORE the aggregate so the partial
+        // decimal sums run at executor width instead of serializing the
+        // 100k-row kernel on one core (same fix as st05's token kernel —
+        // Catalyst prunes to (ts, event_type, value) below the exchange,
+        // so the shuffle moves three columns once)
+        .repartition(s2.sparkContext.defaultParallelism)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
     }

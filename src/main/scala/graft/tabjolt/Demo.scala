@@ -11,11 +11,10 @@ import org.apache.spark.sql.SparkSession
   * landed. */
 object Demo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark = graft.Sessions.graftDefaults(SparkSession.builder())
       .master("local[4]")
       .appName("graft-tabjolt-demo")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -40,10 +40,9 @@ object ScaleSmoke {
     // once) when invoking those selectively.
     val want: String => Boolean =
       if (args.isEmpty) _ => true else args.toSet
-    val spark = SparkSession.builder()
+    val spark = graft.Sessions.graftDefaults(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -118,8 +117,12 @@ object ScaleSmoke {
       // downstream consumers of the near-dup graph / shingle index:
       // CC clustering (t11, LSH edges) and the boilerplate window (t20)
       val (tCc, nCc) = time(graft.operators.Corpus.t11.fn(spark, dir).count())
+      val ccRounds = graft.operators.Corpus.lastRounds
       val (tBp, nBp) = time(graft.operators.TextDedup.t20.fn(spark, dir).count())
-      println(f"SCALE docs=${n0 * k}%7d cc=${tCc}%6.1fs ($nCc docs)  boilerplate=${tBp}%6.1fs ($nBp docs)")
+      // ccRounds decides the large-star/small-star question: the
+      // alternating variant halves ROUNDS at one extra shuffle per
+      // round, so it only pays when the measured diameter is deep
+      println(f"SCALE docs=${n0 * k}%7d cc=${tCc}%6.1fs ($nCc docs, $ccRounds rounds)  boilerplate=${tBp}%6.1fs ($nBp docs)")
     }
 
     // ---- sketch growth (r8): sketch size is O(1) in corpus size ----
@@ -311,7 +314,17 @@ object ScaleSmoke {
       var maxState1 = -1L; var emitted1 = -1L
       Seq(1, 4, 12).foreach { k =>
         val dir = s"/tmp/graft_scale_st_${k}x"
-        if (!new java.io.File(s"$dir/events.parquet").isDirectory) {
+        // Cross-JVM reuse of a /tmp fixture is only safe when the cached
+        // copy demonstrably matches THIS vintage of the corpus (the
+        // driver regenerates /root/testdata between rounds, and an
+        // interrupted prior run leaves a torn write): validate by row
+        // count and rewrite on any mismatch or read failure.
+        val cachedOk =
+          new java.io.File(s"$dir/events.parquet").isDirectory &&
+            scala.util.Try(
+              spark.read.parquet(s"$dir/events.parquet").count() == ne0 * k
+            ).getOrElse(false)
+        if (!cachedOk) {
           (0 until k).map { i =>
             if (i == 0) ev0
             else ev0

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins ANN recall as an ASSERTED gate, not a ScaleSmoke print: the
+  * sign-LSH banding (T tables × P planes) is a recall/cost dial, and a
+  * future re-tune of T/P/seed or a bug in the bucketing join could
+  * silently destroy recall while every hash-gate stays green (the gate
+  * only checks the LSH result matches its own DuckDB re-execution, not
+  * that the candidates cover the true neighbors). The tuned config the
+  * scale experiments validated (T=16 × P=8, cos ≥ 0.9 — recall 1.0 in
+  * ScaleSmoke's replicated-corpus runs, PLANS.md) must keep ≥ 0.95 of
+  * the exact all-pairs result.
+  *
+  * The real corpus is near-random (zero pairs at cos ≥ 0.9 — measured),
+  * so the fixture is ScaleSmoke's validated construction: the sf0.001
+  * corpus unioned with a component-shifted replica of itself, putting
+  * each (original, replica) pair near cos = 1 but NOT identical — the
+  * shift flips some plane signs, so banding actually gets exercised
+  * rather than trivially colliding identical vectors. */
+class SimilarityRecallSpec extends SparkSpec {
+
+  private lazy val fixtureDir: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-recall-fixture").toString
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val replica = emb.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"), (x, idx) =>
+        when(idx === 0, (x + lit(0.05)).cast("float")).otherwise(x))
+        .as("embedding"),
+      col("label"))
+    emb.unionAll(replica).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("tuned sign-LSH (T16 x P8) recall >= 0.95 vs exact pairs at cos >= 0.9") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("id1"), col("id2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.s01.fn(spark, fixtureDir).filter(col("cos") >= 0.9))
+    val planes = Similarity.makePlanes(16, 8, seed = 23)
+    val lsh = pairs(Similarity.lshPairsTuned(spark, fixtureDir, 0.9, planes, 16, 8))
+    graft.Lifecycle.release(spark)
+    // the assertion is meaningful only if the corpus actually has
+    // high-cosine pairs — guard so a regenerated corpus can't turn
+    // this into a vacuous 0/0 pass
+    assert(exact.nonEmpty, "corpus has no pairs at cos >= 0.9; recall check is vacuous")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    info(f"exact=${exact.size} lsh=${lsh.size} recall=$recall%.4f")
+    assert(recall >= 0.95, f"LSH recall $recall%.4f < 0.95 (exact=${exact.size}, lsh=${lsh.size})")
+    // no invented pairs: every LSH pair must be a true cos>=0.9 pair
+    // (candidates are exact-verified after the bucket join)
+    assert((lsh -- exact).isEmpty, s"LSH invented ${(lsh -- exact).size} pairs")
+  }
+}
