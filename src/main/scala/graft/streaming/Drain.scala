@@ -68,6 +68,9 @@ object Drain {
   /** Last drained query, for tools (StProbe) to read progress off —
     * diagnostic only, never consulted by the engine. */
   @volatile private[graft] var lastQuery: StreamingQuery = _
+  /** Driver-side phase split of the last drain (plan build / start /
+    * await) — diagnostic for the bounded-drain floor work only. */
+  @volatile private[graft] var lastPhases: String = ""
 
   private def deleteRec(f: java.io.File): Unit = {
     val kids = f.listFiles()
@@ -96,6 +99,15 @@ object Drain {
           // pure overhead at this lifetime
           s2.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
           s2.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
+          // experiment hook (StProbe A/B runs): extra confs applied at
+          // child CREATION like everything else — semicolon-separated
+          // k=v pairs, e.g. GRAFT_DRAIN_CONF="spark.sql.x=1;spark.sql.y=2"
+          sys.env.get("GRAFT_DRAIN_CONF").foreach(_.split(';').foreach { kv =>
+            kv.split("=", 2) match {
+              case Array(k, v) if k.nonEmpty => s2.conf.set(k, v)
+              case _ =>
+            }
+          })
           perParent.put(statePartitions, s2)
           s2
         }
@@ -116,14 +128,21 @@ object Drain {
     // same query three times in one JVM)
     val ckpt = s"$ckptRoot/graft-drain-$jvmTag-${ckptSeq.incrementAndGet()}"
     graft.Lifecycle.defer { deleteRec(new java.io.File(ckpt)) }
-    val q = plan(s2).writeStream
+    val t0 = System.nanoTime()
+    val df = plan(s2)
+    val t1 = System.nanoTime()
+    val q = df.writeStream
       .format("memory")
       .queryName(name)
       .option("checkpointLocation", ckpt)
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
+    val t2 = System.nanoTime()
     q.awaitTermination()
+    val t3 = System.nanoTime()
+    lastPhases = f"plan=${(t1 - t0) / 1e6}%.0fms start=${(t2 - t1) / 1e6}%.0fms " +
+      f"await=${(t3 - t2) / 1e6}%.0fms"
     lastQuery = q
     // the memory sink pins every batch's result in driver memory via the
     // temp view — drop it once the harness has consumed the frame

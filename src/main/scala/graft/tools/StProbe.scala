@@ -36,7 +36,8 @@ object StProbe {
         // sibling session and always reports zero active queries
         val parts = sys.env.get("GRAFT_DRAIN_PARTS").map(_.toInt).getOrElse(4)
         val s2 = graft.streaming.Drain.session(spark, parts)
-        println(f"$qn RUN $i dt=${dt}%5.2fs activeQueries=${s2.streams.active.length}")
+        println(f"$qn RUN $i dt=${dt}%5.2fs activeQueries=${s2.streams.active.length} " +
+          graft.streaming.Drain.lastPhases)
         Option(graft.streaming.Drain.lastQuery).foreach { q =>
           q.recentProgress.foreach(p => println(s"  batch ${p.batchId} rows=${p.numInputRows} " +
             s"durationMs=${p.durationMs}"))
