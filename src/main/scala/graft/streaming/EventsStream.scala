@@ -80,13 +80,12 @@ object EventsStream {
     val (_, t) = Drain.toTable(spark, "graft_stream_hourly",
       OutputMode.Complete, statePartitions) { s2 =>
       source(s2, sfDir)
-        // the file source hands the whole batch (one parquet file) to a
-        // single scan task; fan out BEFORE the aggregate so the partial
-        // decimal sums run at executor width instead of serializing the
-        // 100k-row kernel on one core (same fix as st05's token kernel —
-        // Catalyst prunes to (ts, event_type, value) below the exchange,
-        // so the shuffle moves three columns once)
-        .repartition(s2.sparkContext.defaultParallelism)
+        // NO pre-agg fan-out here, deliberately (tried in r11, reverted:
+        // st01 0.89s -> 1.54s in the same-window pairing). Unlike st05's
+        // token kernel, the hourly partial aggregate COLLAPSES on the
+        // scan task — 100k rows in, ~O(hours x types) partial rows out —
+        // so the single-task scan+partial-agg is already cheap and an
+        // upstream repartition only adds a full-input shuffle stage
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_value"))
     }
