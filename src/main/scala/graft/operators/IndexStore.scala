@@ -24,11 +24,29 @@ private[operators] object IndexStore {
 
   /** Fingerprint of a corpus table: name, length and mtime of every part
     * of `<d>/<table>.parquet`. (A path hashCode scheme could collide and
-    * would miss in-place regeneration.) */
+    * would miss in-place regeneration.)
+    *
+    * Listed through the Hadoop FileSystem API, not java.io.File: the
+    * corpus this fingerprints lives on an object store (s3a://, hdfs://)
+    * at deployment scale, exactly like the r06 listing and the ingest
+    * path. Uses a default Configuration because the late-bound oracle
+    * dump (`Verify.dumpOracleSql`) runs WITHOUT a Spark session — for a
+    * store needing session credentials, thread the session's
+    * hadoopConfiguration through here. A missing table degrades to a
+    * name-only fingerprint (matching the old java.io behavior) instead
+    * of throwing, so a standalone oracle dump of a partial corpus still
+    * produces stable SQL. */
   def corpusFingerprint(d: String, table: String): String = {
-    val root = new java.io.File(s"$d/$table.parquet")
-    val parts = if (root.isDirectory) root.listFiles().sortBy(_.getName) else Array(root)
-    val desc = parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    val path = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+    val desc =
+      try {
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        fs.listStatus(path).sortBy(_.getPath.getName)
+          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .mkString("|")
+      } catch {
+        case _: java.io.FileNotFoundException => s"${path.getName}:0:0"
+      }
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
   }
