@@ -19,18 +19,30 @@ object Tables {
     * reusing one across queries is safe and removes that cost from each
     * of the catalog's ~86 gate queries (most reference 1-3 tables; the
     * bench pays the listing once per table instead of ~200 times). Keyed
-    * WEAKLY by the session object because a plan's relation resolution
-    * belongs to the session that created it (tests and the mains use
-    * separate sessions) — an identity-hash key would both pin every
-    * dead session's plans forever and, after a session is GC'd, let a
-    * new session allocated the same hash inherit plans resolved against
-    * the dead one (the collide-after-GC class Drain.sessions and
-    * SourcesStreaming.writerSessions already guard). Entries are plans
-    * only — no data is pinned, so this never interacts with
-    * Lifecycle.release's cache/checkpoint cleanup. */
+    * by the session object (identity) so a plan is only ever served to
+    * the session whose analyzer resolved it — tests and the mains use
+    * separate sessions, and a cross-session plan is a correctness bug.
+    *
+    * Retention, stated honestly: although the outer map is a
+    * WeakHashMap, entries are effectively PINNED for the JVM lifetime —
+    * each cached DataFrame strongly references its SparkSession
+    * (`Dataset.sparkSession`), so the value keeps the weak key
+    * reachable and the entry can never be collected (the classic
+    * value-refers-to-key WeakHashMap pitfall). That is acceptable here:
+    * the process creates a bounded handful of sessions (the mains'
+    * root + memoized children, one per test suite), and each entry is
+    * a logical plan, not data. A session whose plans should be dropped
+    * eagerly (e.g. a deployment that cycles sessions) calls [[evict]]
+    * at teardown. */
   private val scans =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[(String, String), DataFrame]]()
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+
+  /** Drop all memoized scan plans for `spark`. Call at session teardown
+    * if the session is being discarded before JVM exit — the WeakHashMap
+    * cannot collect the entry on its own (see retention note above). */
+  def evict(spark: SparkSession): Unit =
+    scans.synchronized { scans.remove(spark); () }
 
   /** Memoization applies only to IMMUTABLE corpus roots (the driver's
     * read-only testdata; a deployment's snapshot dirs). A cached plan
@@ -41,14 +53,21 @@ object Tables {
   private val ImmutableRoots = Seq("/root/testdata/")
 
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (ImmutableRoots.exists(sfDir.startsWith))
-      scans.synchronized {
+    if (ImmutableRoots.exists(sfDir.startsWith)) {
+      // Global lock only for the cheap per-session map lookup/insert; the
+      // parquet listing + footer read (10-40ms) runs OUTSIDE it on the
+      // lock-free per-session TrieMap, so concurrent sessions' first-time
+      // loads proceed in parallel. TrieMap.getOrElseUpdate may race two
+      // threads into building the same plan, but only one wins the insert
+      // and a duplicate `spark.read.parquet` is just a redundant listing
+      // of an immutable dir — equivalent plans, no correctness hazard.
+      val perSession = scans.synchronized {
         scans.computeIfAbsent(spark,
-            _ => scala.collection.mutable.Map.empty[(String, String), DataFrame])
-          .getOrElseUpdate((sfDir, name),
-            spark.read.parquet(s"$sfDir/$name.parquet"))
+          _ => scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
       }
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+      perSession.getOrElseUpdate((sfDir, name),
+        spark.read.parquet(s"$sfDir/$name.parquet"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")

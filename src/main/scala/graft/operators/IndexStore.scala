@@ -32,10 +32,19 @@ private[operators] object IndexStore {
     * path. Uses a default Configuration because the late-bound oracle
     * dump (`Verify.dumpOracleSql`) runs WITHOUT a Spark session — for a
     * store needing session credentials, thread the session's
-    * hadoopConfiguration through here. A missing table degrades to a
-    * name-only fingerprint (matching the old java.io behavior) instead
-    * of throwing, so a standalone oracle dump of a partial corpus still
-    * produces stable SQL. */
+    * hadoopConfiguration through here. Any IOException — missing table,
+    * object-store auth failure, transient listing error — degrades to a
+    * name-only fingerprint instead of throwing, so a standalone oracle
+    * dump of a partial corpus still produces stable SQL and a transient
+    * store hiccup costs at most one spurious index rebuild (an index
+    * rebuild is always safe; an aborted pipeline is not).
+    *
+    * Migration note (r11→r12): local listing moved from java.io.File to
+    * ChecksumFileSystem, which excludes `.crc` sidecar files the old
+    * listing included — so fingerprints of unchanged local corpora
+    * changed once at the switch, forcing a one-time rebuild of every
+    * persisted index. Expected and harmless; fingerprints are stable
+    * again from this vintage on. */
   def corpusFingerprint(d: String, table: String): String = {
     val path = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
     val desc =
@@ -45,7 +54,7 @@ private[operators] object IndexStore {
           .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
           .mkString("|")
       } catch {
-        case _: java.io.FileNotFoundException => s"${path.getName}:0:0"
+        case _: java.io.IOException => s"${path.getName}:0:0"
       }
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)

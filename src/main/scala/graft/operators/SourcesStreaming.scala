@@ -38,12 +38,36 @@ object SourcesStreaming {
     * [[graft.streaming.Drain]]. */
   /** Frag fixtures already written by THIS JVM (see r06: cross-JVM
     * reuse is unsafe, within-JVM reuse of an immutable corpus is not).
-    * A map (not a set) so r06 can use computeIfAbsent's per-key
-    * atomicity as the write lock: the key appears only AFTER the
-    * fixture write completes, and concurrent callers for the same key
-    * block on the mapping function instead of reading a torn write. */
+    * Values are per-key completion latches, NOT a bare done-flag: the
+    * fixture write is a multi-second Spark job, and running it inside
+    * `computeIfAbsent`'s mapping function would hold the map's bin lock
+    * for the whole job (the CHM contract asks for short computations —
+    * an unrelated key hashing to the same bin would block behind the
+    * write). Instead callers race `putIfAbsent` with a fresh future
+    * (cheap, lock held for nanoseconds); the winner runs the write
+    * OUTSIDE any map lock and completes the future, losers `join` it.
+    * Same per-key torn-write protection, no cross-key blocking. A
+    * failed write removes its future so a later caller retries instead
+    * of joining a poisoned latch forever. */
   private val fragWritten =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.CompletableFuture[java.lang.Boolean]]()
+
+  /** Run `write` exactly once per `key` in this JVM, with concurrent
+    * same-key callers blocking until it completes (see [[fragWritten]]). */
+  private def onceSerialized(key: String)(write: => Unit): Unit = {
+    val mine = new java.util.concurrent.CompletableFuture[java.lang.Boolean]()
+    val existing = fragWritten.putIfAbsent(key, mine)
+    if (existing == null) {
+      try { write; mine.complete(java.lang.Boolean.TRUE); () }
+      catch {
+        case t: Throwable =>
+          mine.completeExceptionally(t)
+          fragWritten.remove(key, mine)
+          throw t
+      }
+    } else { existing.join(); () }
+  }
 
   private val writerSessions =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
@@ -252,16 +276,15 @@ object SourcesStreaming {
       // to prevent for indexes worth persisting — but within one JVM the
       // corpus roots are immutable (Tables.ImmutableRoots), so repeat
       // bench passes can safely reuse this pass's write.
-      // computeIfAbsent is atomic PER KEY: a concurrent second caller
+      // once-per-JVM, per-key serialized: a concurrent second caller
       // (sbt's parallel suites, two catalog runners in one JVM) blocks
       // until the first caller's write completes instead of racing past
-      // a pre-write marker into a torn directory — the key is present
-      // only once its mapping function (the write) has finished
-      fragWritten.computeIfAbsent(frag, { _ =>
+      // a pre-write marker into a torn directory; unrelated keys never
+      // block behind this multi-second job (see fragWritten's latch doc)
+      onceSerialized(frag) {
         Tables.lineitem(w, d).repartition(64)
           .write.mode("overwrite").parquet(frag)
-        java.lang.Boolean.TRUE
-      })
+      }
       // size via the Hadoop FileSystem API, not java.io.File: the 100 TB
       // deployment this operator targets compacts object-store tables
       // (s3a://, hdfs://) where local listing is meaningless — same

@@ -318,12 +318,18 @@ object ScaleSmoke {
         // copy demonstrably matches THIS vintage of the corpus (the
         // driver regenerates /root/testdata between rounds, and an
         // interrupted prior run leaves a torn write): validate by row
-        // count and rewrite on any mismatch or read failure.
+        // count AND schema — a regenerated vintage can keep the row
+        // count while flipping a physical type (the r10 ns→µs ts flip),
+        // which would silently skew the SCALE-STREAM numbers — and
+        // rewrite on any mismatch or read failure. ev0's schema is the
+        // already-normalized one (Tables.events), so a cached fixture
+        // written from an older encoding shows up as a schema mismatch.
         val cachedOk =
           new java.io.File(s"$dir/events.parquet").isDirectory &&
-            scala.util.Try(
-              spark.read.parquet(s"$dir/events.parquet").count() == ne0 * k
-            ).getOrElse(false)
+            scala.util.Try {
+              val cached = spark.read.parquet(s"$dir/events.parquet")
+              cached.schema == ev0.schema && cached.count() == ne0 * k
+            }.getOrElse(false)
         if (!cachedOk) {
           (0 until k).map { i =>
             if (i == 0) ev0
