@@ -969,16 +969,25 @@ object Advanced {
     * corpus-mixing pipeline tracks: L1 distance between each source's
     * token distribution and the corpus-wide distribution. Computed in
     * INTEGER cross-multiplied form — Σ|c_src·N_all − c_all·N_src| over
-    * the full source×vocab grid (zeros included via the left join) —
-    * so the aggregate is an exact integer sum with no float-accumulation
-    * order anywhere; the reported ratio is ONE division of two exact
-    * integers (the v02 determinism pattern, pushed through an entire
-    * distance metric).
+    * the source×vocab grid — so the aggregate is an exact integer sum
+    * with no float-accumulation order anywhere; the reported ratio is
+    * ONE division of two exact integers (the v02 determinism pattern,
+    * pushed through an entire distance metric).
+    *
+    * The grid is never materialized: a (source, tok) cell where the
+    * source lacks the token contributes |0·N_all − c_all·N_src| =
+    * c_all·N_src, so the absent-cell mass has the closed form
+    * N_src·(N_all − Σ_present c_all) and the whole metric needs only
+    * the PRESENT cells (the per-source aggregate itself, ~|src| rows)
+    * plus one per-source correction term. The dense
+    * |sources|×|vocab| left-join this replaces is billions of rows at
+    * a 10⁸-token vocab — all of it zeros with a closed-form sum.
     *
     * Scale: two token aggregates (per-source and global vocab — the
-    * second is the zipfian t22 shape), a source×vocab grid whose size
-    * is |sources|·|vocab| (grid rows, not corpus rows), and a grouped
-    * integer sum. The products stay in i64 while
+    * second is the zipfian t22 shape), one inner join of the present
+    * cells against the vocab counts (shuffle on tok, |src| rows), and
+    * a grouped integer sum; the source-totals and grand-total sides
+    * are broadcast. The products stay in i64 while
     * corpus_tokens × source_tokens < 2^63 — beyond that, the same query
     * in DECIMAL(38,0). */
   val v03 = QueryDef(
@@ -990,7 +999,7 @@ object Advanced {
         .select(col("source"), explode(tokens(col("text"))).as("tok"))
       // ONE corpus pass: the global vocab and totals roll up from the
       // per-source aggregate by linearity. localCheckpoint materializes
-      // the tiny |sources|x|vocab| aggregate for its three consumers
+      // the tiny per-source aggregate for its three consumers
       // (measured vs recompute-with-ReuseExchange: 0.70s vs 0.82s at
       // sf0.1 — AQE re-plans each consumer independently and the shared
       // exchange dedup does not survive); freed by Lifecycle.release.
@@ -999,15 +1008,21 @@ object Advanced {
       val stot = src.groupBy(col("source")).agg(sum(col("c")).as("n"))
       val allv = src.groupBy(col("tok")).agg(sum(col("c")).as("ac"))
       val atot = allv.agg(sum(col("ac")).as("an"))
-      stot.crossJoin(broadcast(atot))
-        .crossJoin(allv)
-        .join(src, Seq("source", "tok"), "left")
+      // present cells only: Σ|c·an − ac·n| over (source, tok) pairs the
+      // source actually contains, plus Σ_present ac for the correction
+      src.join(allv, Seq("tok"))
+        .join(broadcast(stot), Seq("source"))
+        .crossJoin(broadcast(atot))
         .groupBy(col("source"), col("n"), col("an"))
-        .agg(sum(abs(coalesce(col("c"), lit(0L)) * col("an") - col("ac") * col("n")))
-          .as("l1_num"))
-        .select(col("source"), col("l1_num"),
+        .agg(
+          sum(abs(col("c") * col("an") - col("ac") * col("n"))).as("present_num"),
+          sum(col("ac")).as("present_ac"))
+        .select(col("source"),
+          (col("present_num") + col("n") * (col("an") - col("present_ac")))
+            .as("l1_num"),
           (col("n") * col("an")).as("l1_den"),
-          (col("l1_num").cast("double") / (col("n") * col("an"))).as("l1"))
+          ((col("present_num") + col("n") * (col("an") - col("present_ac")))
+            .cast("double") / (col("n") * col("an"))).as("l1"))
         .orderBy(col("source"))
     },
     Some("""WITH tok AS (
