@@ -286,14 +286,47 @@ object Similarity {
     private[operators] def indexDirFor(d: String): String =
       s"${sys.props("java.io.tmpdir")}/graft_sig_${IndexStore.corpusFingerprint(d, "embeddings")}_t${NumTables}p$PlanesPerTable"
 
+    private def signatures(s: SparkSession, d: String): DataFrame =
+      withNorm(s, d)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          posexplode(tableBuckets(col("embedding"))).as(Seq("tbl", "bucket")))
+
     def ensure(s: SparkSession, d: String): DataFrame = {
       val dir = IndexStore.ensure(indexDirFor(d), "signatures/_SUCCESS") { tmp =>
-        withNorm(s, d)
-          .select(col("vec_id"), col("embedding"), col("nrm"),
-            posexplode(tableBuckets(col("embedding"))).as(Seq("tbl", "bucket")))
+        signatures(s, d)
           .write.mode("overwrite").parquet(s"$tmp/signatures")
       }
       s.read.parquet(s"$dir/signatures")
+    }
+
+    // Incremental growth (the [[IvfIncIndex]] segment model, simpler
+    // here: a signature is a PURE per-row function of the fixed-seed
+    // planes — no trained state to freeze — so a growth step maps only
+    // the new slice and publishes it as an immutable delta segment,
+    // and base ∪ delta is bit-identical to a from-scratch build by
+    // construction. Pinned as an assertion in IvfIncSpec.)
+    private[graft] def baseDirFor(d: String): String = indexDirFor(d) + "_base"
+    private[graft] def deltaDirFor(d: String): String = indexDirFor(d) + "_delta"
+
+    def ensureBase(s: SparkSession, d: String): String =
+      IndexStore.ensure(baseDirFor(d), "signatures/_SUCCESS") { tmp =>
+        signatures(s, d)
+          .filter(col("vec_id") % IvfIncIndex.NewSliceMod =!= IvfIncIndex.NewSliceRem)
+          .write.mode("overwrite").parquet(s"$tmp/signatures")
+      }
+
+    /** Growth step: signature-map ONLY the new slice — cost ∝ new data. */
+    def ensureDelta(s: SparkSession, d: String): String =
+      IndexStore.ensure(deltaDirFor(d), "signatures/_SUCCESS") { tmp =>
+        signatures(s, d)
+          .filter(col("vec_id") % IvfIncIndex.NewSliceMod === IvfIncIndex.NewSliceRem)
+          .write.mode("overwrite").parquet(s"$tmp/signatures")
+      }
+
+    /** (baseSignatures, deltaSignatures) — readers union the segments. */
+    def ensureSegments(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+      val bd = ensureBase(s, d); val dd = ensureDelta(s, d)
+      (s.read.parquet(s"$bd/signatures"), s.read.parquet(s"$dd/signatures"))
     }
   }
 
@@ -672,5 +705,147 @@ object Similarity {
       |  FROM scored)
       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
 
-  val catalog: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07)
+  /** Incrementally-maintained IVF index — the maintenance path a 100 TB
+    * deployment actually runs. [[IvfIndex]] rebuilds from scratch when
+    * the corpus fingerprint changes; a production corpus only GROWS
+    * (t25's snapshot model for the pair index), and refitting the
+    * quantizer plus re-assigning 100 TB because 1 TB arrived is the
+    * difference between an index you can afford daily and one you
+    * can't. The incremental model:
+    *
+    *  - centroids are trained ONCE on the base snapshot and FROZEN —
+    *    the standard production IVF contract (FAISS-style: train on a
+    *    sample, add forever). Growth never refits;
+    *  - the index is a base segment plus immutable delta segments
+    *    (`vec_id % 5 == 4` stands in for the new crawl slice, t25's
+    *    batch convention). A growth step assigns ONLY the new vectors
+    *    against the frozen centroids and publishes them as a new
+    *    segment — cost ∝ new data, never ∝ corpus. Readers union the
+    *    segments;
+    *  - assignment is DETERMINISTIC: argmin over cells of
+    *    `dot(c,c) − 2·dot(x,c)` (monotone in squared Euclidean — ‖x‖²
+    *    is constant per row and drops out of the argmin), computed with
+    *    the sequential-fold native dot, ties to the smallest cell. So
+    *    incremental-union and from-scratch-assign produce bit-identical
+    *    indexes, and the s08 gate checks exactly that equality against
+    *    a DuckDB re-assignment of the WHOLE corpus from the persisted
+    *    frozen centroids. (`KMeans.transform` is deliberately NOT used
+    *    for assignment — its fastSquaredDistance shortcut is float-
+    *    order-unstable near ties; the explicit expression is the same
+    *    math with a pinned operation order.)
+    *
+    * Segment dirs ride [[IndexStore]] unchanged: each segment is an
+    * immutable corpus-fingerprinted publish-once dir, so staleness,
+    * atomic publication and torn-build recovery need no new machinery. */
+  object IvfIncIndex {
+    import org.apache.spark.sql.expressions.Window
+
+    /** New-crawl-slice membership (t25's batch convention). */
+    private[operators] val NewSliceMod = 5
+    private[operators] val NewSliceRem = 4
+
+    private[graft] def baseDirFor(d: String): String =
+      s"${sys.props("java.io.tmpdir")}/graft_ivfinc_${IndexStore.corpusFingerprint(d, "embeddings")}_k${IvfIndex.K}_base"
+    private[graft] def deltaDirFor(d: String): String =
+      s"${sys.props("java.io.tmpdir")}/graft_ivfinc_${IndexStore.corpusFingerprint(d, "embeddings")}_k${IvfIndex.K}_delta"
+
+    private def embDouble(s: SparkSession, d: String): DataFrame = {
+      graft.functions.VectorExpressions.register(s)
+      Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    }
+
+    /** Deterministic nearest-centroid assignment of `vecs` against a
+      * broadcast centroid set (tiny: K rows). One narrow pass over the
+      * input — the only corpus-sized work in any build or growth step. */
+    private[graft] def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("score"), col("cell"))
+      vecs.crossJoin(broadcast(centroids))
+        .withColumn("score",
+          dot(col("center"), col("center")) - lit(2.0) * dot(col("embedding"), col("center")))
+        .withColumn("arank", row_number().over(w))
+        .filter(col("arank") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+    }
+
+    /** Base segment: KMeans fit on the base snapshot (the expensive,
+      * once-ever step), centroids persisted as the frozen quantizer,
+      * base vectors assigned deterministically. */
+    def ensureBase(s: SparkSession, d: String): String =
+      IndexStore.ensure(baseDirFor(d), "assigned/_SUCCESS") { tmp =>
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val base = embDouble(s, d)
+          .filter(col("vec_id") % NewSliceMod =!= NewSliceRem)
+        val feat = base.withColumn("features", array_to_vector(col("embedding")))
+        val model = new KMeans().setK(IvfIndex.K).setSeed(42L).setMaxIter(10).fit(feat)
+        import s.implicits._
+        val centroids = model.clusterCenters.zipWithIndex
+          .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("cell", "center")
+        centroids.write.mode("overwrite").parquet(s"$tmp/centroids")
+        assign(base, centroids).write.mode("overwrite").parquet(s"$tmp/assigned")
+      }
+
+    /** Growth step: assign ONLY the new slice against the frozen base
+      * centroids and publish as an immutable delta segment. Touches no
+      * base rows — the measured cost is ∝ |new slice| (ScaleSmoke's
+      * `inc` section). */
+    def ensureDelta(s: SparkSession, d: String): String = {
+      val bd = ensureBase(s, d)
+      IndexStore.ensure(deltaDirFor(d), "assigned/_SUCCESS") { tmp =>
+        val centroids = s.read.parquet(s"$bd/centroids")
+        val newVecs = embDouble(s, d)
+          .filter(col("vec_id") % NewSliceMod === NewSliceRem)
+        assign(newVecs, centroids)
+          .write.mode("overwrite").parquet(s"$tmp/assigned")
+      }
+    }
+
+    /** (baseAssigned, deltaAssigned) — the segment union is the reader's
+      * view of the grown index. */
+    def ensure(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+      val bd = ensureBase(s, d)
+      val dd = ensureDelta(s, d)
+      (s.read.parquet(s"$bd/assigned"), s.read.parquet(s"$dd/assigned"))
+    }
+  }
+
+  /** Incremental IVF maintenance gate: the reader-view union of the base
+    * segment and the incrementally-published delta segment must equal a
+    * from-scratch assignment of the WHOLE grown corpus against the same
+    * frozen centroids — which is exactly what the late-bound oracle
+    * recomputes in DuckDB from the persisted centroid parquet. A drift
+    * anywhere (assignment nondeterminism, a missed or duplicated vector
+    * in the segment split, centroid mutation during growth) breaks the
+    * hash. */
+  val s08 = QueryDef(
+    "s08_ann_ivf_incremental",
+    (s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      val (base, delta) = IvfIncIndex.ensure(s, d)
+      base.withColumn("is_new", lit(false))
+        .unionByName(delta.withColumn("is_new", lit(true)))
+        .select(col("vec_id"), col("cell"), col("is_new"))
+        .orderBy(col("vec_id"))
+    },
+    None,
+    oracleLate = Some { sfDir =>
+      val dir = IvfIncIndex.baseDirFor(sfDir)
+      s"""WITH cen AS (SELECT cell, center FROM read_parquet('$dir/centroids/*.parquet')),
+         |scored AS (
+         |  SELECT e.vec_id, cen.cell,
+         |         ${duckDot("cen.center", "cen.center")} - 2.0 * ${duckDot("e.embedding", "cen.center")} AS score
+         |  FROM embeddings e CROSS JOIN cen),
+         |ranked AS (
+         |  SELECT vec_id, cell,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS arank
+         |  FROM scored)
+         |SELECT vec_id, cell,
+         |       (vec_id % ${IvfIncIndex.NewSliceMod} = ${IvfIncIndex.NewSliceRem}) AS is_new
+         |FROM ranked WHERE arank = 1 ORDER BY vec_id""".stripMargin
+    })
+
+  val catalog: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
 }

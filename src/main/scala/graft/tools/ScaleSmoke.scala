@@ -469,6 +469,75 @@ object ScaleSmoke {
         }
       }
     }
+
+    // ---- incremental IVF maintenance: growth cost ∝ new data ----
+    // The s08 contract measured: a growth step (assign ONLY the new
+    // slice against frozen centroids, publish a delta segment) vs the
+    // from-scratch counterfactual (re-assign the whole corpus against
+    // the same centroids) vs the full base build (KMeans fit included —
+    // what a non-incremental deployment re-pays whenever the corpus
+    // fingerprint moves). delta/scratch should track the slice fraction
+    // (~20% here) as N grows; the fit-included build dwarfs both.
+    // Numbers -> PLANS.md SCALE-INC table.
+    if (want("inc")) {
+      def time[T](f: => T): (Double, T) = {
+        val t0 = System.nanoTime(); val v = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.Lifecycle.release(spark)
+        (dt, v)
+      }
+      Seq(12, 48, 192, 768).foreach { k =>
+        // crossJoin replication (not a k-way unionAll — a 192-branch
+        // union is an analyzer stress test, one range join is not);
+        // per-replica first-component shift keeps vectors distinct
+        val dir = s"/tmp/graft_scale_embinc_${k}x"
+        if (!new java.io.File(s"$dir/embeddings.parquet").isDirectory) {
+          emb0.crossJoin(spark.range(k).select(col("id").as("rep")))
+            .select(
+              (col("vec_id") + col("rep") * lit(1000000L)).as("vec_id"),
+              transform(col("embedding"), (x, idx) =>
+                when(idx === 0,
+                  (x + col("rep").cast("double") * lit(0.05)).cast("float"))
+                  .otherwise(x)).as("embedding"),
+              col("label"))
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        }
+        // fresh build every run: stale per-fingerprint publications would
+        // time a no-op read instead of the maintenance step
+        import graft.operators.Similarity.IvfIncIndex
+        Seq(IvfIncIndex.baseDirFor(dir), IvfIncIndex.deltaDirFor(dir))
+          .foreach { p =>
+            val f = new java.io.File(p)
+            def rm(x: java.io.File): Unit = {
+              if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.foreach(rm)
+              x.delete(); ()
+            }
+            rm(f)
+          }
+        val (tBase, _) = time(IvfIncIndex.ensureBase(spark, dir))
+        val (tDelta, dd) = time(IvfIncIndex.ensureDelta(spark, dir))
+        val nDelta = spark.read.parquet(s"$dd/assigned").count()
+        // counterfactual: a non-incremental maintenance pass re-assigns
+        // the ENTIRE grown corpus against the same frozen centroids
+        val scratchOut = s"/tmp/graft_scale_inc_scratch_${k}x"
+        val (tScratch, _) = time {
+          graft.functions.VectorExpressions.register(spark)
+          val centroids = spark.read.parquet(
+            s"${IvfIncIndex.baseDirFor(dir)}/centroids")
+          val all = graft.Tables.embeddings(spark, dir)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select(col("vec_id"),
+              transform(col("embedding"), x => x.cast("double")).as("embedding"))
+          IvfIncIndex.assign(all, centroids)
+            .write.mode("overwrite").parquet(scratchOut)
+        }
+        println(f"SCALE-INC vecs=${e0 * k}%7d baseBuild=${tBase}%6.1fs " +
+          f"deltaStep=${tDelta}%6.1fs ($nDelta rows) " +
+          f"scratchAssign=${tScratch}%6.1fs (${e0 * k} rows) " +
+          f"delta/scratch=${tDelta / tScratch}%.2f")
+      }
+    }
     spark.stop()
   }
 }
