@@ -19,6 +19,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // testdata-vintage tripwire: printed at start (for the log) and again
+    // just before the result line (so it lands inside the driver's
+    // 2000-char tail window next to the numbers it describes)
+    val vintage = Vintage.line(sfDir)
+    println(vintage)
 
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
@@ -117,9 +122,12 @@ object Bench {
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), line(2) + "\n")
-    val out = Some(lineShort(2)).filter(l => prefixUnique && l.length <= 1985)
+    // vintage + result must BOTH fit the driver's 2000-char tail window
+    val out = Some(lineShort(2))
+      .filter(l => prefixUnique && l.length + vintage.length + 2 <= 1985)
       .getOrElse((results.size to 1 by -1).view.map(k => lineTop(2, k))
-        .find(_.length <= 1985).getOrElse(lineTop(2, 1)))
+        .find(_.length + vintage.length + 2 <= 1985).getOrElse(lineTop(2, 1)))
+    println(vintage)
     println(out)
     spark.stop()
   }

@@ -20,6 +20,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // testdata-vintage tripwire — records which physical schema vintage
+    // this correctness dump ran against (see graft.Vintage)
+    System.err.println(Vintage.line(sfDir))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

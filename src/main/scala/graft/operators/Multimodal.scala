@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * `binary` payloads with typed metadata, processed in partition-sized
   * batches.
   *
-  * Decode: REAL for PNG images (`javax.imageio`) and PCM WAV audio
-  * (`javax.sound.sampled`) — both ship in the JDK, no external codec —
-  * see [[Multimodal.decode]]; a DETERMINISTIC FAKE for video (this
-  * container ships no video codecs — declared): `decodeStub` derives
-  * "samples" from the payload bytes reproducibly. Everything around the
-  * dispatch is real and tested: the schema, the per-partition batch
-  * processing shape (`mapPartitions`, the JVM analog of `mapInPandas`
-  * batches), the feature extraction, and the partitioning discipline.
+  * Decode: REAL for PNG images (`javax.imageio`), PCM WAV audio
+  * (`javax.sound.sampled`), and MJPEG-in-AVI video (RIFF chunk walk +
+  * per-frame `javax.imageio` JPEG decode) — all from codecs that ship
+  * in the JDK, no external library — see [[Multimodal.decode]]; a
+  * DETERMINISTIC FAKE for formats with no in-JDK codec (mp4/h264 —
+  * declared): `decodeStub` derives "samples" from the payload bytes
+  * reproducibly. Everything around the dispatch is real and tested: the
+  * schema, the per-partition batch processing shape (`mapPartitions`,
+  * the JVM analog of `mapInPandas` batches), the feature extraction,
+  * and the partitioning discipline.
   *
   * Scale notes: payloads never pass through a shuffle here — features are
   * extracted per-partition right after the scan, and only the small
@@ -66,6 +68,89 @@ object Multimodal {
       payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
       payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E'
 
+  /** True iff the payload is a RIFF/AVI container (bytes 0-3 "RIFF",
+    * 8-11 "AVI " — the public RIFF form type for AVI). */
+  def isAvi(payload: Array[Byte]): Boolean =
+    payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+      payload(8) == 'A' && payload(9) == 'V' && payload(10) == 'I' && payload(11) == ' '
+
+  /** Row-major integer ITU-R BT.601 luma of a decoded image — shared by
+    * the PNG arm and the per-frame AVI arm so both emit the same
+    * deterministic 0-255 level stream. */
+  private def lumaOf(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Int](w * h)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xFF
+        val g = (rgb >> 8) & 0xFF
+        val b = rgb & 0xFF
+        out(i) = (r * 299 + g * 587 + b * 114) / 1000
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL video decode for MJPEG-in-AVI payloads, built ENTIRELY from
+    * public formats the JDK can handle: the RIFF/AVI chunk layout is
+    * public knowledge (fourcc + little-endian u32 size, LISTs nest, the
+    * 'movi' LIST holds the stream data, video frame chunks carry ids
+    * like `00dc`/`00db`), and each MJPEG frame is a complete JPEG that
+    * `javax.imageio` decodes without any external codec. Emits the
+    * concatenated row-major BT.601 luma of every decodable frame (same
+    * per-frame stream as the PNG arm), so video feeds the identical
+    * histogram/RMS/phash feature kernels. Returns null — the caller
+    * falls back to the stub — when the container walks clean but yields
+    * no decodable frame (e.g. a codec other than MJPEG, which the JDK
+    * cannot decode; declared limitation, unchanged for mp4). Torn
+    * containers (sizes past the buffer, truncated chunks) are walked
+    * defensively: bounds are clamped and undecodable frames skipped. */
+  private def decodeAvi(payload: Array[Byte]): Array[Int] = {
+    def u32(i: Int): Long =
+      (payload(i) & 0xFF).toLong | ((payload(i + 1) & 0xFF).toLong << 8) |
+        ((payload(i + 2) & 0xFF).toLong << 16) | ((payload(i + 3) & 0xFF).toLong << 24)
+    javax.imageio.ImageIO.setUseCache(false) // same no-temp-file rule as PNG
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    def isFrameChunk(i: Int): Boolean = {
+      // stream data fourcc: two stream-number digits + 'dc' (compressed
+      // video) or 'db' (uncompressed DIB) — MJPEG frames ride in 'dc'
+      val a = payload(i).toChar; val b = payload(i + 1).toChar
+      val c = payload(i + 2).toChar; val dd = payload(i + 3).toChar
+      a.isDigit && b.isDigit && (c == 'd' && (dd == 'c' || dd == 'b'))
+    }
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val sz = u32(p + 4)
+        val dataStart = p + 8
+        // clamp IN LONG: a torn file's declared size can run past the
+        // buffer, and dataStart + 2^31-ish wraps negative in Int
+        val dataEnd = math.min(dataStart.toLong + sz, end.toLong).toInt
+        val id0 = payload(p).toChar; val id1 = payload(p + 1).toChar
+        val id2 = payload(p + 2).toChar; val id3 = payload(p + 3).toChar
+        if (id0 == 'L' && id1 == 'I' && id2 == 'S' && id3 == 'T' && sz >= 4) {
+          walk(dataStart + 4, dataEnd) // descend past the list-type fourcc
+        } else if (isFrameChunk(p) && dataEnd > dataStart) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload, dataStart, dataEnd - dataStart))
+          if (img != null) frames += lumaOf(img)
+        }
+        p = dataEnd + ((dataEnd - dataStart) & 1) // chunks pad to even size
+      }
+    }
+    walk(12, payload.length)
+    if (frames.isEmpty) null else frames.toArray.flatten
+  }
+
   /** REAL audio decode for PCM WAV payloads via `javax.sound.sampled`
     * (in the JDK). Emits one 0-255 level per FRAME from the first
     * channel — 8-bit unsigned PCM passes through, 16-bit signed PCM is
@@ -104,8 +189,10 @@ object Multimodal {
     * row-major 0-255 luminance samples (integer ITU-R BT.601 luma, so
     * the output is deterministic across JVMs); REAL audio decode for
     * PCM WAV payloads via `javax.sound.sampled` (also in the JDK, see
-    * [[decodeWav]]); the deterministic stub for everything else (no
-    * video codecs in this container — declared limitation). The gate
+    * [[decodeWav]]); REAL video decode for MJPEG-in-AVI payloads (see
+    * [[decodeAvi]] — RIFF walk + per-frame ImageIO JPEG); the
+    * deterministic stub for everything else (no mp4/h264 codec in the
+    * JDK — declared limitation). The gate
     * corpus payloads are utf-8 text standing in for encoded media and
     * never carry the PNG/RIFF signatures, so gate oracles exercise the
     * stub arm; the ImageIO and WAV arms are pinned against
@@ -117,33 +204,18 @@ object Multimodal {
         try decodeWav(payload)
         catch { case _: Exception => null } // torn/unsupported WAV
       if (out == null) decodeStub(payload) else out
+    } else if (isAvi(payload)) {
+      val out =
+        try decodeAvi(payload)
+        catch { case _: Exception => null } // torn/unsupported AVI
+      if (out == null) decodeStub(payload) else out
     } else if (isPng(payload)) {
       // ImageIO's default temp-file cache would make decode IO-bound
       // (and needs a writable scratch dir on every executor)
       javax.imageio.ImageIO.setUseCache(false)
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) decodeStub(payload) // torn/unsupported PNG: fall back
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val out = new Array[Int](w * h)
-        var i = 0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val r = (rgb >> 16) & 0xFF
-            val g = (rgb >> 8) & 0xFF
-            val b = rgb & 0xFF
-            out(i) = (r * 299 + g * 587 + b * 114) / 1000
-            i += 1
-            x += 1
-          }
-          y += 1
-        }
-        out
-      }
+      else lumaOf(img)
     } else decodeStub(payload)
 
   /** STUB frame-sample: keep every `stride`-th sample. */

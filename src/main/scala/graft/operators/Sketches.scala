@@ -37,18 +37,18 @@ object Sketches {
   // ------------------------------------------------------------- CMS
 
   /** Count-Min depth (independent hash rows) and width (buckets/row). */
-  private[operators] val CmsDepth = 4
+  private[graft] val CmsDepth = 4
   private val CmsWidth = 1024
   private val TopK = 20
 
   /** 60-bit md5-derived hash of `row:token` — the per-row CMS hash
     * (15 hex chars so the ANSI cast can never overflow a signed 64-bit;
     * see [[TextDedup.shingleHash60]] for the provenance of the trick). */
-  private[operators] def cmsBucket(row: Int, tok: Column): Column =
+  private[graft] def cmsBucket(row: Int, tok: Column): Column =
     conv(substring(md5(concat(lit(s"$row:"), tok).cast("binary")), 1, 15), 16, 10)
       .cast("long") % CmsWidth
 
-  private[operators] def cmsBucketSql(row: String, tok: String): String =
+  private[graft] def cmsBucketSql(row: String, tok: String): String =
     s"CAST(('0x' || substr(md5($row || ':' || $tok), 1, 15)) AS BIGINT) % $CmsWidth"
 
   /** Token-occurrence stream (NOT distinct — CMS counts occurrences)
