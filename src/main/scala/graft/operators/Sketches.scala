@@ -392,21 +392,38 @@ object Sketches {
       .select(explode(array((0 until BloomK).map(i =>
         bloomPos(i, col("dg"))): _*)).as("pos"))
       .distinct()
-    // probe: a shingle survives iff ALL k of its positions are set —
-    // k chained broadcast LEFT SEMI joins, no explode and no
-    // (doc, shingle)-grained aggregate (the exploded join+HAVING form
-    // measured 1.7s vs 1.2s: the 4x-row hash aggregate on string
-    // shingle keys was the cost). The joins pipeline inside one codegen
-    // stage over the ONE shared digest per row; slicing position i is
-    // free, so nothing is gained by short-circuiting and nothing is
-    // paid re-hashing.
+    // probe: a shingle survives iff ALL k of its positions are set.
+    // The set positions live in [0, 2^16), so the whole filter is a
+    // 65536-bit / 1024-word bitset — materialized once on the driver
+    // (an 8 KB SKETCH, not data: the same aggregate-then-inline move
+    // Spark's own InjectRuntimeFilter makes with its bloom aggregate)
+    // and inlined as a plan-literal array probed with element_at +
+    // bit_get inside one whole-stage-codegen filter. This replaced k=4
+    // chained broadcast LEFT SEMI joins. Measured HONESTLY (r12 A/B at
+    // sf0.1, min-of-3): 1.18s -> 1.17s — FLAT, because the query's cost
+    // is the shingle kernel + exact-verify join, not the probe (the
+    // semi joins were already pipelined broadcasts; the earlier
+    // exploded join+HAVING form was the expensive one at 1.7s). Kept
+    // anyway for the plan structure: four broadcast exchanges + hash
+    // relations (64k entries each, built per executor) collapse into
+    // an 8 KB task-closure constant and four shift-and-test
+    // instructions — strictly less to build, ship, and schedule on a
+    // 1000-executor cluster, with identical output.
+    val words = new Array[Long](1 << 10)
+    bits.collect().foreach { r =>
+      val p = r.getLong(0)
+      words((p >> 6).toInt) |= 1L << (p & 63)
+    }
     var surv = sh.filter(col("doc_id") % 20 =!= 7)
       .withColumn("dg", bloomDigest(col("shingle")))
+      .withColumn("bw", typedLit(words.toIndexedSeq))
     (0 until BloomK).foreach { i =>
       surv = surv.withColumn(s"p$i", bloomPos(i, col("dg")))
-        .join(broadcast(bits.withColumnRenamed("pos", s"p$i")),
-          Seq(s"p$i"), "left_semi")
     }
+    surv = surv.filter(expr((0 until BloomK).map(i =>
+        s"bit_get(element_at(bw, CAST(shiftrightunsigned(p$i, 6) AS INT) + 1), " +
+          s"CAST(p$i & 63 AS INT)) = 1").mkString(" AND ")))
+      .drop("bw")
     // exact verification join on the surviving sliver only
     surv.join(broadcast(bench), "shingle")
       .groupBy(col("doc_id"), col("bench_id"))

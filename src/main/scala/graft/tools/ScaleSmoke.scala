@@ -256,6 +256,22 @@ object ScaleSmoke {
       val recall09 = if (exact09.isEmpty) 1.0 else (exact09 & tuned).size.toDouble / exact09.size
       println(f"SCALE-EMB-09 vecs=${e0 * k}%7d exact=${tExact09}%6.1fs (${exact09.size} pairs)  " +
         f"lsh(T16,P8)=${tTuned}%6.1fs (${tuned.size} pairs)  recall=$recall09%.4f")
+      // r12 slate #5: the full ANN + embedding-dedup ring under the SAME
+      // growth — each timing includes its persisted-index build (the
+      // dominant term, and the one that must stay ~linear in vectors;
+      // the query sets are constant by construction, so any
+      // super-linear jump here is an index-build scale bug)
+      def timeCount(df: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = df.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.Lifecycle.release(spark)
+        (dt, n)
+      }
+      val (tT09, nT09) = timeCount(graft.operators.Advanced.t09.fn(spark, dir))
+      val (tS03, nS03) = timeCount(graft.operators.Similarity.s03.fn(spark, dir))
+      val (tS04, nS04) = timeCount(graft.operators.Similarity.s04.fn(spark, dir))
+      println(f"SCALE-ANN vecs=${e0 * k}%7d t09=${tT09}%6.1fs ($nT09 dups)  " +
+        f"s03=${tS03}%6.1fs ($nS03 rows)  s04=${tS04}%6.1fs ($nS04 rows)")
     }
 
     // ---- band/grid joins stay grid-bounded as the fact side grows ----
