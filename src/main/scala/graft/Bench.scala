@@ -22,7 +22,7 @@ object Bench {
     // testdata-vintage tripwire: printed at start (for the log) and again
     // just before the result line (so it lands inside the driver's
     // 2000-char tail window next to the numbers it describes)
-    val vintage = Vintage.line(sfDir)
+    val vintage = Vintage.line(sfDir, spark.sparkContext.hadoopConfiguration)
     println(vintage)
 
     val warmupDir = "/root/testdata/sf0.001"

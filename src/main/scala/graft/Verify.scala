@@ -22,7 +22,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // testdata-vintage tripwire — records which physical schema vintage
     // this correctness dump ran against (see graft.Vintage)
-    System.err.println(Vintage.line(sfDir))
+    System.err.println(Vintage.line(sfDir, spark.sparkContext.hadoopConfiguration))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

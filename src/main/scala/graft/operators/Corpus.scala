@@ -580,6 +580,95 @@ object Corpus {
        |FROM a FULL JOIN b ON a.column_name = b.column_name
        |ORDER BY col_name""".stripMargin))
 
+  // ------------------------------------- t31: crawl URL curation
+
+  /** Crawl-style URL curation — the stage every web-scale training
+    * pipeline runs before content dedup: canonicalize messy URLs
+    * (case-folded host, `www.` prefix stripped, tracking query string
+    * dropped, trailing slash normalized), collapse exact canonical
+    * duplicates to a min-id keeper, and cap each domain's contribution
+    * (the anti-spam/anti-imbalance lever — one link-farm domain must
+    * not dominate the corpus). The corpus has no URL column, so URLs
+    * are SYNTHESIZED deterministically from (doc_id, source) with the
+    * mess injected on purpose — host-case flips, `www.` prefixes,
+    * trailing slashes, utm tracking params, and id-quartets sharing a
+    * path so canonicalization produces real duplicate groups — and the
+    * oracle builds the identical bytes, so the whole
+    * canonicalize→dedup→cap chain is hash-checked (the
+    * mediaFromDocuments convention).
+    *
+    * Scale: canonicalization is per-row string codegen fused into the
+    * scan stage; the dedup is ONE hash shuffle on the canonical URL;
+    * the per-domain cap is ONE window shuffle on domain where
+    * `row_number <= cap` plans as WindowGroupLimit (per-partition
+    * top-cap pre-prune before the final per-key sort — q12's shape),
+    * so a link-farm domain costs its cap, not its crawl volume. */
+  val t31 = QueryDef(
+    "t31_url_curation",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cap = 25
+      val url = concat(
+        lit("https://"),
+        when(col("doc_id") % 5 === 0, lit("www.")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".example.com/"),
+        substring(md5(concat(col("source"), lit(":"),
+          expr("doc_id DIV 4").cast("string")).cast("binary")), 1, 12),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("?utm_source=feed&utm_campaign=daily")).otherwise(lit("")))
+      // canonical order matters and is pinned: strip query -> casefold
+      // -> strip www -> strip trailing slash (the oracle mirrors it)
+      val canon = regexp_replace(
+        regexp_replace(
+          lower(regexp_replace(url, "\\?.*$", "")),
+          "^https://www\\.", "https://"),
+        "/$", "")
+      val w = Window.partitionBy(col("domain"))
+        .orderBy(col("n_dups").desc, col("keep_id"))
+      docs(s, d)
+        .select(col("doc_id"), canon.as("url"))
+        .groupBy(col("url"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .withColumn("domain", regexp_extract(col("url"), "https://([^/]+)/", 1))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= cap)
+        .orderBy(col("domain"), col("rk"))
+        .select(col("domain"), col("url"), col("keep_id"), col("n_dups"), col("rk"))
+    },
+    Some("""WITH raw AS (
+           |  SELECT doc_id,
+           |         'https://' ||
+           |         CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END ||
+           |         CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END ||
+           |         '.example.com/' ||
+           |         substr(md5(source || ':' || CAST(doc_id // 4 AS VARCHAR)), 1, 12) ||
+           |         CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+           |         CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_campaign=daily' ELSE '' END
+           |           AS url
+           |  FROM documents
+           |), canon AS (
+           |  SELECT doc_id,
+           |         regexp_replace(
+           |           regexp_replace(
+           |             lower(regexp_replace(url, '\?.*$', '')),
+           |             '^https://www\.', 'https://'),
+           |           '/$', '') AS url
+           |  FROM raw
+           |), dedup AS (
+           |  SELECT url, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+           |  FROM canon GROUP BY url
+           |)
+           |SELECT domain, url, keep_id, n_dups, rk FROM (
+           |  SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+           |         url, keep_id, n_dups,
+           |         ROW_NUMBER() OVER (
+           |           PARTITION BY regexp_extract(url, 'https://([^/]+)/', 1)
+           |           ORDER BY n_dups DESC, keep_id) AS rk
+           |  FROM dedup)
+           |WHERE rk <= 25 ORDER BY domain, rk""".stripMargin))
+
   val catalog: Seq[QueryDef] =
-    Seq(t11, t12, t13, t14, t17, t18, t19, t23, t24, t27, t28)
+    Seq(t11, t12, t13, t14, t17, t18, t19, t23, t24, t27, t28, t31)
 }

@@ -56,6 +56,65 @@ class IvfIncSpec extends SparkSpec {
       "incremental segment union diverged from from-scratch assignment")
   }
 
+  test("streaming growth: foreachBatch delta publication equals batch assignment") {
+    // The production wiring for continuous index maintenance: new
+    // vectors ARRIVE AS A STREAM, and each micro-batch is assigned
+    // against the frozen quantizer inside foreachBatch and appended as
+    // an immutable segment — the streaming face of ensureDelta. Run as
+    // two drains over one checkpoint (a restart boundary in the
+    // middle), so the test also pins that maintenance survives process
+    // cycling: offsets replay, nothing is re-assigned, and the final
+    // segment store equals the one-shot batch assignment of the whole
+    // slice, cell for cell.
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val bd = Similarity.IvfIncIndex.ensureBase(spark, d)
+    val centroids = spark.read.parquet(s"$bd/centroids")
+    val mod = Similarity.IvfIncIndex.NewSliceMod
+    val rem = Similarity.IvfIncIndex.NewSliceRem
+    val newVecs = graft.Tables.embeddings(spark, d)
+      .filter(col("vec_id") % mod === rem)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val arrivals = newVecs.as[(Long, Seq[Double])].collect()
+    assert(arrivals.length >= 2, "slice too small to split into batches")
+    val (wave1, wave2) = arrivals.splitAt(arrivals.length / 2)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    val srcDir = s"$root/arrivals"; val segDir = s"$root/segments"; val ckpt = s"$root/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    // file source, not MemoryStream: its offsets are replayable across
+    // restarts (MemoryStream's are not — a fresh stream would restart
+    // its offset counter and the checkpoint would mask the new data)
+    val arrivalSchema = newVecs.schema
+    def drainWave(wave: Seq[(Long, Seq[Double])]): Unit = {
+      wave.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      val q = spark.readStream.schema(arrivalSchema).parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Similarity.IvfIncIndex.assign(batch, centroids)
+            .write.mode("append").parquet(segDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainWave(wave1)
+    drainWave(wave2) // fresh query over the SAME checkpoint: a restart
+    val streamed = spark.read.parquet(segDir)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = Similarity.IvfIncIndex.assign(newVecs, centroids)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed.size == arrivals.length,
+      s"segment store holds ${streamed.size} of ${arrivals.length} vectors " +
+        "(a lost or doubled micro-batch)")
+    assert(streamed == batch,
+      "streaming per-batch assignment diverged from the batch path")
+  }
+
   test("incremental sig-LSH: base ∪ delta == from-scratch signature index") {
     def sigs(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Int)] =
       df.select(col("vec_id"), col("tbl"), col("bucket"))
