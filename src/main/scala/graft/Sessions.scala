@@ -24,9 +24,17 @@ import org.apache.spark.sql.SparkSession
   *    vs TIMESTAMP_NTZ vs timestamp) and normalizes; the flag only
   *    changes how otherwise-unreadable TIMESTAMP(NANOS) columns arrive,
   *    so it is safe to pin globally.
+  *  - `spark.sql.warehouse.dir` → a fresh temp dir: catalog-table
+  *    writes (r08's bucketed tables) must not drop a `spark-warehouse`
+  *    directory into whatever cwd the process launched from. A
+  *    deployment embedding the library sets its real warehouse by
+  *    adding its own `.config(...)` AFTER `graftDefaults` (later
+  *    builder writes win).
   */
 object Sessions {
   def graftDefaults(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
 }

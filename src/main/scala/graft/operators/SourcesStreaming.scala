@@ -349,6 +349,61 @@ object SourcesStreaming {
            |  AND ts <  TIMESTAMP '2024-01-16 00:00:00'
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** Bucketed co-located join — the shuffle-elimination lever for the
+    * joins a warehouse runs EVERY day on the SAME key: orders ⋈
+    * lineitem on orderkey. Both sides are written ONCE as Hive-style
+    * bucketed tables (`bucketBy(8, orderkey)`, hash-partitioned at
+    * write time into bucket files, registered as external tables), so
+    * every subsequent join on the bucket key reads both sides already
+    * co-partitioned: the sort-merge join's distribution requirement is
+    * satisfied BY THE SCAN and the plan contains NO exchange under the
+    * join (pinned programmatically in BucketedJoinSpec). At 100 TB this
+    * converts the daily fact-to-fact join from "shuffle 100 TB twice"
+    * into a zero-movement merge per bucket pair — the write-time
+    * shuffle is paid once, amortized over every downstream join.
+    * `hint("merge")` keeps the plan on the sort-merge path so the
+    * contract is exercised at gate scale too (a broadcast of the small
+    * side would be Catalyst's right call at sf0.01 but tests nothing).
+    * The only exchanges left are the O(|priorities|) aggregate and the
+    * final ORDER BY. Oracle: the same join+aggregate over the original
+    * tables — bucketing must be invisible in values. */
+  val r08 = QueryDef(
+    "r08_bucketed_join",
+    (s, d) => {
+      val tag = Integer.toHexString(d.hashCode)
+      val oTbl = s"graft_bkt_orders_$tag"
+      val lTbl = s"graft_bkt_lineitem_$tag"
+      // once per JVM like r06's fixture: the bucketed write is the
+      // amortized setup cost, the join is the operator under test.
+      // saveAsTable must run in THIS JVM even when the path survives a
+      // previous one (the in-memory catalog is per-context), which
+      // onceSerialized's per-JVM latch map gives exactly.
+      onceSerialized(roundtripDir("bkt", d)) {
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", roundtripDir("bkt_orders", d))
+          .saveAsTable(oTbl)
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", roundtripDir("bkt_lineitem", d))
+          .saveAsTable(lTbl)
+      }
+      s.table(oTbl).hint("merge")
+        .join(s.table(lTbl), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          graft.functions.Exact.exactSum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
+           |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val st01 = QueryDef(
     "st01_stream_hourly_agg",
     (s, d) => graft.streaming.EventsStream.hourlyAgg(s, d),
@@ -622,6 +677,6 @@ object SourcesStreaming {
            |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
 
   val catalog: Seq[QueryDef] =
-    Seq(r01, r02, r03, r04, r05, r06, r07,
+    Seq(r01, r02, r03, r04, r05, r06, r07, r08,
       st01, st02, st03, st04, st05, st06, st07)
 }
