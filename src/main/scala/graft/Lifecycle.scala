@@ -35,6 +35,16 @@ object Lifecycle {
     * at most once, in registration order. */
   def defer(f: => Unit): Unit = deferred.add(() => f)
 
+  /** Recursive delete of a scratch dir/file. The ONE implementation
+    * shared by checkpoint, fixture and index cleanup (Drain, StAmortize,
+    * ScaleSmoke, IndexStore) so null handling and any future hardening
+    * live in one place. */
+  def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   /** Run deferred cleanups, then sweep all cached Datasets and any RDD
     * blocks still persisted (checkpoints). Failures are swallowed — a
     * cleanup must never fail the gate. */

@@ -32,9 +32,16 @@ import org.apache.spark.sql.SparkSession
   *    builder writes win).
   */
 object Sessions {
+  // ONE scratch warehouse per JVM, created lazily at first builder use:
+  // graftDefaults is called by every entry point (often on builders
+  // whose getOrCreate returns an existing session and ignores the
+  // conf), so a per-call createTempDirectory would leak an empty dir
+  // per invocation
+  private lazy val scratchWarehouse: String =
+    java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+
   def graftDefaults(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.sql.warehouse.dir", scratchWarehouse)
 }

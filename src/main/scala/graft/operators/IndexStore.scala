@@ -34,10 +34,15 @@ private[operators] object IndexStore {
     * store needing session credentials, thread the session's
     * hadoopConfiguration through here. Any IOException — missing table,
     * object-store auth failure, transient listing error — degrades to a
-    * name-only fingerprint instead of throwing, so a standalone oracle
-    * dump of a partial corpus still produces stable SQL and a transient
-    * store hiccup costs at most one spurious index rebuild (an index
-    * rebuild is always safe; an aborted pipeline is not).
+    * CORPUS-PATH-keyed fallback fingerprint instead of throwing, so a
+    * standalone oracle dump of a partial corpus still produces stable
+    * SQL. Degradation cost, stated precisely: one spurious rebuild when
+    * the listing recovers (fingerprint flips back), plus — for repeated
+    * errors against the same corpus dir — the possibility of serving
+    * that dir's previously-published index across a content change the
+    * failed listing could not see. The path key confines that risk to
+    * one corpus; distinct corpora can never collide onto one degraded
+    * fingerprint.
     *
     * Migration note (r11→r12): local listing moved from java.io.File to
     * ChecksumFileSystem, which excludes `.crc` sidecar files the old
@@ -54,15 +59,17 @@ private[operators] object IndexStore {
           .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
           .mkString("|")
       } catch {
-        case _: java.io.IOException => s"${path.getName}:0:0"
+        // degrade on the FULL corpus path, not the bare table name: a
+        // name-only fallback is corpus-independent, so two different
+        // corpora both hitting transient listing errors would collapse
+        // onto ONE fingerprint and the store could serve corpus A's
+        // persisted index for corpus B's query. Keying the degraded
+        // fingerprint by path confines any stale-serve risk to re-runs
+        // against the SAME corpus dir whose listing is erroring.
+        case _: java.io.IOException => s"$d/$table.parquet:degraded"
       }
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
-    f.delete(); ()
   }
 
   /** Ensure the index at `dirPath` is published (its `marker` file
@@ -78,8 +85,12 @@ private[operators] object IndexStore {
         // rename fails only if dir now exists: either a concurrent build
         // won (use theirs) or a torn pre-rename leftover is in the way
         // (replace it)
-        if (new java.io.File(dir, marker).exists()) deleteRec(tmp)
-        else { deleteRec(dir); if (!tmp.renameTo(dir)) deleteRec(tmp) }
+        import graft.Lifecycle.deleteRecursively
+        if (new java.io.File(dir, marker).exists()) deleteRecursively(tmp)
+        else {
+          deleteRecursively(dir)
+          if (!tmp.renameTo(dir)) deleteRecursively(tmp)
+        }
       }
     }
     dirPath

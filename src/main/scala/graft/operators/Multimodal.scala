@@ -127,7 +127,13 @@ object Multimodal {
       val c = payload(i + 2).toChar; val dd = payload(i + 3).toChar
       a.isDigit && b.isDigit && (c == 'd' && (dd == 'c' || dd == 'b'))
     }
-    def walk(start: Int, end: Int): Unit = {
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      // depth cap: a real AVI nests 2-3 LISTs; a corrupt/adversarial
+      // payload of nothing but 12-byte LIST headers would otherwise
+      // recurse ~payload/12 deep and StackOverflowError — an Error, so
+      // it would sail PAST decode's catch-Exception fallback and kill
+      // the task instead of degrading to the stub
+      if (depth > 16) return
       var p = start
       while (p + 8 <= end) {
         val sz = u32(p + 4)
@@ -138,16 +144,21 @@ object Multimodal {
         val id0 = payload(p).toChar; val id1 = payload(p + 1).toChar
         val id2 = payload(p + 2).toChar; val id3 = payload(p + 3).toChar
         if (id0 == 'L' && id1 == 'I' && id2 == 'S' && id3 == 'T' && sz >= 4) {
-          walk(dataStart + 4, dataEnd) // descend past the list-type fourcc
+          walk(dataStart + 4, dataEnd, depth + 1) // descend past the list-type fourcc
         } else if (isFrameChunk(p) && dataEnd > dataStart) {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload, dataStart, dataEnd - dataStart))
+          // per-frame guard: the JDK JPEG reader THROWS (not null) on
+          // some truncations — one torn frame must skip, not discard
+          // the already-decoded frames by aborting the whole walk
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload, dataStart, dataEnd - dataStart))
+            catch { case _: Exception => null }
           if (img != null) frames += lumaOf(img)
         }
         p = dataEnd + ((dataEnd - dataStart) & 1) // chunks pad to even size
       }
     }
-    walk(12, payload.length)
+    walk(12, payload.length, 0)
     if (frames.isEmpty) null else frames.toArray.flatten
   }
 

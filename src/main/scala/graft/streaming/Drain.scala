@@ -72,11 +72,6 @@ object Drain {
     * await) — diagnostic for the bounded-drain floor work only. */
   @volatile private[graft] var lastPhases: String = ""
 
-  private def deleteRec(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteRec)
-    f.delete(); ()
-  }
 
   /** The memoized drain session for `parent`: own conf, shared context.
     * Conf is written exactly once, before any use. */
@@ -127,7 +122,7 @@ object Drain {
     // all offsets committed and drain NOTHING on a rerun (Bench runs the
     // same query three times in one JVM)
     val ckpt = s"$ckptRoot/graft-drain-$jvmTag-${ckptSeq.incrementAndGet()}"
-    graft.Lifecycle.defer { deleteRec(new java.io.File(ckpt)) }
+    graft.Lifecycle.defer { graft.Lifecycle.deleteRecursively(new java.io.File(ckpt)) }
     val t0 = System.nanoTime()
     val df = plan(s2)
     val t1 = System.nanoTime()

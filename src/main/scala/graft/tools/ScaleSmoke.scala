@@ -507,30 +507,32 @@ object ScaleSmoke {
         // union is an analyzer stress test, one range join is not);
         // per-replica first-component shift keeps vectors distinct
         val dir = s"/tmp/graft_scale_embinc_${k}x"
-        if (!new java.io.File(s"$dir/embeddings.parquet").isDirectory) {
-          emb0.crossJoin(spark.range(k).select(col("id").as("rep")))
-            .select(
-              (col("vec_id") + col("rep") * lit(1000000L)).as("vec_id"),
-              transform(col("embedding"), (x, idx) =>
-                when(idx === 0,
-                  (x + col("rep").cast("double") * lit(0.05)).cast("float"))
-                  .otherwise(x)).as("embedding"),
-              col("label"))
-            .repartition(32)
-            .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        val replicas = emb0.crossJoin(spark.range(k).select(col("id").as("rep")))
+          .select(
+            (col("vec_id") + col("rep") * lit(1000000L)).as("vec_id"),
+            transform(col("embedding"), (x, idx) =>
+              when(idx === 0,
+                (x + col("rep").cast("double") * lit(0.05)).cast("float"))
+                .otherwise(x)).as("embedding"),
+            col("label"))
+        // validate a cached fixture by SCHEMA and ROW COUNT, same rule
+        // as the stream fixtures above: an isDirectory-only check would
+        // serve a torn write or a stale corpus vintage forever and
+        // silently skew every future SCALE-INC table
+        val fix = s"$dir/embeddings.parquet"
+        val valid = new java.io.File(fix).isDirectory && {
+          try {
+            val cached = spark.read.parquet(fix)
+            cached.schema == replicas.schema && cached.count() == e0 * k
+          } catch { case _: Exception => false }
         }
+        if (!valid)
+          replicas.repartition(32).write.mode("overwrite").parquet(fix)
         // fresh build every run: stale per-fingerprint publications would
         // time a no-op read instead of the maintenance step
         import graft.operators.Similarity.IvfIncIndex
         Seq(IvfIncIndex.baseDirFor(dir), IvfIncIndex.deltaDirFor(dir))
-          .foreach { p =>
-            val f = new java.io.File(p)
-            def rm(x: java.io.File): Unit = {
-              if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.foreach(rm)
-              x.delete(); ()
-            }
-            rm(f)
-          }
+          .foreach(p => graft.Lifecycle.deleteRecursively(new java.io.File(p)))
         val (tBase, _) = time(IvfIncIndex.ensureBase(spark, dir))
         val (tDelta, dd) = time(IvfIncIndex.ensureDelta(spark, dir))
         val nDelta = spark.read.parquet(s"$dd/assigned").count()

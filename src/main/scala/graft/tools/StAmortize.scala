@@ -182,23 +182,22 @@ object StAmortize {
         med("latestOffset") + med("getBatch"), rows, wall)
     }
 
-    println(f"%n| kernel | bounded drain (gate cost) | n | batch1 trig/plan ms | steady trig | steady addBatch | steady non-addBatch (plan / wal / source) |")
-    println("|---|---|---|---|---|---|---|")
-    kernels.foreach { case (name, doc, plan, mode) =>
-      // warmup: one bounded drain compiles the plan's codegen
-      run(name, doc, multi = false, plan, mode)
-      val bounded = run(name, doc, multi = false, plan, mode)
-      val multi = run(name, doc, multi = true, plan, mode)
-      println(f"| $name | ${bounded.wallS}%.2fs (trig ${bounded.b1TrigMs}ms) " +
-        f"| ${multi.batches} | ${multi.b1TrigMs}/${multi.b1PlanMs} " +
-        f"| ${multi.steadyTrigMs}%.0f | ${multi.steadyAddMs}%.0f " +
-        f"| ${multi.steadyOverMs}%.0f (${multi.steadyPlanMs}%.0f / ${multi.steadyWalMs}%.0f / ${multi.steadySrcMs}%.0f) |")
-    }
-
-    def deleteRec(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(deleteRec); f.delete(); ()
-    }
-    deleteRec(new java.io.File(root))
+    // finally: the staged corpus lives in RAM (/dev/shm) — a kernel
+    // failure must not leave hundreds of MB resident until reboot
+    try {
+      println(f"%n| kernel | bounded drain (gate cost) | n | batch1 trig/plan ms | steady trig | steady addBatch | steady non-addBatch (plan / wal / source) |")
+      println("|---|---|---|---|---|---|---|")
+      kernels.foreach { case (name, doc, plan, mode) =>
+        // warmup: one bounded drain compiles the plan's codegen
+        run(name, doc, multi = false, plan, mode)
+        val bounded = run(name, doc, multi = false, plan, mode)
+        val multi = run(name, doc, multi = true, plan, mode)
+        println(f"| $name | ${bounded.wallS}%.2fs (trig ${bounded.b1TrigMs}ms) " +
+          f"| ${multi.batches} | ${multi.b1TrigMs}/${multi.b1PlanMs} " +
+          f"| ${multi.steadyTrigMs}%.0f | ${multi.steadyAddMs}%.0f " +
+          f"| ${multi.steadyOverMs}%.0f (${multi.steadyPlanMs}%.0f / ${multi.steadyWalMs}%.0f / ${multi.steadySrcMs}%.0f) |")
+      }
+    } finally graft.Lifecycle.deleteRecursively(new java.io.File(root))
     spark.stop()
   }
 }
