@@ -90,6 +90,28 @@ object TextKernels extends Serializable {
     new GenericArrayData(out)
   }
 
+  /** ALL 3-token shingles of a document in POSITION order (no distinct):
+    * element i is the shingle starting at token i, so a `posexplode`
+    * recovers (position, shingle) pairs — the input the verbatim-span
+    * detector (t32) needs, which the set-valued [[shingleSet]] erases.
+    * Same tokenizer/concat domain as [[shingleSet]]; null or short input
+    * yields an empty array. */
+  def posShingles(text: UTF8String): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val toks = splitTokens(text)
+    val n = math.max(toks.length - 2, 0)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder(
+        toks(i).length + toks(i + 1).length + toks(i + 2).length + 2)
+      sb.append(toks(i)).append(' ').append(toks(i + 1)).append(' ').append(toks(i + 2))
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** array<struct<term, tf>> — the doc's DISTINCT terms with their
     * within-doc occurrence counts, in first-occurrence order. Replaces
     * t10's explode + groupBy(doc_id, term) count: term frequency is a
@@ -312,6 +334,38 @@ case class ShingleSet(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_pos_shingles(text)` — ALL 3-token shingles in position order
+  * (element i = shingle starting at token i; no distinct), for consumers
+  * that need shingle POSITIONS via `posexplode` (the verbatim-span
+  * detector t32). Never null: null/short input maps to an empty array. */
+case class PosShingles(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_pos_shingles"
+
+  override def eval(input: InternalRow): Any =
+    TextKernels.posShingles(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val kernel = ctx.addReferenceObj("textKernels", TextKernels,
+      TextKernels.getClass.getName)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $kernel.posShingles(${c.isNull} ? null : ${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_shingles_n(text)` — [[ShingleSet]] with the per-doc distinct
   * count stamped on each element, for consumers that need |shingles(doc)|
   * AFTER an explode without a second corpus pass (t06's jaccard
@@ -510,6 +564,7 @@ object TextExpressions {
   val tokensInfo = new ExpressionInfo(classOf[TokenArray].getName, "graft_tokens")
   val statsInfo = new ExpressionInfo(classOf[TextStats].getName, "graft_textstats")
   val shinglesNInfo = new ExpressionInfo(classOf[ShingleSetWithCount].getName, "graft_shingles_n")
+  val posShinglesInfo = new ExpressionInfo(classOf[PosShingles].getName, "graft_pos_shingles")
   val termCountsInfo = new ExpressionInfo(classOf[TermCounts].getName, "graft_term_counts")
   val minhashInfo = new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands")
   val simhashInfo = new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60")
@@ -529,6 +584,9 @@ object TextExpressions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_shingles_n"), shinglesNInfo,
       (exprs: Seq[Expression]) => ShingleSetWithCount(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_pos_shingles"), posShinglesInfo,
+      (exprs: Seq[Expression]) => PosShingles(exprs.head))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_term_counts"), termCountsInfo,
       (exprs: Seq[Expression]) => TermCounts(exprs.head))

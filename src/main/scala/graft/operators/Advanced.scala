@@ -1102,7 +1102,125 @@ object Advanced {
       |FROM cal c LEFT JOIN hourly h ON h.event_type = c.event_type AND h.hr = c.hr
       |ORDER BY 1, 2""".stripMargin))
 
+  /** Tokenizer induction, step 1 of BPE: the corpus-weighted frequency
+    * of every adjacent character pair — the statistic each BPE merge
+    * round maximizes. The scale trick is the evaluation order: the
+    * corpus first collapses to its VOCABULARY (token -> frequency, a
+    * massive reduction: one shuffle with map-side combine), and the
+    * per-character explode runs over vocab entries weighted by
+    * frequency — so the quadratic-ish character work costs
+    * O(Σ|distinct token|), not O(corpus tokens). A real BPE trainer
+    * iterates this agg with a merged symbol table; one round through
+    * the gate pins the counting semantics both engines agree on.
+    * Ties broken by pair text for a total order. */
+  val v04 = QueryDef(
+    "v04_bpe_pairs",
+    (s, d) => {
+      import graft.functions.TextFunctions._
+      val vocab = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      vocab.filter(length(col("w")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, length(w) - 2)," +
+            " i -> concat(substring(w, i + 1, 1), substring(w, i + 2, 1)))"))
+          .as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(30)
+    },
+    Some("""WITH tok AS (
+           |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+           |  FROM documents
+           |),
+           |words AS (
+           |  SELECT w, COUNT(*) AS freq
+           |  FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w
+           |)
+           |SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |  SELECT freq, w[i+1] || w[i+2] AS pair
+           |  FROM (SELECT w, freq, unnest(range(len(w)-1)) AS i
+           |        FROM words WHERE len(w) >= 2))
+           |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin))
+
+  /** Model weights for [[c02]] — feature name -> integer weight. A real
+    * deployment loads these from a model artifact table; the POINT is
+    * that they arrive as DATA (a broadcast-joined table), so retraining
+    * never touches query code. Integer weights keep the logit exact:
+    * a float dot product would make the gate hash hostage to
+    * cross-engine summation order. */
+  private val QualityModelWeights: Seq[(String, Long)] = Seq(
+    "f_tokens" -> 3L, "f_digits" -> -2L, "f_punct" -> -1L, "f_chars" -> 1L)
+
+  /** Model-as-data quality scoring — the "apply the trained classifier
+    * to the corpus" pattern every curation pipeline ships: engineered
+    * per-document features are melted long, joined to a broadcast
+    * weights table, reduced to a linear logit, and bucketed into
+    * per-source deciles (the form quota/threshold decisions consume:
+    * "keep the top 30% of each source"). Differs from the heuristic
+    * scorers (t03/t13/c01) in that the MODEL is runtime data, not code.
+    *
+    * Scale: features are one per-row pass; the melt multiplies rows by
+    * |features| (4) before a hash agg back to one row per doc — the
+    * weights join is a broadcast of a |features|-row table (never a
+    * shuffle); the decile is one window shuffle PARTITIONED BY SOURCE
+    * (a global NTILE would serialize the corpus through one task — the
+    * per-source rank is both the semantics curation wants and the
+    * shape that scales). */
+  val c02 = QueryDef(
+    "c02_quality_model",
+    (s, d) => {
+      import graft.functions.TextFunctions._
+      val weights = {
+        import s.implicits._
+        QualityModelWeights.toDF("feature", "weight")
+      }
+      val feats = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("f_tokens"),
+          length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("f_digits"),
+          length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long").as("f_punct"),
+          col("n_chars").as("f_chars"))
+      val melted = feats.select(col("doc_id"), col("source"),
+        explode(expr("map('f_tokens', f_tokens, 'f_digits', f_digits," +
+          " 'f_punct', f_punct, 'f_chars', f_chars)")).as(Seq("feature", "fval")))
+      melted.join(broadcast(weights), "feature")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("fval") * col("weight")).as("logit"))
+        .withColumn("decile", ntile(10).over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("logit").desc, col("doc_id"))))
+        .select(col("doc_id"), col("source"), col("logit"), col("decile"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH feat AS (
+           |  SELECT doc_id, source,
+           |         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS BIGINT) AS f_tokens,
+           |         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS f_digits,
+           |         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS f_punct,
+           |         n_chars AS f_chars
+           |  FROM documents
+           |),
+           |w(feature, weight) AS (VALUES
+           |  ('f_tokens', 3), ('f_digits', -2), ('f_punct', -1), ('f_chars', 1)),
+           |melted AS (
+           |  SELECT doc_id, source, 'f_tokens' AS feature, f_tokens AS fval FROM feat
+           |  UNION ALL SELECT doc_id, source, 'f_digits', f_digits FROM feat
+           |  UNION ALL SELECT doc_id, source, 'f_punct', f_punct FROM feat
+           |  UNION ALL SELECT doc_id, source, 'f_chars', f_chars FROM feat
+           |),
+           |scored AS (
+           |  SELECT doc_id, source, CAST(SUM(fval * weight) AS BIGINT) AS logit
+           |  FROM melted JOIN w USING (feature)
+           |  GROUP BY doc_id, source
+           |)
+           |SELECT doc_id, source, logit,
+           |       CAST(NTILE(10) OVER (PARTITION BY source
+           |              ORDER BY logit DESC, doc_id) AS INTEGER) AS decile
+           |FROM scored ORDER BY doc_id""".stripMargin))
+
   val catalog: Seq[QueryDef] =
-    Seq(e01, e02, e03, e04, e05, e06, e07, e08, q16, q17, t09, c01, tj01, tj02,
-      tj03, v01, v02, v03, j01, q18, t10, q19, q20, q21, q24, q25)
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, q16, q17, t09, c01, c02, tj01,
+      tj02, tj03, v01, v02, v03, v04, j01, q18, t10, q19, q20, q21, q24, q25)
 }

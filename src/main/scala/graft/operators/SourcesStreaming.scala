@@ -404,6 +404,54 @@ object SourcesStreaming {
            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Shard count for [[r09]] — small at bench SF; a production export
+    * sizes this to target-bytes-per-shard exactly like r06's compaction
+    * arithmetic. */
+  private val NumShards = 16
+
+  /** Training-shard export + manifest — the LAST sink of a data
+    * pipeline: every document is assigned a shard by a DETERMINISTIC
+    * md5-derived hash of its id (the t17/sk* hash idiom — stable across
+    * runs, engines, and cluster sizes, unlike a partitioner-dependent
+    * or RNG assignment), the corpus is written partitioned by shard,
+    * and the served result is the manifest a trainer consumes: per
+    * shard, the doc count, total token budget, and id range. The gate
+    * proves the WRITTEN layout (manifest is computed by reading the
+    * export back) matches the declared assignment (oracle computes it
+    * from the source table alone).
+    *
+    * Scale: the assignment is a per-row hash (no shuffle); the
+    * partitioned write fans out by shard directory; the manifest is one
+    * |shards|-group aggregate. Token counts ride the write so the
+    * manifest read never re-tokenizes — at 100 TB the re-read costs the
+    * manifest columns only (column pruning on the parquet export). */
+  val r09 = QueryDef(
+    "r09_shard_manifest",
+    (s, d) => {
+      val out = roundtripDir("shards", d)
+      Tables.documents(s, d)
+        .withColumn("shard",
+          (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+            .cast("long") % NumShards).cast("integer"))
+        .withColumn("n_tokens", size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("shard").cast("integer").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens_total"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))
+    },
+    Some(s"""WITH assigned AS (
+           |  SELECT doc_id,
+           |         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % $NumShards AS INTEGER) AS shard,
+           |         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS n_tokens
+           |  FROM documents)
+           |SELECT shard, COUNT(*) AS n_docs,
+           |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+           |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+           |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin))
+
   val st01 = QueryDef(
     "st01_stream_hourly_agg",
     (s, d) => graft.streaming.EventsStream.hourlyAgg(s, d),
@@ -677,6 +725,6 @@ object SourcesStreaming {
            |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
 
   val catalog: Seq[QueryDef] =
-    Seq(r01, r02, r03, r04, r05, r06, r07, r08,
+    Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09,
       st01, st02, st03, st04, st05, st06, st07)
 }

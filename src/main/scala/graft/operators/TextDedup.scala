@@ -1076,7 +1076,113 @@ object TextDedup {
       |WHERE levenshtein(a.token, b.token) <= $TypoMaxDist
       |ORDER BY token_a, token_b""".stripMargin))
 
+  /** Minimum verbatim-run length (in tokens) reported by t32. The
+    * published exact-substring dedup threshold is ~50 tokens on web
+    * corpora; on the synthetic corpus the chance-collision tail ends at
+    * 5 tokens and the injected near-dup overlaps start at 10 (measured
+    * distribution in the Scaladoc below), so 8 separates them with
+    * margin at every SF. */
+  private val SpanMinTokens = 8
+
+  /** Shingles present in more than this many DISTINCT documents are
+    * excluded from span matching as boilerplate — they are t20's
+    * subject matter, and keeping them makes every template page "share"
+    * spans with every other. The exclusion is part of the operator's
+    * semantics (both engines apply it), not an approximation. */
+  private val SpanMaxDf = 10
+
+  /** Verbatim-span detection — the exact-substring dedup primitive
+    * (the "memorized passage" finder): for every cross-document pair,
+    * every maximal run of >= [[SpanMinTokens]] consecutive identical
+    * tokens, reported with its start position in both documents. The
+    * set-based dedups (t06-t08: Jaccard/MinHash/SimHash) answer "are
+    * these documents similar?"; this answers "WHICH passage is copied
+    * and where" — the signal that drives snippet-level scrubbing
+    * rather than whole-document dropping. Measured span distribution on
+    * the synthetic corpus: chance collisions are all 3-5 tokens; the
+    * near-dup clusters inject verbatim runs of 10-95 tokens.
+    *
+    * Mechanics: positional 3-shingles (the native
+    * `graft_pos_shingles` kernel + posexplode), inverted-index join on
+    * shingle text across doc pairs, then gaps-and-islands per
+    * (doc1, doc2, diagonal): two matched positions lie on the same
+    * copied run iff p1 - p2 is constant and p1 is consecutive, so
+    * p1 - row_number() within the diagonal groups a maximal run, and a
+    * run of R matched 3-shingles spans R + 2 tokens.
+    *
+    * Scale: the positional index is O(corpus tokens) (same cost class
+    * as the t06 shingle index — no distinct, so strictly cheaper to
+    * build); the pair join is banded by shingle with fan-out bounded by
+    * [[SpanMaxDf]]^2 per shingle (the hot set that would blow this up
+    * is EXCLUDED by semantics, via a broadcast anti-join — the hot list
+    * is tiny: shingles repeated across >10 docs are the boilerplate
+    * tail); the island grouping is ONE window shuffle keyed by
+    * (doc1, doc2, diag) whose partitions are individual runs — no
+    * skew, no global sort. At 100 TB this is exactly the shape the
+    * suffix-array substring dedups linearize to when sharded: banded
+    * candidate generation + per-pair linear stitching. */
+  val t32 = QueryDef(
+    "t32_span_dedup",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.TextExpressions.register(s)
+      val psh = docs(s, d)
+        .repartition(s.sparkContext.defaultParallelism) // parallelism (see shingleIndex)
+        .select(col("doc_id"),
+          posexplode(call_function("graft_pos_shingles", col("text")))
+            .as(Seq("pos", "sh")))
+      // hot set materialized once (localCheckpoint, tiny: the boilerplate
+      // tail only; freed by Lifecycle.release) — it feeds BOTH sides of
+      // the pair self-join, and without the boundary each side re-runs
+      // the full countDistinct aggregate over the positional index
+      val hot = psh.groupBy(col("sh"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") > SpanMaxDf)
+        .select(col("sh"))
+        .localCheckpoint()
+      val cold = psh.join(broadcast(hot), Seq("sh"), "left_anti")
+      val m = cold.select(col("sh"), col("doc_id").as("doc1"), col("pos").as("p1"))
+        .join(cold.select(col("sh"), col("doc_id").as("doc2"), col("pos").as("p2")), "sh")
+        .filter(col("doc1") < col("doc2"))
+        .select(col("doc1"), col("doc2"), col("p1"), col("p2"),
+          (col("p1") - col("p2")).as("diag"))
+      val w = Window.partitionBy(col("doc1"), col("doc2"), col("diag"))
+        .orderBy(col("p1"))
+      m.withColumn("island", col("p1") - row_number().over(w))
+        .groupBy(col("doc1"), col("doc2"), col("diag"), col("island"))
+        .agg(min(col("p1")).cast("long").as("start1"),
+          min(col("p2")).cast("long").as("start2"),
+          (count(lit(1)) + 2).cast("integer").as("span_tokens"))
+        .filter(col("span_tokens") >= SpanMinTokens)
+        .select(col("doc1"), col("doc2"), col("start1"), col("start2"),
+          col("span_tokens"))
+        .orderBy(col("doc1"), col("doc2"), col("start1"), col("start2"))
+    },
+    Some(TokCte + s""",
+      |psh AS (
+      |  SELECT doc_id, i AS pos, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS sh
+      |  FROM (SELECT doc_id, toks, unnest(range(len(toks)-2)) AS i FROM tok WHERE len(toks) >= 3)
+      |),
+      |hot AS (SELECT sh FROM psh GROUP BY sh HAVING COUNT(DISTINCT doc_id) > $SpanMaxDf),
+      |m AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2,
+      |         a.pos - b.pos AS diag
+      |  FROM psh a JOIN psh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  WHERE a.sh NOT IN (SELECT sh FROM hot)
+      |),
+      |runs AS (
+      |  SELECT d1, d2, diag, p1, p2,
+      |         p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, diag ORDER BY p1) AS island
+      |  FROM m
+      |)
+      |SELECT d1 AS doc1, d2 AS doc2,
+      |       CAST(MIN(p1) AS BIGINT) AS start1, CAST(MIN(p2) AS BIGINT) AS start2,
+      |       CAST(COUNT(*) + 2 AS INTEGER) AS span_tokens
+      |FROM runs GROUP BY d1, d2, diag, island
+      |HAVING COUNT(*) + 2 >= $SpanMinTokens
+      |ORDER BY doc1, doc2, start1, start2""".stripMargin))
+
   val catalog: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t15, t16, t20, t21, t22, t25,
-      t26, t29, t30)
+      t26, t29, t30, t32)
 }

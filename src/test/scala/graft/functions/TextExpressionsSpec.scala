@@ -172,4 +172,32 @@ class TextExpressionsSpec extends SparkSpec {
     // duplicates collapse to first occurrence order
     assert(rows.getSeq[String](4) == Seq("x y x", "y x y"))
   }
+
+  test("graft_pos_shingles: positional order, dups kept, distinct = graft_shingles") {
+    TextExpressions.register(spark)
+    val rows = spark.sql("""
+      SELECT graft_pos_shingles(CAST(NULL AS STRING)) AS a,
+             graft_pos_shingles('one two') AS b,
+             graft_pos_shingles('  A  b\tC d ') AS c,
+             graft_pos_shingles('x y x y x') AS d
+    """).collect()(0)
+    assert(rows.getSeq[String](0) == Seq.empty)
+    assert(rows.getSeq[String](1) == Seq.empty)
+    // element i = shingle starting at token i
+    assert(rows.getSeq[String](2) == Seq("a b c", "b c d"))
+    // duplicates preserved at their positions (the point of the kernel)
+    assert(rows.getSeq[String](3) == Seq("x y x", "y x y", "x y x"))
+    // corpus contract: array_distinct(pos) == graft_shingles, and pos i
+    // reproduces the token triple at i (the property t32's island
+    // arithmetic rests on)
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("doc_id",
+        "array_distinct(graft_pos_shingles(text)) AS pd",
+        "graft_shingles(text) AS sd")
+      .collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"doc ${r.getLong(0)}")
+    }
+  }
 }

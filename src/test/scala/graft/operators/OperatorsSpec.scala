@@ -563,4 +563,48 @@ class OperatorsSpec extends SparkSpec {
       assert(rej.exists(_.contains("truncated")))
     } finally loaded.cleanup()
   }
+
+  test("t32 spans are verbatim: reported token slices are identical in both docs") {
+    // independent re-check outside the engine: re-tokenize on the driver
+    // with the same normalization and compare the claimed slices
+    val toks = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+      .toMap
+    val spans = TextDedup.t32.fn(spark, sf).collect()
+    assert(spans.nonEmpty)
+    spans.foreach { r =>
+      val (d1, d2) = (r.getLong(0), r.getLong(1))
+      val (s1, s2) = (r.getLong(2).toInt, r.getLong(3).toInt)
+      val len = r.getInt(4)
+      assert(len >= 8, s"span below threshold: $r")
+      val a = toks(d1).slice(s1, s1 + len)
+      val b = toks(d2).slice(s2, s2 + len)
+      assert(a.length == len && a == b, s"span not verbatim: $r")
+    }
+  }
+
+  test("c02 deciles are balanced per source and logit-monotone") {
+    val rows = Advanced.c02.fn(spark, sf).collect()
+    val bySource = rows.groupBy(_.getString(1))
+    bySource.foreach { case (src, rs) =>
+      val counts = rs.groupBy(_.getInt(3)).view.mapValues(_.size)
+      // NTILE balance: bucket sizes differ by at most 1
+      assert(counts.values.max - counts.values.min <= 1, s"$src: $counts")
+      // decile 1 holds the highest logits: min(logit@1) >= max(logit@10)
+      val byDecile = rs.groupBy(_.getInt(3)).view.mapValues(_.map(_.getLong(2)))
+      assert(byDecile(1).min >= byDecile(10).max, src)
+    }
+  }
+
+  test("r09 shard manifest partitions the corpus exactly") {
+    val m = SourcesStreaming.r09.fn(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(m.map(_.getLong(1)).sum == nDocs)
+    // id ranges are consistent and shards are disjoint by construction
+    // (hash assignment); the manifest must cover every shard it names once
+    assert(m.map(_.getInt(0)).distinct.length == m.length)
+    m.foreach(r => assert(r.getLong(3) <= r.getLong(4)))
+  }
 }
