@@ -1220,7 +1220,103 @@ object Advanced {
            |              ORDER BY logit DESC, doc_id) AS INTEGER) AS decile
            |FROM scored ORDER BY doc_id""".stripMargin))
 
+  /** SCD2 dimension build — turn the events change log into
+    * slowly-changing-dimension rows with validity intervals: per user,
+    * consecutive same-status events collapse (lag filter), and each
+    * surviving change opens an interval closed by the NEXT change's
+    * timestamp (lead; NULL = current row). This is the warehouse
+    * primitive q30's latest-wins compaction deliberately discards —
+    * the full history, in the form point-in-time joins (j01's as-of
+    * shape) consume as their dimension side.
+    *
+    * Scale: ONE hash exchange on user_id serves both window passes
+    * (lag on the raw log, lead on the collapsed log — same
+    * partitioning, Spark reuses the exchange and re-sorts only the
+    * collapsed rows, which are strictly fewer). No self-join, no
+    * global sort; the per-user history is the partition. */
+  val q32 = QueryDef(
+    "q32_scd2_intervals",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("status"))
+        .withColumn("prev", lag(col("status"), 1).over(w))
+        .filter(col("prev").isNull || col("status") =!= col("prev"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_id").as("change_id"), col("status"),
+          col("ts").as("valid_from"), col("valid_to"))
+        .orderBy(col("user_id"), col("valid_from"), col("change_id"))
+    },
+    Some("""WITH log AS (
+           |  SELECT user_id, ts, event_id, event_type AS status,
+           |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           |  FROM events
+           |),
+           |chg AS (
+           |  SELECT user_id, ts, event_id, status FROM log
+           |  WHERE prev IS NULL OR status <> prev
+           |)
+           |SELECT user_id, event_id AS change_id, status, ts AS valid_from,
+           |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+           |FROM chg ORDER BY user_id, valid_from, change_id""".stripMargin))
+
+  /** Column profiling — the data-quality summary every ingest gates on
+    * (the SUMMARIZE / deequ shape): per column, row count, null count,
+    * exact distinct count, and numeric min/max. Emitted as one row per
+    * column so downstream checks are data ("WHERE n_nulls > 0"), not
+    * code.
+    *
+    * Scale: one aggregate pass PER COLUMN over a column-PRUNED scan —
+    * with columnar storage the per-column passes read disjoint bytes,
+    * so total I/O equals reading each profiled column once (verified:
+    * each branch's ReadSchema lists a single field). The alternative —
+    * fusing the distinct counts into one pass — plans an Expand that
+    * multiplies every row by the number of profiled columns before one
+    * giant shuffle; the union of narrow aggregates shuffles one
+    * distinct-set per column instead and parallelizes across the
+    * catalog's executors. Exact distincts because the gate demands
+    * exactness; the approximate tier of this operator is sk02/sk05
+    * (HLL), composed the same way. */
+  val q33 = QueryDef(
+    "q33_profile_summary",
+    (s, d) => {
+      val cols: Seq[(String, Boolean)] = Seq(
+        "o_orderkey" -> true, "o_custkey" -> true, "o_orderstatus" -> false,
+        "o_totalprice" -> true, "o_orderdate" -> false,
+        "o_orderpriority" -> false)
+      cols.map { case (c, numeric) =>
+        Tables.orders(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          (if (numeric) min(col(c)).cast("double") else lit(null).cast("double"))
+            .as("min_num"),
+          (if (numeric) max(col(c)).cast("double") else lit(null).cast("double"))
+            .as("max_num"))
+          .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_num"), col("max_num"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("column_name"))
+    },
+    Some {
+      val branches = Seq(
+        ("o_orderkey", true), ("o_custkey", true), ("o_orderstatus", false),
+        ("o_totalprice", true), ("o_orderdate", false), ("o_orderpriority", false))
+        .map { case (c, numeric) =>
+          val mn = if (numeric) s"CAST(MIN($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+          val mx = if (numeric) s"CAST(MAX($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+          s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+             |       CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |       COUNT(DISTINCT $c) AS n_distinct,
+             |       $mn AS min_num, $mx AS max_num
+             |FROM orders""".stripMargin
+        }
+      branches.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    })
+
   val catalog: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, q16, q17, t09, c01, c02, tj01,
-      tj02, tj03, v01, v02, v03, v04, j01, q18, t10, q19, q20, q21, q24, q25)
+      tj02, tj03, v01, v02, v03, v04, j01, q18, t10, q19, q20, q21, q24, q25,
+      q32, q33)
 }

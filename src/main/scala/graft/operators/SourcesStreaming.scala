@@ -404,6 +404,36 @@ object SourcesStreaming {
            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** XML sink + source round-trip — the fifth interchange format, via
+    * Spark 4's NATIVE xml datasource (no external package): documents
+    * written `rowTag=doc`, read back against the DECLARED source schema
+    * — an explicit schema skips the inference sampling pass AND pins
+    * the types against inference drift (a corpus slice whose text
+    * column happens to be all-numeric must not come back as longs).
+    * Value-exact round-trip is the gate check (oracle reads the
+    * original table, like r05). Scale honesty: XML files are not
+    * split-parallel the way parquet row groups are — a reader
+    * parallelizes by FILE, so the write side's task fan-out (one file
+    * per input partition here) is what sizes read parallelism; XML is
+    * the legacy-feed ingest/egress format, not the analytics layout,
+    * and the operator exists so those feeds enter the engine without a
+    * side ETL. */
+  val r10 = QueryDef(
+    "r10_xml_roundtrip",
+    (s, d) => {
+      val out = roundtripDir("xml", d)
+      val src = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      src.write.mode("overwrite").option("rootTag", "docs")
+        .option("rowTag", "doc").format("xml").save(out)
+      s.read.schema(src.schema).option("rowTag", "doc").format("xml").load(out)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"))
+
   /** Shard count for [[r09]] — small at bench SF; a production export
     * sizes this to target-bytes-per-shard exactly like r06's compaction
     * arithmetic. */
@@ -725,6 +755,6 @@ object SourcesStreaming {
            |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
 
   val catalog: Seq[QueryDef] =
-    Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09,
+    Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09, r10,
       st01, st02, st03, st04, st05, st06, st07)
 }

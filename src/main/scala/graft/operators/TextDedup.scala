@@ -1121,43 +1121,50 @@ object TextDedup {
     * skew, no global sort. At 100 TB this is exactly the shape the
     * suffix-array substring dedups linearize to when sharded: banded
     * candidate generation + per-pair linear stitching. */
+  /** The t32 core, parameterized so the ScaleSmoke growth experiment can
+    * scale the df-cap with corpus replication (a k x replicated corpus
+    * pushes every shingle's df up by k; a FIXED cap would classify the
+    * whole corpus as boilerplate and measure an empty join). */
+  private[graft] def spanDedup(s: SparkSession, d: String,
+      minTokens: Int, maxDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.TextExpressions.register(s)
+    val psh = docs(s, d)
+      .repartition(s.sparkContext.defaultParallelism) // parallelism (see shingleIndex)
+      .select(col("doc_id"),
+        posexplode(call_function("graft_pos_shingles", col("text")))
+          .as(Seq("pos", "sh")))
+    // hot set materialized once (localCheckpoint, tiny: the boilerplate
+    // tail only; freed by Lifecycle.release) — it feeds BOTH sides of
+    // the pair self-join, and without the boundary each side re-runs
+    // the full countDistinct aggregate over the positional index
+    val hot = psh.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("sh"))
+      .localCheckpoint()
+    val cold = psh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val m = cold.select(col("sh"), col("doc_id").as("doc1"), col("pos").as("p1"))
+      .join(cold.select(col("sh"), col("doc_id").as("doc2"), col("pos").as("p2")), "sh")
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"), col("p1"), col("p2"),
+        (col("p1") - col("p2")).as("diag"))
+    val w = Window.partitionBy(col("doc1"), col("doc2"), col("diag"))
+      .orderBy(col("p1"))
+    m.withColumn("island", col("p1") - row_number().over(w))
+      .groupBy(col("doc1"), col("doc2"), col("diag"), col("island"))
+      .agg(min(col("p1")).cast("long").as("start1"),
+        min(col("p2")).cast("long").as("start2"),
+        (count(lit(1)) + 2).cast("integer").as("span_tokens"))
+      .filter(col("span_tokens") >= minTokens)
+      .select(col("doc1"), col("doc2"), col("start1"), col("start2"),
+        col("span_tokens"))
+      .orderBy(col("doc1"), col("doc2"), col("start1"), col("start2"))
+  }
+
   val t32 = QueryDef(
     "t32_span_dedup",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      graft.functions.TextExpressions.register(s)
-      val psh = docs(s, d)
-        .repartition(s.sparkContext.defaultParallelism) // parallelism (see shingleIndex)
-        .select(col("doc_id"),
-          posexplode(call_function("graft_pos_shingles", col("text")))
-            .as(Seq("pos", "sh")))
-      // hot set materialized once (localCheckpoint, tiny: the boilerplate
-      // tail only; freed by Lifecycle.release) — it feeds BOTH sides of
-      // the pair self-join, and without the boundary each side re-runs
-      // the full countDistinct aggregate over the positional index
-      val hot = psh.groupBy(col("sh"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .filter(col("df") > SpanMaxDf)
-        .select(col("sh"))
-        .localCheckpoint()
-      val cold = psh.join(broadcast(hot), Seq("sh"), "left_anti")
-      val m = cold.select(col("sh"), col("doc_id").as("doc1"), col("pos").as("p1"))
-        .join(cold.select(col("sh"), col("doc_id").as("doc2"), col("pos").as("p2")), "sh")
-        .filter(col("doc1") < col("doc2"))
-        .select(col("doc1"), col("doc2"), col("p1"), col("p2"),
-          (col("p1") - col("p2")).as("diag"))
-      val w = Window.partitionBy(col("doc1"), col("doc2"), col("diag"))
-        .orderBy(col("p1"))
-      m.withColumn("island", col("p1") - row_number().over(w))
-        .groupBy(col("doc1"), col("doc2"), col("diag"), col("island"))
-        .agg(min(col("p1")).cast("long").as("start1"),
-          min(col("p2")).cast("long").as("start2"),
-          (count(lit(1)) + 2).cast("integer").as("span_tokens"))
-        .filter(col("span_tokens") >= SpanMinTokens)
-        .select(col("doc1"), col("doc2"), col("start1"), col("start2"),
-          col("span_tokens"))
-        .orderBy(col("doc1"), col("doc2"), col("start1"), col("start2"))
-    },
+    (s, d) => spanDedup(s, d, SpanMinTokens, SpanMaxDf),
     Some(TokCte + s""",
       |psh AS (
       |  SELECT doc_id, i AS pos, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS sh

@@ -114,6 +114,13 @@ object ScaleSmoke {
       val (tExact, nExact) = time(graft.operators.TextDedup.t06.fn(spark, dir).count())
       val (tLsh, nLsh) = time(graft.operators.TextDedup.t07.fn(spark, dir).count())
       println(f"SCALE docs=${n0 * k}%7d exact=${tExact}%6.1fs ($nExact pairs)  lsh=${tLsh}%6.1fs ($nLsh pairs)")
+      // verbatim-span detection (t32 core) with the df-cap scaled by the
+      // replication factor — replicas push every shingle's doc frequency
+      // up by k, and the measurement target is the banded join's growth,
+      // not the (fixed-cap) boilerplate classifier's
+      val (tSpan, nSpan) = time(
+        graft.operators.TextDedup.spanDedup(spark, dir, 8, 10 * k).count())
+      println(f"SCALE docs=${n0 * k}%7d span=${tSpan}%6.1fs ($nSpan spans)")
       // downstream consumers of the near-dup graph / shingle index:
       // CC clustering (t11, LSH edges) and the boilerplate window (t20)
       val (tCc, nCc) = time(graft.operators.Corpus.t11.fn(spark, dir).count())

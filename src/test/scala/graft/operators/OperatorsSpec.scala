@@ -564,6 +564,27 @@ class OperatorsSpec extends SparkSpec {
     } finally loaded.cleanup()
   }
 
+  test("XML load surfaces malformed rows via the corrupt-record channel") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-xml")
+    java.nio.file.Files.writeString(dir.resolve("feed.xml"),
+      """<docs>
+        |<doc><doc_id>1</doc_id><text>ok one</text></doc>
+        |<doc><doc_id>oops</doc_id><text>bad id</text></doc>
+        |<doc><doc_id>2</doc_id><text>ok two</text></doc>
+        |</docs>""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    val rows = spark.read.schema(schema).option("rowTag", "doc")
+      .format("xml").load(dir.toString).collect()
+    assert(rows.length == 3)
+    val good = rows.filter(_.isNullAt(2))
+    val bad = rows.filterNot(_.isNullAt(2))
+    assert(good.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(bad.length == 1 && bad(0).getString(2).contains("oops"))
+  }
+
   test("t32 spans are verbatim: reported token slices are identical in both docs") {
     // independent re-check outside the engine: re-tokenize on the driver
     // with the same normalization and compare the claimed slices
