@@ -434,6 +434,81 @@ object SourcesStreaming {
     },
     Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"))
 
+  /** Morton/Z-order interleave of two 8-bit bucket coordinates: bit 2i
+    * carries x's bit i, bit 2i+1 carries y's bit i. Plain codegen'd
+    * integer arithmetic (16 shift-and-mask terms summed over disjoint
+    * bits), evaluated once per row at write time. */
+  private def zInterleave(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Z-order (multi-dimension) clustered rewrite — the layout lever r07
+    * cannot provide: a linear ts-sort gives tight ts statistics but
+    * leaves every file's user_id min/max spanning the whole table, so
+    * only ONE dimension ever row-group-skips. The Z-order rewrite
+    * quantizes BOTH dimensions into 256 RANGE buckets (monotone in the
+    * raw values — a modulo bucket would decorrelate the bucket from the
+    * column statistics and skip nothing), interleaves the bucket bits
+    * into a Morton value, and range-partitions + sorts the write on it:
+    * every output row group then covers a small rectangle of
+    * (user_id, ts) space, so predicates on EITHER dimension (or both)
+    * prune at the parquet statistics level — pinned against linear and
+    * scrambled baselines in ZOrderSpec. The quantizer bounds come from
+    * one tiny min/max aggregate at write time (a planning action —
+    * driver-side like r06's listing; maintenance ops run once per
+    * table, not per query).
+    *
+    * Scale: ONE range exchange + local sort, exactly r07's write cost;
+    * the bucket arithmetic is per-row codegen. At 100 TB this is the
+    * difference between a table that serves time-range queries OR
+    * user-range queries and one layout that serves both — the standard
+    * multi-tenant fact-table trade. */
+  val r11 = QueryDef(
+    "r11_zorder_write",
+    (s, d) => {
+      val w = statsWriter(s)
+      val out = roundtripDir("zorder", d)
+      val ev = Tables.events(w, d)
+      val b = ev.agg(min(col("user_id")), max(col("user_id")),
+        min(col("ts").cast("long")), max(col("ts").cast("long"))).head()
+      val (u0, u1) = (b.getLong(0), b.getLong(1))
+      val (t0, t1) = (b.getLong(2), b.getLong(3))
+      val uStep = (u1 - u0) / 256 + 1
+      val tStep = (t1 - t0) / 256 + 1
+      // floor-div: Column./ on longs is double division
+      val zv = zInterleave(
+        floor((col("user_id") - u0) / uStep).cast("int"),
+        floor((col("ts").cast("long") - t0) / tStep).cast("int"))
+      // 32 output partitions: each z-range prefix pins ~log2(32)=5
+      // interleaved bucket bits, so every file's (user, ts) rectangle is
+      // tight enough to prune on either dimension. Granularity comes
+      // from the ROW-GROUP count at real scale (a 100 TB table has
+      // thousands of 128MB row groups per partition — the prefix depth
+      // grows with them); the bench-SF copy models that with file count.
+      ev.withColumn("zv", zv)
+        .repartitionByRange(32, col("zv")).sortWithinPartitions("zv")
+        .drop("zv")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("user_id") < 5 &&
+          col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Exact.exactSum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+           |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM events
+           |WHERE user_id < 5
+           |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+           |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   /** Shard count for [[r09]] — small at bench SF; a production export
     * sizes this to target-bytes-per-shard exactly like r06's compaction
     * arithmetic. */
@@ -755,6 +830,6 @@ object SourcesStreaming {
            |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
 
   val catalog: Seq[QueryDef] =
-    Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09, r10,
+    Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09, r10, r11,
       st01, st02, st03, st04, st05, st06, st07)
 }
