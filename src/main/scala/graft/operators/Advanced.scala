@@ -1315,8 +1315,71 @@ object Advanced {
       branches.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     })
 
+  /** Snapshot reconciliation — the row-level diff between two table
+    * versions (the audit every incremental pipeline ships alongside its
+    * merge): FULL OUTER join on the key, rows classified
+    * added/removed/changed/unchanged, with counts and the exact value
+    * delta per class. The "next-day" snapshot is derived
+    * deterministically from orders (keys % 89 deleted, % 97 price-bumped,
+    * % 83 re-inserted under new ids) so both engines reconstruct the
+    * identical pair of versions — a deployment feeds two real snapshot
+    * dirs. Complements q26 (MERGE applies changes) and t27 (schema-level
+    * drift): this one PROVES what changed at the row level.
+    *
+    * Scale: one hash-partitioned FULL OUTER join (the only catalog
+    * entry exercising that join type) — both sides shuffle on the key
+    * once; on bucketed snapshots (the r08 layout) the exchanges vanish
+    * entirely. The delta sums are decimal-exact per the Exact contract
+    * (operands cast to decimal BEFORE subtraction — the double
+    * difference would round differently than its operands). */
+  val q34 = QueryDef(
+    "q34_snapshot_diff",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(18, 2)
+      val base = Tables.orders(s, d)
+      val a = base.select(col("o_orderkey").as("k"), col("o_totalprice").as("va"))
+      val b = base.filter(pmod(col("o_orderkey"), lit(89)) =!= 0)
+        .select(col("o_orderkey").as("k"),
+          when(pmod(col("o_orderkey"), lit(97)) === 0, col("o_totalprice") + 100.0)
+            .otherwise(col("o_totalprice")).as("vb"))
+        .unionByName(base.filter(pmod(col("o_orderkey"), lit(83)) === 0)
+          .select((col("o_orderkey") + 1000000000L).as("k"),
+            col("o_totalprice").as("vb")))
+      a.join(b, Seq("k"), "full_outer")
+        .withColumn("status",
+          when(col("va").isNull, "added")
+            .when(col("vb").isNull, "removed")
+            .when(col("va") =!= col("vb"), "changed")
+            .otherwise("unchanged"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("vb"), lit(0.0)).cast(dec) -
+            coalesce(col("va"), lit(0.0)).cast(dec)).cast("double").as("delta"))
+        .orderBy(col("status"))
+    },
+    Some("""WITH a AS (SELECT o_orderkey AS k, o_totalprice AS va FROM orders),
+           |b AS (
+           |  SELECT o_orderkey AS k,
+           |         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 100.0
+           |              ELSE o_totalprice END AS vb
+           |  FROM orders WHERE o_orderkey % 89 <> 0
+           |  UNION ALL
+           |  SELECT o_orderkey + 1000000000 AS k, o_totalprice AS vb
+           |  FROM orders WHERE o_orderkey % 83 = 0
+           |)
+           |SELECT CASE WHEN va IS NULL THEN 'added'
+           |            WHEN vb IS NULL THEN 'removed'
+           |            WHEN va <> vb THEN 'changed'
+           |            ELSE 'unchanged' END AS status,
+           |       COUNT(*) AS n,
+           |       CAST(SUM(CAST(COALESCE(vb, 0) AS DECIMAL(18,2)) -
+           |                CAST(COALESCE(va, 0) AS DECIMAL(18,2))) AS DOUBLE) AS delta
+           |FROM a FULL OUTER JOIN b USING (k)
+           |GROUP BY 1 ORDER BY status""".stripMargin))
+
   val catalog: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, q16, q17, t09, c01, c02, tj01,
       tj02, tj03, v01, v02, v03, v04, j01, q18, t10, q19, q20, q21, q24, q25,
-      q32, q33)
+      q32, q33, q34)
 }

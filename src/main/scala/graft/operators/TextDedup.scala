@@ -1189,7 +1189,67 @@ object TextDedup {
       |HAVING COUNT(*) + 2 >= $SpanMinTokens
       |ORDER BY doc1, doc2, start1, start2""".stripMargin))
 
+  /** Held-out slice that plays the language model for [[t33]] — disjoint
+    * from t15's benchmark slice (doc_id % 20 == 7) so decontamination
+    * and novelty scoring never share a reference set. */
+  private val LmSliceMod = 11
+
+  /** Language-model novelty scoring — the distribution-shift signal the
+    * heuristic (t03), rule (t21), and trained-model (c02) scorers don't
+    * carry: what fraction of a document's token BIGRAMS never occur in a
+    * reference corpus (a held-out slice here; the previous training mix
+    * in production). High OOV ratio = novel-or-garbage, the axis
+    * perplexity filters cut on — this is the count-based skeleton of
+    * that filter with none of the float hazards (the ratio is ONE
+    * division of two longs, so both engines produce the identical
+    * double; a log-prob sum would be hostage to transcendental libm
+    * differences).
+    *
+    * Scale: the reference vocabulary is a distinct-aggregate of the
+    * slice (vocab-sized, not corpus-sized); the membership probe is a
+    * hash LEFT join of corpus bigrams against it — at extreme vocab
+    * sizes this is the sk03 Bloom-prefilter composition point. The
+    * bigram explode materializes toks across an exchange first
+    * (CollapseProject would otherwise substitute the tokenizer into
+    * every element access — the shingleIndex note). */
+  val t33 = QueryDef(
+    "t33_oov_novelty",
+    (s, d) => {
+      val bigrams = docs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 2)," +
+            " i -> concat_ws(' ', toks[i], toks[i+1]))")).as("bg"))
+      val lm = bigrams.filter(col("doc_id") % 20 === LmSliceMod)
+        .select(col("bg")).distinct()
+        .withColumn("known", lit(1))
+      bigrams.filter(col("doc_id") % 20 =!= LmSliceMod)
+        .join(lm, Seq("bg"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_ratio",
+          col("n_oov").cast("double") / col("n_bigrams"))
+        .orderBy(col("doc_id"))
+    },
+    Some(TokCte + s""",
+      |bg AS (
+      |  SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS bg
+      |  FROM (SELECT doc_id, toks, unnest(range(len(toks)-1)) AS i
+      |        FROM tok WHERE len(toks) >= 2)
+      |),
+      |lm AS (SELECT DISTINCT bg FROM bg WHERE doc_id % 20 = $LmSliceMod)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |       CAST(SUM(CASE WHEN lm.bg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |       CAST(SUM(CASE WHEN lm.bg IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / COUNT(*) AS oov_ratio
+      |FROM (SELECT * FROM bg WHERE doc_id % 20 <> $LmSliceMod) c
+      |LEFT JOIN lm ON c.bg = lm.bg
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val catalog: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t15, t16, t20, t21, t22, t25,
-      t26, t29, t30, t32)
+      t26, t29, t30, t32, t33)
 }
