@@ -619,6 +619,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q34 statuses partition both snapshots exactly (vs independent recount)") {
+    val m = Advanced.q34.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = graft.Tables.orders(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    assert(m("removed") == keys.count(_ % 89 == 0))
+    assert(m("added") == keys.count(_ % 83 == 0))
+    assert(m("changed") == keys.count(k => k % 89 != 0 && k % 97 == 0))
+    assert(m("unchanged") == keys.count(k => k % 89 != 0 && k % 97 != 0))
+    assert(m.values.sum == keys.length + keys.count(_ % 83 == 0))
+  }
+
+  test("t33 ratios are exact-division-consistent and the LM slice is excluded") {
+    val rows = TextDedup.t33.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (doc, n, oov, ratio) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(doc % 20 != 11, s"LM-slice doc $doc scored against itself")
+      assert(oov >= 0 && oov <= n)
+      assert(ratio == oov.toDouble / n, s"doc $doc ratio drifted")
+    }
+  }
+
   test("r09 shard manifest partitions the corpus exactly") {
     val m = SourcesStreaming.r09.fn(spark, sf).collect()
     val nDocs = graft.Tables.documents(spark, sf).count()
