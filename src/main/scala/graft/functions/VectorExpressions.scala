@@ -66,12 +66,37 @@ object VectorExpressions {
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)))
 }
 
-/** SparkSessionExtensions entry point: injects the native functions at
-  * session build time —
+/** SparkSessionExtensions entry point: injects the FULL native surface
+  * at session build time — every text/vector kernel expression plus the
+  * kernel-fusion optimizer rule
+  * ([[graft.plans.CollapseDistinctPosShingles]]) — via
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. The catalog
+  * queries stay extension-independent (they call the idempotent
+  * `register` helpers because the driver contract builds plain
+  * sessions); the extension is the embedding story: a host application
+  * that configures it once gets the whole kernel family and the fusion
+  * rule in every session, including pure-SQL ones. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("graft_dot"), VectorExpressions.dotInfo,
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_shingles"), TextExpressions.shinglesInfo,
+      (exprs: Seq[Expression]) => ShingleSet(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_tokens"), TextExpressions.tokensInfo,
+      (exprs: Seq[Expression]) => TokenArray(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_textstats"), TextExpressions.statsInfo,
+      (exprs: Seq[Expression]) => TextStats(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_shingles_n"), TextExpressions.shinglesNInfo,
+      (exprs: Seq[Expression]) => ShingleSetWithCount(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_pos_shingles"), TextExpressions.posShinglesInfo,
+      (exprs: Seq[Expression]) => PosShingles(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_term_counts"), TextExpressions.termCountsInfo,
+      (exprs: Seq[Expression]) => TermCounts(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_minhash_bands"), TextExpressions.minhashInfo,
+      (exprs: Seq[Expression]) => MinHashBands(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_simhash60"), TextExpressions.simhashInfo,
+      (exprs: Seq[Expression]) => SimHash60(exprs.head)))
+    e.injectOptimizerRule(_ => graft.plans.CollapseDistinctPosShingles)
+  }
 }
