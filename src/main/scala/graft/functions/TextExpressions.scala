@@ -569,32 +569,34 @@ object TextExpressions {
   val minhashInfo = new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands")
   val simhashInfo = new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60")
 
+  /** The full native text surface as (identifier, info, builder)
+    * triples — the ONE list both [[register]] and
+    * [[GraftExtensions]] consume, so a kernel added here reaches the
+    * per-session registration path AND the spark.sql.extensions
+    * embedding path without a second edit. */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("graft_shingles"), shinglesInfo,
+        (exprs: Seq[Expression]) => ShingleSet(exprs.head)),
+      (FunctionIdentifier("graft_tokens"), tokensInfo,
+        (exprs: Seq[Expression]) => TokenArray(exprs.head)),
+      (FunctionIdentifier("graft_textstats"), statsInfo,
+        (exprs: Seq[Expression]) => TextStats(exprs.head)),
+      (FunctionIdentifier("graft_shingles_n"), shinglesNInfo,
+        (exprs: Seq[Expression]) => ShingleSetWithCount(exprs.head)),
+      (FunctionIdentifier("graft_pos_shingles"), posShinglesInfo,
+        (exprs: Seq[Expression]) => PosShingles(exprs.head)),
+      (FunctionIdentifier("graft_term_counts"), termCountsInfo,
+        (exprs: Seq[Expression]) => TermCounts(exprs.head)),
+      (FunctionIdentifier("graft_minhash_bands"), minhashInfo,
+        (exprs: Seq[Expression]) => MinHashBands(exprs.head)),
+      (FunctionIdentifier("graft_simhash60"), simhashInfo,
+        (exprs: Seq[Expression]) => SimHash60(exprs.head)))
+
   /** Idempotently register the text kernels (same pattern as
     * [[VectorExpressions.register]]). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_shingles"), shinglesInfo,
-      (exprs: Seq[Expression]) => ShingleSet(exprs.head))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_tokens"), tokensInfo,
-      (exprs: Seq[Expression]) => TokenArray(exprs.head))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_textstats"), statsInfo,
-      (exprs: Seq[Expression]) => TextStats(exprs.head))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_shingles_n"), shinglesNInfo,
-      (exprs: Seq[Expression]) => ShingleSetWithCount(exprs.head))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_pos_shingles"), posShinglesInfo,
-      (exprs: Seq[Expression]) => PosShingles(exprs.head))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_term_counts"), termCountsInfo,
-      (exprs: Seq[Expression]) => TermCounts(exprs.head))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_minhash_bands"), minhashInfo,
-      (exprs: Seq[Expression]) => MinHashBands(exprs.head))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_simhash60"), simhashInfo,
-      (exprs: Seq[Expression]) => SimHash60(exprs.head))
-  }
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -57,13 +57,19 @@ case class DotProduct(left: Expression, right: Expression)
 object VectorExpressions {
   val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
 
+  /** (identifier, info, builder) triples — shared by [[register]] and
+    * [[GraftExtensions]], see [[TextExpressions.registrations]]. */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((FunctionIdentifier("graft_dot"), dotInfo,
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+
   /** Idempotently register graft_dot in a session's function registry so
     * `call_function`/SQL can use it regardless of how the session was
     * built (the driver contract builds sessions without extensions). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_dot"), dotInfo,
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)))
+    registrations.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }
 
 /** SparkSessionExtensions entry point: injects the FULL native surface
@@ -79,24 +85,8 @@ object VectorExpressions {
   * rule in every session, including pure-SQL ones. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    e.injectFunction((FunctionIdentifier("graft_dot"), VectorExpressions.dotInfo,
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
-    e.injectFunction((FunctionIdentifier("graft_shingles"), TextExpressions.shinglesInfo,
-      (exprs: Seq[Expression]) => ShingleSet(exprs.head)))
-    e.injectFunction((FunctionIdentifier("graft_tokens"), TextExpressions.tokensInfo,
-      (exprs: Seq[Expression]) => TokenArray(exprs.head)))
-    e.injectFunction((FunctionIdentifier("graft_textstats"), TextExpressions.statsInfo,
-      (exprs: Seq[Expression]) => TextStats(exprs.head)))
-    e.injectFunction((FunctionIdentifier("graft_shingles_n"), TextExpressions.shinglesNInfo,
-      (exprs: Seq[Expression]) => ShingleSetWithCount(exprs.head)))
-    e.injectFunction((FunctionIdentifier("graft_pos_shingles"), TextExpressions.posShinglesInfo,
-      (exprs: Seq[Expression]) => PosShingles(exprs.head)))
-    e.injectFunction((FunctionIdentifier("graft_term_counts"), TextExpressions.termCountsInfo,
-      (exprs: Seq[Expression]) => TermCounts(exprs.head)))
-    e.injectFunction((FunctionIdentifier("graft_minhash_bands"), TextExpressions.minhashInfo,
-      (exprs: Seq[Expression]) => MinHashBands(exprs.head)))
-    e.injectFunction((FunctionIdentifier("graft_simhash60"), TextExpressions.simhashInfo,
-      (exprs: Seq[Expression]) => SimHash60(exprs.head)))
+    (VectorExpressions.registrations ++ TextExpressions.registrations)
+      .foreach(e.injectFunction)
     e.injectOptimizerRule(_ => graft.plans.CollapseDistinctPosShingles)
   }
 }

@@ -21,7 +21,7 @@ object SourcesStreaming {
   /** Scratch dir for a sink round-trip, keyed by format prefix and the
     * corpus dir (hex of the path hash: collisions only re-overwrite a
     * scratch dir that the same query rewrites anyway). */
-  private def roundtripDir(prefix: String, d: String): String =
+  private[operators] def roundtripDir(prefix: String, d: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_roundtrip_${prefix}_" +
       Integer.toHexString(d.hashCode)
 
@@ -474,8 +474,11 @@ object SourcesStreaming {
       val ev = Tables.events(w, d)
       val b = ev.agg(min(col("user_id")), max(col("user_id")),
         min(col("ts").cast("long")), max(col("ts").cast("long"))).head()
-      val (u0, u1) = (b.getLong(0), b.getLong(1))
-      val (t0, t1) = (b.getLong(2), b.getLong(3))
+      // empty table -> all-null aggregate row: degrade to trivial bounds
+      // and write/read the empty copy like every other roundtrip op
+      def lng(i: Int): Long = if (b.isNullAt(i)) 0L else b.getLong(i)
+      val (u0, u1) = (lng(0), lng(1))
+      val (t0, t1) = (lng(2), lng(3))
       val uStep = (u1 - u0) / 256 + 1
       val tStep = (t1 - t0) / 256 + 1
       // floor-div: Column./ on longs is double division

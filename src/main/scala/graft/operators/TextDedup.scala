@@ -1082,14 +1082,14 @@ object TextDedup {
     * 5 tokens and the injected near-dup overlaps start at 10 (measured
     * distribution in the Scaladoc below), so 8 separates them with
     * margin at every SF. */
-  private val SpanMinTokens = 8
+  private[graft] val SpanMinTokens = 8
 
   /** Shingles present in more than this many DISTINCT documents are
     * excluded from span matching as boilerplate — they are t20's
     * subject matter, and keeping them makes every template page "share"
     * spans with every other. The exclusion is part of the operator's
     * semantics (both engines apply it), not an approximation. */
-  private val SpanMaxDf = 10
+  private[graft] val SpanMaxDf = 10
 
   /** Verbatim-span detection — the exact-substring dedup primitive
     * (the "memorized passage" finder): for every cross-document pair,

@@ -119,7 +119,9 @@ object ScaleSmoke {
       // up by k, and the measurement target is the banded join's growth,
       // not the (fixed-cap) boilerplate classifier's
       val (tSpan, nSpan) = time(
-        graft.operators.TextDedup.spanDedup(spark, dir, 8, 10 * k).count())
+        graft.operators.TextDedup.spanDedup(spark, dir,
+          graft.operators.TextDedup.SpanMinTokens,
+          graft.operators.TextDedup.SpanMaxDf * k).count())
       println(f"SCALE docs=${n0 * k}%7d span=${tSpan}%6.1fs ($nSpan spans)")
       // downstream consumers of the near-dup graph / shingle index:
       // CC clustering (t11, LSH edges) and the boilerplate window (t20)

@@ -33,26 +33,21 @@ class CompactionSpec extends SparkSpec {
 
   test("r06 compacts the 64-file fragmented table to the byte-budget file count") {
     SourcesStreaming.r06.fn(spark, sf).collect()
-    val tmp = sys.props("java.io.tmpdir")
-    val frag = parquetFiles(s"$tmp/graft_roundtrip_frag_" +
-      Integer.toHexString(sf.hashCode))
-    val compact = parquetFiles(s"$tmp/graft_roundtrip_compact_" +
-      Integer.toHexString(sf.hashCode))
+    val frag = parquetFiles(SourcesStreaming.roundtripDir("frag", sf))
+    val compact = parquetFiles(SourcesStreaming.roundtripDir("compact", sf))
     assert(frag.length == 64)
     val expected = math.max(1,
       math.ceil(frag.map(_.length).sum / (32.0 * 1024 * 1024)).toInt)
     assert(compact.length == expected)
     assert(compact.length < frag.length)
     // compaction must not lose or duplicate rows
-    assert(spark.read.parquet(s"$tmp/graft_roundtrip_compact_" +
-      Integer.toHexString(sf.hashCode)).count() ==
+    assert(spark.read.parquet(SourcesStreaming.roundtripDir("compact", sf)).count() ==
       graft.Tables.lineitem(spark, sf).count())
   }
 
   test("r07's clustered layout row-group-skips a day filter; scrambled layout cannot") {
     val tmp = sys.props("java.io.tmpdir")
-    val clustered = s"$tmp/graft_roundtrip_cluster_" +
-      Integer.toHexString(sf.hashCode)
+    val clustered = SourcesStreaming.roundtripDir("cluster", sf)
     SourcesStreaming.r07.fn(spark, sf).collect() // materializes the clustered copy
     // adversarial baseline: same rows, time order destroyed, so every
     // file's ts min/max spans the whole month and no row group can be

@@ -13,7 +13,6 @@ import org.apache.spark.sql.functions._
 class ZOrderSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.01"
-  private def tmp = sys.props("java.io.tmpdir")
 
   /** Rows the parquet reader actually emitted (post row-group pruning,
     * pre Spark-side filter) — same technique as CompactionSpec. */
@@ -31,8 +30,8 @@ class ZOrderSpec extends SparkSpec {
   test("z-order skips on both dimensions; linear ts sort cannot skip on user") {
     SourcesStreaming.r11.fn(spark, sf).collect() // materialize z-ordered copy
     SourcesStreaming.r07.fn(spark, sf).collect() // materialize ts-sorted copy
-    val zdir = s"$tmp/graft_roundtrip_zorder_" + Integer.toHexString(sf.hashCode)
-    val ldir = s"$tmp/graft_roundtrip_cluster_" + Integer.toHexString(sf.hashCode)
+    val zdir = SourcesStreaming.roundtripDir("zorder", sf)
+    val ldir = SourcesStreaming.roundtripDir("cluster", sf)
     val total = graft.Tables.events(spark, sf).count()
 
     // ~10% slices of each dimension (150 users / 30 days at this SF)
