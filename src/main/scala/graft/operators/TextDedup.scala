@@ -1134,16 +1134,24 @@ object TextDedup {
       .select(col("doc_id"),
         posexplode(call_function("graft_pos_shingles", col("text")))
           .as(Seq("pos", "sh")))
-    // hot set materialized once (localCheckpoint, tiny: the boilerplate
-    // tail only; freed by Lifecycle.release) — it feeds BOTH sides of
-    // the pair self-join, and without the boundary each side re-runs
-    // the full countDistinct aggregate over the positional index
-    val hot = psh.groupBy(col("sh"))
+    // MATCHABLE shingle set: df in [2, maxDf]. The lower bound is a pure
+    // optimization with identical semantics — a shingle occurring in ONE
+    // document can never produce a cross-doc match, and most distinct
+    // shingles are df=1 (sf0.1: 27.2k distinct, 16.9k matchable; the
+    // semi-join halves the pair-join input 261k -> 129k occurrences).
+    // The upper bound is the boilerplate exclusion (operator semantics,
+    // oracle applies it too). Materialized once (localCheckpoint, freed
+    // by Lifecycle.release) since it feeds BOTH sides of the self-join;
+    // its size tracks the corpus's DUPLICATE mass, so it broadcasts at
+    // bench scale — a corpus whose duplicate vocabulary outgrows the
+    // broadcast threshold falls back to a shuffled semi-join (drop the
+    // broadcast hint; the plan stays O(occurrences)).
+    val matchable = psh.groupBy(col("sh"))
       .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") > maxDf)
+      .filter(col("df") >= 2 && col("df") <= maxDf)
       .select(col("sh"))
       .localCheckpoint()
-    val cold = psh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val cold = psh.join(broadcast(matchable), Seq("sh"), "left_semi")
     val m = cold.select(col("sh"), col("doc_id").as("doc1"), col("pos").as("p1"))
       .join(cold.select(col("sh"), col("doc_id").as("doc2"), col("pos").as("p2")), "sh")
       .filter(col("doc1") < col("doc2"))
