@@ -220,7 +220,10 @@ object TextDedup {
     * (OperatorsSpec) and ScaleSmoke's SKEW comparison row. */
   val t06 = QueryDef(
     "t06_jaccard_pairs",
-    (s, d) => jaccardPairsOnHot(s, d, HotShingleProfile.ensure(s, d)),
+    (s, d) => {
+      val (hot, matchable) = HotShingleProfile.ensureBoth(s, d)
+      jaccardPairsOnHot(s, d, hot, matchable = Some(matchable))
+    },
     Some(JaccardPairsSql))
 
   /** The direct (un-hatched) inverted-index self-join. Correct and optimal
@@ -336,15 +339,30 @@ object TextDedup {
     private[operators] def indexDirFor(d: String, hotDf: Int): String =
       s"${sys.props("java.io.tmpdir")}/graft_hotsh_${IndexStore.corpusFingerprint(d, "documents")}_df$hotDf"
 
-    def ensure(s: SparkSession, d: String, hotDf: Int = HotShingleDf): DataFrame = {
-      val dir = IndexStore.ensure(indexDirFor(d, hotDf), "hot/_SUCCESS") { tmp =>
-        shingleFrame(s, d)
+    /** Persist BOTH stats artifacts from ONE df aggregate: `hot`
+      * (df >= hotDf, the skew-hatch routing set) and `matchable`
+      * (df >= 2 — the only shingles that can ever produce a cross-doc
+      * pair; df=1 dominates real corpora, so the pair join semi-joins
+      * against this to shed dead input, the t32 prefilter applied via
+      * the persisted profile at zero per-run aggregate cost). The
+      * completion marker is matchable's, so profiles persisted before
+      * this artifact existed rebuild once. */
+    def ensureBoth(s: SparkSession, d: String,
+        hotDf: Int = HotShingleDf): (DataFrame, DataFrame) = {
+      val dir = IndexStore.ensure(indexDirFor(d, hotDf), "matchable/_SUCCESS") { tmp =>
+        val df = shingleFrame(s, d)
           .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") >= hotDf).select(col("shingle"))
+          .localCheckpoint() // one aggregate feeds both artifacts
+        df.filter(col("df") >= hotDf).select(col("shingle"))
           .write.mode("overwrite").parquet(s"$tmp/hot")
+        df.filter(col("df") >= 2).select(col("shingle"))
+          .write.mode("overwrite").parquet(s"$tmp/matchable")
       }
-      s.read.parquet(s"$dir/hot")
+      (s.read.parquet(s"$dir/hot"), s.read.parquet(s"$dir/matchable"))
     }
+
+    def ensure(s: SparkSession, d: String, hotDf: Int = HotShingleDf): DataFrame =
+      ensureBoth(s, d, hotDf)._1
   }
 
   /** The hatched join plan against an externally supplied hot-shingle
@@ -352,8 +370,16 @@ object TextDedup {
     * [[HotShingleProfile]] for the catalog default). */
   private[graft] def jaccardPairsOnHot(
       s: SparkSession, d: String, hot: DataFrame,
-      blocks: Int = HotBlocks): DataFrame = {
-    val sh = shingleFrame(s, d)
+      blocks: Int = HotBlocks,
+      matchable: Option[DataFrame] = None): DataFrame = {
+    val raw = shingleFrame(s, d)
+    // optional matchable prefilter (df >= 2, from the persisted profile):
+    // df=1 shingles can never produce a cross-doc pair, so dropping them
+    // before the self-join is value-neutral and sheds the dominant share
+    // of a real corpus's index. n (the jaccard denominator) is stamped
+    // per element from the FULL per-doc shingle count, so filtering rows
+    // cannot perturb it.
+    val sh = matchable.fold(raw)(m => raw.join(broadcast(m), Seq("shingle"), "left_semi"))
     val cold = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     val hotRows = sh.join(broadcast(hot), Seq("shingle"), "left_semi")
     val coldPairs = {
