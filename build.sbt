@@ -36,5 +36,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (A/B at the 127-query catalog, same window: 50.6s @8g ->
+  // 49.6s @24g — the full-catalog pass is GC-bound on its busiest
+  // entries, sk03 1.56->1.16s). The container offers 128 GiB; embedders
+  // override via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
