@@ -619,6 +619,15 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("catalog id prefixes stay unique (Bench's compact line keys on them)") {
+    // Bench falls back to shedding entries if prefixes collide — legal
+    // but lossy; this pins the invariant so a colliding addition is a
+    // conscious choice, not a silent format degradation
+    val prefixes = SparkEntry.catalogs.map(_.name.takeWhile(_ != '_'))
+    val dups = prefixes.groupBy(identity).collect { case (p, ps) if ps.size > 1 => p }
+    assert(dups.isEmpty, s"colliding catalog prefixes: $dups")
+  }
+
   test("q34 statuses partition both snapshots exactly (vs independent recount)") {
     val m = Advanced.q34.fn(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
