@@ -325,16 +325,22 @@ object TextDedup {
       .select(col("doc_id"), col("sh.shingle").as("shingle"), col("sh.n").as("n"))
   }
 
-  /** Persisted hot-shingle profile — the ANALYZE-stats analog for the
-    * near-dup path: the df >= [[HotShingleDf]] shingle set, fingerprinted
-    * by corpus and published atomically ([[IndexStore]]). Usually EMPTY
-    * (no hot shingle at gate scale), always tiny (bounded by
-    * |corpus| / df-threshold), so it passes the materialize-once
-    * calculus the raw posting list fails (NEGATIVE note above): the
-    * artifact is ~bytes where its derivation is a full corpus pass.
-    * A deployment refreshes it with each corpus snapshot exactly like
-    * its other table stats; every t06 run then plans skew dispatch from
-    * the persisted profile instead of re-profiling the corpus. */
+  /** Persisted shingle-stats profile — the ANALYZE-stats analog for the
+    * near-dup path, two artifacts from one df aggregate:
+    *  - `hot` (df >= [[HotShingleDf]]): usually EMPTY at gate scale,
+    *    ALWAYS tiny (bounded by |corpus| / df-threshold) — safe to
+    *    broadcast unconditionally;
+    *  - `matchable` (df >= 2): sheds the df=1 majority from the pair
+    *    join; NOT bounded — it tracks the corpus's duplicate
+    *    vocabulary, so consumers must let Catalyst's size statistics
+    *    pick broadcast vs shuffled semi-join (the parquet scan carries
+    *    them; jaccardPairsOnHot deliberately does not hint it).
+    * Both pass the materialize-once calculus the raw posting list fails
+    * (NEGATIVE note above): small artifacts whose derivation is a full
+    * corpus pass. A deployment refreshes them with each corpus snapshot
+    * exactly like its other table stats; every t06 run then plans skew
+    * dispatch and the dead-input shed from the persisted profile
+    * instead of re-profiling the corpus. */
   object HotShingleProfile {
     private[operators] def indexDirFor(d: String, hotDf: Int): String =
       s"${sys.props("java.io.tmpdir")}/graft_hotsh_${IndexStore.corpusFingerprint(d, "documents")}_df$hotDf"
@@ -361,8 +367,6 @@ object TextDedup {
       (s.read.parquet(s"$dir/hot"), s.read.parquet(s"$dir/matchable"))
     }
 
-    def ensure(s: SparkSession, d: String, hotDf: Int = HotShingleDf): DataFrame =
-      ensureBoth(s, d, hotDf)._1
   }
 
   /** The hatched join plan against an externally supplied hot-shingle
@@ -378,8 +382,13 @@ object TextDedup {
     // before the self-join is value-neutral and sheds the dominant share
     // of a real corpus's index. n (the jaccard denominator) is stamped
     // per element from the FULL per-doc shingle count, so filtering rows
-    // cannot perturb it.
-    val sh = matchable.fold(raw)(m => raw.join(broadcast(m), Seq("shingle"), "left_semi"))
+    // cannot perturb it. NO forced broadcast: unlike `hot` (bounded by
+    // |corpus|/HotShingleDf), matchable grows with the corpus's
+    // duplicate vocabulary — it is a parquet-backed scan with size
+    // statistics, so Catalyst broadcasts it only while it fits under
+    // the autoBroadcast threshold and falls back to a shuffled
+    // semi-join beyond that (still O(occurrences), never a failure).
+    val sh = matchable.fold(raw)(m => raw.join(m, Seq("shingle"), "left_semi"))
     val cold = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     val hotRows = sh.join(broadcast(hot), Seq("shingle"), "left_semi")
     val coldPairs = {
@@ -1139,14 +1148,18 @@ object TextDedup {
     * Scale: the positional index is O(corpus tokens) (same cost class
     * as the t06 shingle index — no distinct, so strictly cheaper to
     * build); the pair join is banded by shingle with fan-out bounded by
-    * [[SpanMaxDf]]^2 per shingle (the hot set that would blow this up
-    * is EXCLUDED by semantics, via a broadcast anti-join — the hot list
-    * is tiny: shingles repeated across >10 docs are the boilerplate
-    * tail); the island grouping is ONE window shuffle keyed by
-    * (doc1, doc2, diag) whose partitions are individual runs — no
-    * skew, no global sort. At 100 TB this is exactly the shape the
-    * suffix-array substring dedups linearize to when sharded: banded
-    * candidate generation + per-pair linear stitching. */
+    * [[SpanMaxDf]]^2 per shingle — both sides are prefiltered by a
+    * SEMI-join against the MATCHABLE set (df in [2, SpanMaxDf]: the
+    * hot tail above the cap is excluded by semantics, and df=1
+    * shingles — the majority of a real corpus — cannot produce a
+    * cross-doc match). The matchable set tracks duplicate mass, so
+    * the broadcast is RUNTIME-GATED on its materialized row count and
+    * degrades to a shuffled semi-join when it outgrows the cap; the
+    * island grouping is ONE window shuffle keyed by (doc1, doc2, diag)
+    * whose partitions are individual runs — no skew, no global sort.
+    * At 100 TB this is exactly the shape the suffix-array substring
+    * dedups linearize to when sharded: banded candidate generation +
+    * per-pair linear stitching. */
   /** The t32 core, parameterized so the ScaleSmoke growth experiment can
     * scale the df-cap with corpus replication (a k x replicated corpus
     * pushes every shingle's df up by k; a FIXED cap would classify the
@@ -1177,7 +1190,13 @@ object TextDedup {
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select(col("sh"))
       .localCheckpoint()
-    val cold = psh.join(broadcast(matchable), Seq("sh"), "left_semi")
+    // stats-gated broadcast: the checkpoint materialized the set, so its
+    // row count is a cheap runtime fact — broadcast only while it is
+    // plausibly under the broadcast cap, else a shuffled semi-join (the
+    // matchable set tracks duplicate mass and is NOT bounded at scale)
+    val mSide =
+      if (matchable.count() < 1000000L) broadcast(matchable) else matchable
+    val cold = psh.join(mSide, Seq("sh"), "left_semi")
     val m = cold.select(col("sh"), col("doc_id").as("doc1"), col("pos").as("p1"))
       .join(cold.select(col("sh"), col("doc_id").as("doc2"), col("pos").as("p2")), "sh")
       .filter(col("doc1") < col("doc2"))
