@@ -619,6 +619,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("curation pipeline composes: each stage strictly narrows, shards partition the output") {
+    // the CurationDemo chain as a library consumer uses it: canonical
+    // keep-mask -> decontaminate -> quality cut -> pack -> shard
+    val kept = Corpus.t23.fn(spark, sf).filter("keep").select("doc_id")
+    val contaminated = TextDedup.t15.fn(spark, sf).select("doc_id").distinct()
+    val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+    val curated = clean.join(
+      Advanced.c02.fn(spark, sf).filter("decile <= 7").select("doc_id"),
+      Seq("doc_id"))
+    val total = graft.Tables.documents(spark, sf).count()
+    val (nKept, nClean, nCurated) = (kept.count(), clean.count(), curated.count())
+    assert(nKept <= total && nClean <= nKept && nCurated <= nClean)
+    assert(nCurated > 0)
+    // packing covers exactly the curated set
+    val packed = Corpus.t18.fn(spark, sf).join(curated, Seq("doc_id"))
+    assert(packed.count() == nCurated)
+  }
+
   test("catalog id prefixes stay unique (Bench's compact line keys on them)") {
     // Bench falls back to shedding entries if prefixes collide — legal
     // but lossy; this pins the invariant so a colliding addition is a
