@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.Exact._
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1277,28 +1277,44 @@ object Advanced {
     * distinct-set per column instead and parallelizes across the
     * catalog's executors. Exact distincts because the gate demands
     * exactness; the approximate tier of this operator is sk02/sk05
-    * (HLL), composed the same way. */
+    * (HLL), composed the same way.
+    *
+    * This is the reusable, SCHEMA-DRIVEN API (q33 below is one
+    * instantiation): profile any DataFrame, all columns by default or a
+    * requested subset; numeric-ness is DERIVED from the input schema
+    * (`NumericType`), not declared by the caller — profile whatever
+    * lands in the table, which is the point of profiling a dirty load. */
+  def profile(df: DataFrame, cols: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    val byName = df.schema.fields.map(f => f.name -> f).toMap
+    val targets =
+      if (cols.isEmpty) df.schema.fields.map(_.name).toSeq
+      else cols.map { c =>
+        require(byName.contains(c),
+          s"profile: no such column '$c' (have: ${byName.keys.mkString(", ")})")
+        c
+      }
+    targets.map { c =>
+      val numeric = byName(c).dataType.isInstanceOf[NumericType]
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        (if (numeric) min(col(c)).cast("double") else lit(null).cast("double"))
+          .as("min_num"),
+        (if (numeric) max(col(c)).cast("double") else lit(null).cast("double"))
+          .as("max_num"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_num"), col("max_num"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("column_name"))
+  }
+
   val q33 = QueryDef(
     "q33_profile_summary",
-    (s, d) => {
-      val cols: Seq[(String, Boolean)] = Seq(
-        "o_orderkey" -> true, "o_custkey" -> true, "o_orderstatus" -> false,
-        "o_totalprice" -> true, "o_orderdate" -> false,
-        "o_orderpriority" -> false)
-      cols.map { case (c, numeric) =>
-        Tables.orders(s, d).agg(
-          count(lit(1)).as("n_rows"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
-          countDistinct(col(c)).as("n_distinct"),
-          (if (numeric) min(col(c)).cast("double") else lit(null).cast("double"))
-            .as("min_num"),
-          (if (numeric) max(col(c)).cast("double") else lit(null).cast("double"))
-            .as("max_num"))
-          .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
-            col("n_distinct"), col("min_num"), col("max_num"))
-      }.reduce(_ unionByName _)
-        .orderBy(col("column_name"))
-    },
+    (s, d) => profile(Tables.orders(s, d),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")),
     Some {
       val branches = Seq(
         ("o_orderkey", true), ("o_custkey", true), ("o_orderstatus", false),

@@ -334,20 +334,26 @@ object Corpus {
     * source and each stratum packs independently — a single global
     * cumulative sum would serialize the corpus through one partition at
     * 100 TB (at real scale the stratum key is (source, shard)). */
+  /** The t18 core over an ARBITRARY (doc_id, source, text) input, so a
+    * pipeline can pack exactly the documents that survived its upstream
+    * curation stages (packing the full corpus and then filtering would
+    * leave under-filled sequences mixing curated and removed docs —
+    * sequence assignments must be computed on the final membership). */
+  private[graft] def packSequences(input: DataFrame, seqLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    input
+      .select(col("doc_id"), col("source"), size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id", floor((col("cum") - col("n_tokens")) / lit(seqLen)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("seq_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val t18 = QueryDef(
     "t18_sequence_packing",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val seqLen = 2048
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, d)
-        .select(col("doc_id"), col("source"), size(tokens(col("text"))).as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .withColumn("seq_id", floor((col("cum") - col("n_tokens")) / lit(seqLen)))
-        .select(col("doc_id"), col("source"), col("n_tokens"), col("seq_id"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => packSequences(docs(s, d), 2048),
     Some("""WITH tok AS (
       |  SELECT doc_id, source,
       |         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks

@@ -417,7 +417,14 @@ object SourcesStreaming {
     * per input partition here) is what sizes read parallelism; XML is
     * the legacy-feed ingest/egress format, not the analytics layout,
     * and the operator exists so those feeds enter the engine without a
-    * side ETL. */
+    * side ETL. Fidelity limits, declared: the read sets
+    * `ignoreSurroundingSpaces=false` (Spark 4's default of true would
+    * silently trim leading/trailing whitespace in element text, which
+    * only round-trips on a corpus verified whitespace-clean), but XML
+    * 1.0 itself cannot encode most control characters (anything below
+    * 0x20 except tab/LF/CR) — documents containing them do not survive
+    * any conforming XML serializer, so binary-ish text belongs in the
+    * parquet/ORC formats (r04/r05), not this one. */
   val r10 = QueryDef(
     "r10_xml_roundtrip",
     (s, d) => {
@@ -427,7 +434,9 @@ object SourcesStreaming {
           col("n_chars"))
       src.write.mode("overwrite").option("rootTag", "docs")
         .option("rowTag", "doc").format("xml").save(out)
-      s.read.schema(src.schema).option("rowTag", "doc").format("xml").load(out)
+      s.read.schema(src.schema).option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .format("xml").load(out)
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
         .orderBy(col("doc_id"))

@@ -1153,8 +1153,9 @@ object TextDedup {
     * hot tail above the cap is excluded by semantics, and df=1
     * shingles — the majority of a real corpus — cannot produce a
     * cross-doc match). The matchable set tracks duplicate mass, so
-    * the broadcast is RUNTIME-GATED on its materialized row count and
-    * degrades to a shuffled semi-join when it outgrows the cap; the
+    * the broadcast is RUNTIME-GATED on its measured BYTE size against
+    * the session's autoBroadcastJoinThreshold and degrades to a
+    * shuffled semi-join when it outgrows the cap; the
     * island grouping is ONE window shuffle keyed by (doc1, doc2, diag)
     * whose partitions are individual runs — no skew, no global sort.
     * At 100 TB this is exactly the shape the suffix-array substring
@@ -1190,12 +1191,23 @@ object TextDedup {
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select(col("sh"))
       .localCheckpoint()
-    // stats-gated broadcast: the checkpoint materialized the set, so its
-    // row count is a cheap runtime fact — broadcast only while it is
-    // plausibly under the broadcast cap, else a shuffled semi-join (the
-    // matchable set tracks duplicate mass and is NOT bounded at scale)
+    // stats-gated broadcast: the checkpoint materialized the set, so one
+    // tiny aggregate over it yields the ACTUAL payload size — rows alone
+    // are a bad proxy (1M multi-token shingle strings can be 50-100 MB).
+    // Estimated bytes (string payload + ~32 B/row UnsafeRow overhead,
+    // x2 for the broadcast hash relation's layout) are gated against the
+    // session's own autoBroadcastJoinThreshold, so tuning the session cap
+    // tunes this operator too; past the cap the same plan runs as a
+    // shuffled semi-join (the matchable set tracks duplicate mass and is
+    // NOT bounded at scale).
+    val mStats = matchable
+      .agg(count(lit(1)).as("n"), sum(octet_length(col("sh"))).as("b")).head()
+    val mBytes = (32L * mStats.getLong(0) +
+      (if (mStats.isNullAt(1)) 0L else mStats.getLong(1))) * 2
+    val bcastCap = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
     val mSide =
-      if (matchable.count() < 1000000L) broadcast(matchable) else matchable
+      if (bcastCap > 0 && mBytes <= bcastCap) broadcast(matchable) else matchable
     val cold = psh.join(mSide, Seq("sh"), "left_semi")
     val m = cold.select(col("sh"), col("doc_id").as("doc1"), col("pos").as("p1"))
       .join(cold.select(col("sh"), col("doc_id").as("doc2"), col("pos").as("p2")), "sh")

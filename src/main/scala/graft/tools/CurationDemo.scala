@@ -46,9 +46,15 @@ object CurationDemo {
       .select(col("doc_id"), col("source"))
     val curated = clean.join(scored, Seq("doc_id"))
 
-    // 4. pack the survivors into fixed-token training sequences
-    val packed = graft.operators.Corpus.t18.fn(spark, d)
-      .join(curated.select(col("doc_id")), Seq("doc_id"))
+    // 4. pack the survivors into fixed-token training sequences —
+    //    packing runs OVER the curated subset (t18's core parameterized
+    //    on input), not over the full corpus then filtered: sequence
+    //    membership and token budgets must reflect the final corpus, or
+    //    every dropped doc leaves an under-filled sequence behind
+    val packed = graft.operators.Corpus.packSequences(
+      graft.Tables.documents(spark, d)
+        .join(curated.select(col("doc_id")), Seq("doc_id")),
+      2048)
 
     // 5. shard manifest over the curated set (r09's hash assignment,
     //    recomputed here on the survivors)
