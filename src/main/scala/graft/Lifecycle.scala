@@ -79,8 +79,18 @@ object Lifecycle {
     maybeGc()
   }
 
+  // Default OFF — measured A/B at the 128-query catalog, sf0.1, two
+  // windows with reversed orderings (PLANS.md round 13): explicit GC per
+  // release is a ~25% TOTAL regression (61.8s vs 47.2s on the shared
+  // set, order-independent) and a 20s-throttled GC a ~6% one. The
+  // hypothesis that ContextCleaner starvation caused the in-catalog
+  // churn was WRONG: the dominant accumulation was codegen-cache
+  // thrash (see Sessions.graftDefaults), and the explicit full GC
+  // actively hurts by unloading freshly JIT-compiled generated classes
+  // between passes. The machinery stays for embedders whose workloads
+  // differ (e.g. genuinely broadcast-heavy long sessions).
   private val gcMode: String =
-    sys.env.getOrElse("SPARK_GRAFT_RELEASE_GC", "20")
+    sys.env.getOrElse("SPARK_GRAFT_RELEASE_GC", "off")
   @volatile private var lastGcNanos: Long = 0L
 
   /** Throttled explicit driver GC so the ContextCleaner can reclaim

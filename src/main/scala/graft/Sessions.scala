@@ -44,4 +44,14 @@ object Sessions {
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", scratchWarehouse)
+      // Codegen class cache sized to a CATALOG-serving workload: the
+      // Spark default (100 compiled classes, a STATIC conf — settable
+      // only here at builder time) thrashes when a session serves
+      // hundreds of distinct recurring plans, recompiling every
+      // whole-stage unit on every recurrence. 4096 entries holds the
+      // full 128-query catalog's units (~1-2k) so recurring runs reuse
+      // compiled classes (A/B in PLANS.md round 13). Env-overridable
+      // for measurement.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
 }

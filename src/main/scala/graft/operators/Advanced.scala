@@ -1220,6 +1220,122 @@ object Advanced {
            |              ORDER BY logit DESC, doc_id) AS INTEGER) AS decile
            |FROM scored ORDER BY doc_id""".stripMargin))
 
+  /** Composed curation pipeline — the INTERACTION gate: the full ring
+    * CurationDemo narrates, as one hash-checked catalog entry. Chains
+    * t23 (near-dup canonical keep mask) → t15 (benchmark
+    * decontamination, ≥5 shared shingles) → c02 (model quality cut,
+    * top-7 deciles per source) → [[Corpus.packSequences]] over exactly
+    * the survivors (sequence budgets computed on the FINAL membership —
+    * packing before curating would leave under-filled sequences mixing
+    * curated and dropped docs). Each member operator stays individually
+    * gated; this entry pins that their composition — dedup → cut → pack
+    * determinism — also matches the oracle's CTE chain of the same
+    * steps.
+    *
+    * Scale: pure composition — every member keeps its own banded /
+    * pre-aggregated shape (no new shuffles beyond the membership
+    * semi-joins, which hash on doc_id), and Catalyst plans the whole
+    * ring as ONE query: the member orderBys are eliminated below the
+    * joins (EliminateSorts), and the doc_id membership joins reuse one
+    * exchange. */
+  val c03 = QueryDef(
+    "c03_curation_pipeline",
+    (s, d) => {
+      val kept = Corpus.t23.fn(s, d).filter(col("keep")).select(col("doc_id"))
+      val contaminated = TextDedup.t15.fn(s, d).select(col("doc_id")).distinct()
+      val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+      val scored = c02.fn(s, d).filter(col("decile") <= 7).select(col("doc_id"))
+      val curated = clean.join(scored, Seq("doc_id"))
+      Corpus.packSequences(
+        Tables.documents(s, d).join(curated, Seq("doc_id")), 2048)
+    },
+    Some("""WITH RECURSIVE tok AS (
+      |  SELECT doc_id, source, lang, text, n_chars,
+      |         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+      |  FROM documents
+      |),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+      |  FROM (SELECT doc_id, toks, unnest(range(len(toks)-2)) AS i FROM tok WHERE len(toks) >= 3)
+      |),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |edges AS (
+      |  SELECT doc1, doc2
+      |  FROM pairs JOIN sz x ON x.doc_id = doc1 JOIN sz y ON y.doc_id = doc2
+      |  WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.6
+      |),
+      |und AS (SELECT doc1 AS a, doc2 AS b FROM edges UNION ALL SELECT doc2, doc1 FROM edges),
+      |reach AS (
+      |  SELECT a AS v, a AS label FROM und
+      |  UNION
+      |  SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.v
+      |),
+      |cc AS (SELECT v AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY v),
+      |qual AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+      |       0.3 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+      |     + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+      |     + 0.2 * (1.0 - CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS DOUBLE) / len(toks))
+      |     + 0.2 * least(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) / 5.0, 1.0)
+      |       END AS quality FROM tok),
+      |keepers AS (
+      |  SELECT s.doc_id
+      |  FROM qual s LEFT JOIN cc ON cc.doc_id = s.doc_id
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY COALESCE(cc.cluster_id, s.doc_id)
+      |            ORDER BY s.quality DESC, s.doc_id) = 1
+      |),
+      |contam AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT c.doc_id, b.bench_id
+      |    FROM (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 7) c
+      |    JOIN (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 20 = 7) b
+      |      ON c.shingle = b.shingle
+      |    GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      |),
+      |feat AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(toks) AS BIGINT) AS f_tokens,
+      |         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS f_digits,
+      |         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS f_punct,
+      |         n_chars AS f_chars
+      |  FROM tok
+      |),
+      |w(feature, weight) AS (VALUES
+      |  ('f_tokens', 3), ('f_digits', -2), ('f_punct', -1), ('f_chars', 1)),
+      |melted AS (
+      |  SELECT doc_id, source, 'f_tokens' AS feature, f_tokens AS fval FROM feat
+      |  UNION ALL SELECT doc_id, source, 'f_digits', f_digits FROM feat
+      |  UNION ALL SELECT doc_id, source, 'f_punct', f_punct FROM feat
+      |  UNION ALL SELECT doc_id, source, 'f_chars', f_chars FROM feat
+      |),
+      |logits AS (
+      |  SELECT doc_id, source, CAST(SUM(fval * weight) AS BIGINT) AS logit
+      |  FROM melted JOIN w USING (feature) GROUP BY doc_id, source
+      |),
+      |deciles AS (
+      |  SELECT doc_id, NTILE(10) OVER (PARTITION BY source ORDER BY logit DESC, doc_id) AS decile
+      |  FROM logits
+      |),
+      |curated AS (
+      |  SELECT k.doc_id
+      |  FROM keepers k
+      |  JOIN deciles dc ON dc.doc_id = k.doc_id AND dc.decile <= 7
+      |  LEFT JOIN contam x ON x.doc_id = k.doc_id
+      |  WHERE x.doc_id IS NULL
+      |)
+      |SELECT doc_id, source, CAST(len(toks) AS INTEGER) AS n_tokens,
+      |       CAST(FLOOR((cum - len(toks)) / 2048.0) AS BIGINT) AS seq_id
+      |FROM (
+      |  SELECT t.doc_id, t.source, t.toks,
+      |         SUM(len(t.toks)) OVER (PARTITION BY t.source ORDER BY t.doc_id
+      |                                ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM tok t JOIN curated USING (doc_id))
+      |ORDER BY doc_id""".stripMargin))
+
   /** SCD2 dimension build — turn the events change log into
     * slowly-changing-dimension rows with validity intervals: per user,
     * consecutive same-status events collapse (lag filter), and each
@@ -1395,7 +1511,7 @@ object Advanced {
            |GROUP BY 1 ORDER BY status""".stripMargin))
 
   val catalog: Seq[QueryDef] =
-    Seq(e01, e02, e03, e04, e05, e06, e07, e08, q16, q17, t09, c01, c02, tj01,
-      tj02, tj03, v01, v02, v03, v04, j01, q18, t10, q19, q20, q21, q24, q25,
-      q32, q33, q34)
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, q16, q17, t09, c01, c02, c03,
+      tj01, tj02, tj03, v01, v02, v03, v04, j01, q18, t10, q19, q20, q21, q24,
+      q25, q32, q33, q34)
 }

@@ -397,7 +397,7 @@ object Similarity {
   object IvfIndex {
     val K = 16
 
-    private[operators] def indexDirFor(d: String): String =
+    private[graft] def indexDirFor(d: String): String =
       s"${sys.props("java.io.tmpdir")}/graft_ivf_${IndexStore.corpusFingerprint(d, "embeddings")}_k$K"
 
     /** (centroids, assigned) — building first if this corpus fingerprint

@@ -483,7 +483,7 @@ object TextDedup {
     * regardless of build timing. Publication/staleness contract:
     * [[IndexStore]]. */
   object PairIndex {
-    private[operators] def indexDirFor(d: String): String =
+    private[graft] def indexDirFor(d: String): String =
       s"${sys.props("java.io.tmpdir")}/graft_pairs_${IndexStore.corpusFingerprint(d, "documents")}"
 
     /** The pair frame for corpus `d`, building + publishing first if

@@ -565,6 +565,69 @@ object ScaleSmoke {
           f"delta/scratch=${tDelta / tScratch}%.2f")
       }
     }
+    // ---- deep growth (r13): a decade past the r11/r12 tables ----
+    // t07's persisted pair index at k ∈ {25, 50, 100} (up to 500k docs):
+    // replicas form near-dup clusters of size ~k, so the TRUE pair
+    // output grows Θ(n0·k²) BY CONSTRUCTION — the scale claim under
+    // test is therefore (a) build cost per EMITTED pair flat-or-falling
+    // (output-driven, like t32's span table), and (b) the incremental
+    // consumer t25 staying bounded by the batch's pair NEIGHBORHOOD,
+    // not the corpus. s04's IVF build + s08's delta maintenance run at
+    // k=100 (200k vecs) alongside: both are Θ(vectors) — index build
+    // linear, delta step ∝ the new slice only.
+    if (want("deep")) {
+      def time[T](f: => T): (Double, T) = {
+        val t0 = System.nanoTime(); val v = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.Lifecycle.release(spark)
+        (dt, v)
+      }
+      import graft.operators.{Similarity, TextDedup}
+      Seq(25, 50, 100).foreach { k =>
+        val dir = ensureDocsReplicas(k)
+        // fresh-build timing: a pre-published index for this fingerprint
+        // would time a parquet read instead of the LSH build
+        graft.Lifecycle.deleteRecursively(
+          new java.io.File(TextDedup.PairIndex.indexDirFor(dir)))
+        val (tBuild, nPairs) = time(TextDedup.PairIndex.ensure(spark, dir).count())
+        val (tQuery, nKept) = time(TextDedup.t25.fn(spark, dir).count())
+        println(f"SCALE-DEEP docs=${n0 * k}%7d pairBuild=${tBuild}%7.1fs " +
+          f"($nPairs pairs, ${tBuild * 1e6 / math.max(nPairs, 1)}%.1f us/pair) " +
+          f"t25=${tQuery}%6.1fs ($nKept rows)")
+      }
+      locally {
+        val k = 100
+        val dir = s"/tmp/graft_scale_embinc_${k}x"
+        val replicas = emb0.crossJoin(spark.range(k).select(col("id").as("rep")))
+          .select(
+            (col("vec_id") + col("rep") * lit(1000000L)).as("vec_id"),
+            transform(col("embedding"), (x, idx) =>
+              when(idx === 0,
+                (x + col("rep").cast("double") * lit(0.05)).cast("float"))
+                .otherwise(x)).as("embedding"),
+            col("label"))
+        val fix = s"$dir/embeddings.parquet"
+        val valid = new java.io.File(fix).isDirectory && {
+          try {
+            val cached = spark.read.parquet(fix)
+            cached.schema == replicas.schema && cached.count() == e0 * k
+          } catch { case _: Exception => false }
+        }
+        if (!valid)
+          replicas.repartition(32).write.mode("overwrite").parquet(fix)
+        import graft.operators.Similarity.IvfIncIndex
+        (Seq(Similarity.IvfIndex.indexDirFor(dir), IvfIncIndex.baseDirFor(dir),
+          IvfIncIndex.deltaDirFor(dir)))
+          .foreach(p => graft.Lifecycle.deleteRecursively(new java.io.File(p)))
+        val (tS04, nS04) = time(Similarity.s04.fn(spark, dir).count())
+        val (tBase, _) = time(IvfIncIndex.ensureBase(spark, dir))
+        val (tDelta, dd) = time(IvfIncIndex.ensureDelta(spark, dir))
+        val nDelta = spark.read.parquet(s"$dd/assigned").count()
+        println(f"SCALE-DEEP vecs=${e0 * k}%7d s04BuildProbe=${tS04}%7.1fs " +
+          f"($nS04 rows) s08Base=${tBase}%6.1fs s08Delta=${tDelta}%6.1fs " +
+          f"($nDelta new-slice rows)")
+      }
+    }
     spark.stop()
   }
 }
