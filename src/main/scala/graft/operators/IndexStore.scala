@@ -22,6 +22,34 @@ package graft.operators
   */
 private[operators] object IndexStore {
 
+  /** Broadcast `df` only if its MEASURED in-memory size estimate fits
+    * the session's `autoBroadcastJoinThreshold`; otherwise return
+    * `fallback(df)`. The point vs letting Catalyst decide: the planner
+    * estimates from COMPRESSED file size, which under-states the
+    * broadcast hash relation (string-heavy sets decompress 5-10x, plus
+    * row + map overhead) — measured failure "Not enough memory to build
+    * and broadcast" at 125k docs under a starved heap (SpillSmoke r13)
+    * on a set whose parquet stats looked broadcastable. The estimate
+    * here is payload bytes + 32 B/row UnsafeRow overhead, x2 for the
+    * hash relation layout. Costs one tiny aggregate over `df` — callers
+    * pass already-persisted or checkpointed frames, so the scan is
+    * cheap. Fallbacks should ACTIVELY suppress a stats-based planner
+    * broadcast (e.g. `_.hint("SHUFFLE_HASH")`), not just omit the hint.
+    */
+  def broadcastIfFits(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      sizeOf: org.apache.spark.sql.Column)(
+      fallback: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count, lit, sum}
+    val st = df.agg(count(lit(1)), sum(sizeOf)).head()
+    val est = (32L * st.getLong(0) +
+      (if (st.isNullAt(1)) 0L else st.getLong(1))) * 2
+    val cap = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    if (cap > 0 && est <= cap) broadcast(df) else fallback(df)
+  }
+
   /** Fingerprint of a corpus table: name, length and mtime of every part
     * of `<d>/<table>.parquet`. (A path hashCode scheme could collide and
     * would miss in-place regeneration.)

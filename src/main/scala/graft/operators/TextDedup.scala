@@ -250,10 +250,19 @@ object TextDedup {
     // SHUFFLE_HASH: the join output feeds a hash aggregate, so the
     // sort-merge join's per-partition sorts are pure waste; hashing
     // the build side instead is 0.95s -> 0.69s at sf0.1 (Tune,
-    // min-of-2) and the build is bounded by per-partition index size
-    // (AQE splits oversized partitions; the df histogram at sf0.1
-    // peaks at max df = 25, so no single key group can blow the
-    // build). ReuseExchange still dedups the two sides.
+    // min-of-2). MEMORY FLOOR, measured (SpillSmoke r13): the build
+    // map is per-partition and NOT spillable — per-task memory must
+    // cover occurrences/shufflePartitions, or the stage dies with
+    // "not enough memory to build hash map" (observed at 125k docs,
+    // 6g heap, memory.fraction=0.1, 32 partitions; the SAME run
+    // completes with partitions raised so builds fit). That is the
+    // standard SHJ sizing rule — spark.sql.shuffle.partitions is the
+    // knob a 100 TB deployment already sizes to its executors — and
+    // the trade against SMJ (which spills through mis-sizing but
+    // pays two sorts every run) is deliberate: this operator is a
+    // scheduled index build, run with sized partitions. AQE splits
+    // oversized partitions down to its advisory size as a first
+    // backstop. ReuseExchange still dedups the two sides.
     val b = sh.select(col("doc_id").as("doc2"), col("n").as("n2"), col("shingle"))
       .hint("SHUFFLE_HASH")
     a.join(b, a("shingle") === b("shingle") && col("doc1") < col("doc2"))
@@ -382,15 +391,26 @@ object TextDedup {
     // before the self-join is value-neutral and sheds the dominant share
     // of a real corpus's index. n (the jaccard denominator) is stamped
     // per element from the FULL per-doc shingle count, so filtering rows
-    // cannot perturb it. NO forced broadcast: unlike `hot` (bounded by
-    // |corpus|/HotShingleDf), matchable grows with the corpus's
-    // duplicate vocabulary — it is a parquet-backed scan with size
-    // statistics, so Catalyst broadcasts it only while it fits under
-    // the autoBroadcast threshold and falls back to a shuffled
-    // semi-join beyond that (still O(occurrences), never a failure).
-    val sh = matchable.fold(raw)(m => raw.join(m, Seq("shingle"), "left_semi"))
-    val cold = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val hotRows = sh.join(broadcast(hot), Seq("shingle"), "left_semi")
+    // cannot perturb it. Broadcast is gated on MEASURED bytes
+    // ([[IndexStore.broadcastIfFits]]): matchable grows with the
+    // corpus's duplicate vocabulary, and Catalyst's own stats gate
+    // under-states string-heavy sets (compressed parquet size) — the
+    // SpillSmoke r13 starved run killed this exact join through a
+    // planner-chosen broadcast before this gate existed. Past the cap
+    // the semi-join runs SHUFFLE_HASH (the hint also SUPPRESSES the
+    // planner's stats-based broadcast) — still O(occurrences), never a
+    // failure. Same gate for `hot`: bounded by |corpus|/HotShingleDf
+    // so it virtually always broadcasts, but "virtually" is not a
+    // memory-safety argument.
+    val sh = matchable.fold(raw) { m =>
+      val mSide = IndexStore.broadcastIfFits(s, m,
+        octet_length(col("shingle")))(_.hint("SHUFFLE_HASH"))
+      raw.join(mSide, Seq("shingle"), "left_semi")
+    }
+    val hotSide = IndexStore.broadcastIfFits(s, hot,
+      octet_length(col("shingle")))(_.hint("SHUFFLE_HASH"))
+    val cold = sh.join(hotSide, Seq("shingle"), "left_anti")
+    val hotRows = sh.join(hotSide, Seq("shingle"), "left_semi")
     val coldPairs = {
       val a = cold.select(col("doc_id").as("doc1"), col("n").as("n1"), col("shingle"))
       val b = cold.select(col("doc_id").as("doc2"), col("n").as("n2"), col("shingle"))
@@ -1194,20 +1214,13 @@ object TextDedup {
     // stats-gated broadcast: the checkpoint materialized the set, so one
     // tiny aggregate over it yields the ACTUAL payload size — rows alone
     // are a bad proxy (1M multi-token shingle strings can be 50-100 MB).
-    // Estimated bytes (string payload + ~32 B/row UnsafeRow overhead,
-    // x2 for the broadcast hash relation's layout) are gated against the
-    // session's own autoBroadcastJoinThreshold, so tuning the session cap
-    // tunes this operator too; past the cap the same plan runs as a
-    // shuffled semi-join (the matchable set tracks duplicate mass and is
-    // NOT bounded at scale).
-    val mStats = matchable
-      .agg(count(lit(1)).as("n"), sum(octet_length(col("sh"))).as("b")).head()
-    val mBytes = (32L * mStats.getLong(0) +
-      (if (mStats.isNullAt(1)) 0L else mStats.getLong(1))) * 2
-    val bcastCap = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
-    val mSide =
-      if (bcastCap > 0 && mBytes <= bcastCap) broadcast(matchable) else matchable
+    // Measured bytes gated against the session's own
+    // autoBroadcastJoinThreshold ([[IndexStore.broadcastIfFits]]), so
+    // tuning the session cap tunes this operator too; past the cap the
+    // same plan runs as a shuffled semi-join (the matchable set tracks
+    // duplicate mass and is NOT bounded at scale).
+    val mSide = IndexStore.broadcastIfFits(s, matchable,
+      octet_length(col("sh")))(identity)
     val cold = psh.join(mSide, Seq("sh"), "left_semi")
     val m = cold.select(col("sh"), col("doc_id").as("doc1"), col("pos").as("p1"))
       .join(cold.select(col("sh"), col("doc_id").as("doc2"), col("pos").as("p2")), "sh")

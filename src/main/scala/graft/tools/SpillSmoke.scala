@@ -33,16 +33,23 @@ object SpillSmoke {
       else Seq("t06_jaccard_pairs", "t32_span_dedup", "t23_canonical_docs",
         "s01_cosine_pairs")
     val fraction = sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.2")
+    // The partition count is the 100 TB memory lever: per-task working
+    // sets (hash-join builds, aggregate maps) are sized by
+    // occurrences/partitions, so a starved heap with DEFAULT partitions
+    // models a MIS-SIZED cluster — raise partitions to model the sized
+    // one (the same data point, done right).
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
     val spark = graft.Sessions.graftDefaults(SparkSession.builder())
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.memory.fraction", fraction)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    println(s"SPILLSMOKE sfDir=$sfDir heapMb=$heapMb memoryFraction=$fraction")
+    println(s"SPILLSMOKE sfDir=$sfDir heapMb=$heapMb memoryFraction=$fraction " +
+      s"shufflePartitions=$parts")
 
     val catalog = graft.SparkEntry.queries
     names.foreach { name =>
