@@ -1233,11 +1233,13 @@ object Advanced {
     * steps.
     *
     * Scale: pure composition — every member keeps its own banded /
-    * pre-aggregated shape (no new shuffles beyond the membership
-    * semi-joins, which hash on doc_id), and Catalyst plans the whole
-    * ring as ONE query: the member orderBys are eliminated below the
-    * joins (EliminateSorts), and the doc_id membership joins reuse one
-    * exchange. */
+    * pre-aggregated shape, and Catalyst plans the whole ring as ONE
+    * query (plan audited via PlanDump, r13): the member orderBys are
+    * eliminated below the joins (EliminateSorts — no ordering-only Sort
+    * survives except the root), and the membership joins all hash on
+    * doc_id (each member side pays its own derivation exchange — they
+    * are different aggregates — but no re-shuffle of the corpus scan
+    * happens beyond them). */
   val c03 = QueryDef(
     "c03_curation_pipeline",
     (s, d) => {

@@ -45,8 +45,12 @@ private[operators] object IndexStore {
     val st = df.agg(count(lit(1)), sum(sizeOf)).head()
     val est = (32L * st.getLong(0) +
       (if (st.isNullAt(1)) 0L else st.getLong(1))) * 2
-    val cap = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    // the threshold arrives as a bare long ("-1" disables broadcast —
+    // the standard ops setting, which byteStringAsBytes rejects) or a
+    // size string ("10MB")
+    val raw = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val cap = scala.util.Try(raw.trim.toLong).getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
     if (cap > 0 && est <= cap) broadcast(df) else fallback(df)
   }
 
