@@ -59,13 +59,13 @@ object Lifecycle {
     * Spark's ContextCleaner only when the DRIVER GCs the corresponding
     * handle — and `spark.cleaner.periodicGC.interval` defaults to 30
     * MINUTES, longer than an entire catalog pass, so in a single-JVM
-    * bench nothing is ever reclaimed mid-pass and the block store +
-    * shuffle dirs grow monotonically (the measured ~0.8 s/query drag on
-    * heavy late-catalog entries). A throttled explicit GC (default at
-    * most every 20 s, tunable via SPARK_GRAFT_RELEASE_GC = seconds |
-    * "each" | "off") lets the cleaner run within the pass. On a real
-    * cluster the driver GCs naturally between jobs; this matters for
-    * long single-JVM sessions exactly like the bench harness. */
+    * bench nothing is reclaimed mid-pass. An explicit GC here was the
+    * working theory for the in-catalog drag on heavy entries — and the
+    * A/B DISPROVED it (see gcMode below): the drag was codegen-cache
+    * thrash, and explicit GC actively hurts by unloading generated
+    * classes. Default off; SPARK_GRAFT_RELEASE_GC = seconds | "each" |
+    * "off" remains for embedders whose long-session workloads are
+    * genuinely broadcast/shuffle-accumulation-bound. */
   def release(spark: SparkSession): Unit = {
     var f = deferred.poll()
     while (f != null) {
