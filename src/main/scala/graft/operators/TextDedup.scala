@@ -1327,7 +1327,64 @@ object TextDedup {
       |LEFT JOIN lm ON c.bg = lm.bg
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Incremental pair-index MAINTENANCE — the text-side analog of s08's
+    * frozen-centroid delta step, and the missing half of t25 (which
+    * PROBES the persisted pair index but does not grow it): today's
+    * crawl slice (doc_id % 10 == 7 stands in for it) is banded against
+    * the corpus and exact-verified, producing exactly the NEW near-dup
+    * pairs — every pair with at least one endpoint in the slice,
+    * including slice-internal ones — without re-pairing the resident
+    * corpus. A deployment appends this frame to the published PairIndex
+    * (an r09-style partitioned write) as its nightly maintenance job.
+    *
+    * Scale: candidate generation is the band join with the SLICE on one
+    * side — O(slice × bands) shuffle rows probing the corpus's band
+    * index, never corpus × corpus; verification touches only the
+    * candidates' shingle sets. Band signatures are per-row pure
+    * functions of the fixed-seed kernel (no trained state), so at
+    * deployment scale the corpus side reads the persisted signature
+    * table (the [[Similarity.SigIndex]] pattern) instead of recomputing
+    * — recomputed inline here at gate scale, where the kernel pass is
+    * cheaper than a parquet round-trip (the r8 posting-list NEGATIVE
+    * result). Oracle equality rests on the same premise as t07's gate:
+    * banding at these parameters finds every pair at or above the
+    * threshold (recall gate: SimilarityRecallSpec). */
+  val t34 = QueryDef(
+    "t34_pair_index_delta",
+    (s, d) => {
+      graft.functions.TextExpressions.register(s)
+      val bands = docs(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          posexplode(call_function("graft_minhash_bands", col("text")))
+            .as(Seq("band_idx", "band_hash")))
+      val fresh = bands.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id").as("da"), col("band_idx").as("bi"),
+          col("band_hash").as("bh"))
+      val corpus = bands
+        .select(col("doc_id").as("db"), col("band_idx").as("bi2"),
+          col("band_hash").as("bh2"))
+      val cand = fresh.join(corpus,
+          fresh("bi") === corpus("bi2") && fresh("bh") === corpus("bh2") &&
+            col("da") =!= col("db"))
+        .select(least(col("da"), col("db")).as("doc1"),
+          greatest(col("da"), col("db")).as("doc2"))
+        .distinct()
+      verifyJaccard(s, d, cand)
+    },
+    Some(ShingleCte + s""",
+      |pairs AS (
+      |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc1, doc2, inter * 1.0 / (x.n + y.n - inter) AS jaccard
+      |FROM pairs JOIN sz x ON x.doc_id = doc1 JOIN sz y ON y.doc_id = doc2
+      |WHERE inter * 1.0 / (x.n + y.n - inter) >= $JaccardThreshold
+      |  AND (doc1 % 10 = 7 OR doc2 % 10 = 7)
+      |ORDER BY doc1, doc2""".stripMargin))
+
   val catalog: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t15, t16, t20, t21, t22, t25,
-      t26, t29, t30, t32, t33)
+      t26, t29, t30, t32, t33, t34)
 }
