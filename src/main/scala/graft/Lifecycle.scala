@@ -100,11 +100,16 @@ object Lifecycle {
     case "off"  => ()
     case "each" => System.gc()
     case secs =>
-      val n = try secs.toLong catch { case _: NumberFormatException => 20L }
-      val now = System.nanoTime()
-      if (now - lastGcNanos > n * 1000000000L) {
-        lastGcNanos = now
-        System.gc()
+      // an unrecognized value must NOT silently enable the measured-
+      // regression behavior: anything non-numeric degrades to off
+      secs.toLongOption match {
+        case Some(n) if n > 0 =>
+          val now = System.nanoTime()
+          if (now - lastGcNanos > n * 1000000000L) {
+            lastGcNanos = now
+            System.gc()
+          }
+        case _ => ()
       }
   }
 }

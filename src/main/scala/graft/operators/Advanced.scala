@@ -1251,6 +1251,11 @@ object Advanced {
       Corpus.packSequences(
         Tables.documents(s, d).join(curated, Seq("doc_id")), 2048)
     },
+    // built in two halves: the head is a PLAIN string (the tokenizer
+    // regex carries backslashes the s-interpolator would reject), the
+    // tail is s-interpolated so the quality formula comes from the ONE
+    // shared constant (TextDedup.QualitySql) the member oracles use —
+    // a formula tweak cannot silently leave this composition behind
     Some("""WITH RECURSIVE tok AS (
       |  SELECT doc_id, source, lang, text, n_chars,
       |         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
@@ -1277,13 +1282,10 @@ object Advanced {
       |  UNION
       |  SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.v
       |),
-      |cc AS (SELECT v AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY v),
-      |qual AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-      |       0.3 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
-      |     + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
-      |     + 0.2 * (1.0 - CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS DOUBLE) / len(toks))
-      |     + 0.2 * least(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) / 5.0, 1.0)
-      |       END AS quality FROM tok),
+      |cc AS (SELECT v AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY v),""".stripMargin +
+      s"""
+      |qual AS (SELECT doc_id,
+      |       ${TextDedup.QualitySql} AS quality FROM tok),
       |keepers AS (
       |  SELECT s.doc_id
       |  FROM qual s LEFT JOIN cc ON cc.doc_id = s.doc_id

@@ -316,8 +316,15 @@ object TextDedup {
   private[graft] def jaccardPairsHatched(
       s: SparkSession, d: String,
       hotDf: Int = HotShingleDf, blocks: Int = HotBlocks): DataFrame = {
+    // localCheckpoint: jaccardPairsOnHot's broadcast gate PROBES the hot
+    // frame eagerly (one tiny agg) before the join consumes it — an
+    // uncached profile aggregate would run its full corpus pass twice.
+    // The persisted-profile catalog path reads parquet (cheap either
+    // way); this inline variant materializes once. Blocks are freed by
+    // Lifecycle.release like every other checkpoint.
     val hot = shingleFrame(s, d).groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= hotDf).select(col("shingle"))
+      .localCheckpoint()
     jaccardPairsOnHot(s, d, hot, blocks)
   }
 
@@ -473,16 +480,26 @@ object TextDedup {
     * TextExpressionsSpec), so there is no 64-column min-aggregate
     * shuffle: the only exchanges left are the band self-join (deduped by
     * ReuseExchange) and the verify joins. */
-  /** The LSH near-dup pipeline itself: band self-join candidates,
-    * exact-verified. [[PairIndex]] persists its result; consumers
-    * (t07, t11, t19) go through the index, not this. */
-  private[graft] def lshPairs(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, band_idx, band_hash) LSH band signatures for the whole
+    * corpus — the ONE banding projection shared by the full build
+    * ([[lshPairs]]) and the incremental maintenance step ([[t34]]), so
+    * a banding change (seed, band count, kernel) can never desynchronize
+    * the persisted PairIndex from its delta — the invariant
+    * PairIndexDeltaSpec pins. */
+  private[graft] def bandsFrame(s: SparkSession, d: String): DataFrame = {
     graft.functions.TextExpressions.register(s)
-    val bands = docs(s, d)
+    docs(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         posexplode(call_function("graft_minhash_bands", col("text")))
           .as(Seq("band_idx", "band_hash")))
+  }
+
+  /** The LSH near-dup pipeline itself: band self-join candidates,
+    * exact-verified. [[PairIndex]] persists its result; consumers
+    * (t07, t11, t19) go through the index, not this. */
+  private[graft] def lshPairs(s: SparkSession, d: String): DataFrame = {
+    val bands = bandsFrame(s, d)
     val x = bands.select(col("doc_id").as("doc1"), col("band_idx"), col("band_hash"))
     val y = bands.select(col("doc_id").as("doc2"), col("band_idx").as("bi2"), col("band_hash").as("bh2"))
     val cand = x.join(y,
@@ -1220,7 +1237,7 @@ object TextDedup {
     // same plan runs as a shuffled semi-join (the matchable set tracks
     // duplicate mass and is NOT bounded at scale).
     val mSide = IndexStore.broadcastIfFits(s, matchable,
-      octet_length(col("sh")))(identity)
+      octet_length(col("sh")))(_.hint("SHUFFLE_HASH"))
     val cold = psh.join(mSide, Seq("sh"), "left_semi")
     val m = cold.select(col("sh"), col("doc_id").as("doc1"), col("pos").as("p1"))
       .join(cold.select(col("sh"), col("doc_id").as("doc2"), col("pos").as("p2")), "sh")
@@ -1352,12 +1369,7 @@ object TextDedup {
   val t34 = QueryDef(
     "t34_pair_index_delta",
     (s, d) => {
-      graft.functions.TextExpressions.register(s)
-      val bands = docs(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          posexplode(call_function("graft_minhash_bands", col("text")))
-            .as(Seq("band_idx", "band_hash")))
+      val bands = bandsFrame(s, d)
       val fresh = bands.filter(col("doc_id") % 10 === 7)
         .select(col("doc_id").as("da"), col("band_idx").as("bi"),
           col("band_hash").as("bh"))

@@ -227,6 +227,36 @@ object ScaleSmoke {
     // any banding miss shows up as recall < 1 against the exact twin.
     val emb0 = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
     lazy val e0 = emb0.count()
+
+    /** K crossJoin-replicated embeddings (distinct vec_ids, per-replica
+      * first-component shift) at /tmp/graft_scale_embinc_<k>x — the ONE
+      * builder shared by the `inc` and `deep` sections (two inline
+      * copies would let the perturbation drift and desynchronize the
+      * SCALE-INC and SCALE-DEEP corpora). Cached fixture validated by
+      * SCHEMA and ROW COUNT, same rule as the stream fixtures: an
+      * isDirectory-only check would serve a torn write or a stale
+      * vintage forever. */
+    def ensureEmbIncReplicas(k: Int): String = {
+      val dir = s"/tmp/graft_scale_embinc_${k}x"
+      val replicas = emb0.crossJoin(spark.range(k).select(col("id").as("rep")))
+        .select(
+          (col("vec_id") + col("rep") * lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, idx) =>
+            when(idx === 0,
+              (x + col("rep").cast("double") * lit(0.05)).cast("float"))
+              .otherwise(x)).as("embedding"),
+          col("label"))
+      val fix = s"$dir/embeddings.parquet"
+      val valid = new java.io.File(fix).isDirectory && {
+        try {
+          val cached = spark.read.parquet(fix)
+          cached.schema == replicas.schema && cached.count() == e0 * k
+        } catch { case _: Exception => false }
+      }
+      if (!valid)
+        replicas.repartition(32).write.mode("overwrite").parquet(fix)
+      dir
+    }
     if (want("emb")) Seq(1, 4, 12).foreach { k =>
       val dir = s"/tmp/graft_scale_emb_${k}x"
       val copies = (0 until k).map { i =>
@@ -515,28 +545,7 @@ object ScaleSmoke {
         // crossJoin replication (not a k-way unionAll — a 192-branch
         // union is an analyzer stress test, one range join is not);
         // per-replica first-component shift keeps vectors distinct
-        val dir = s"/tmp/graft_scale_embinc_${k}x"
-        val replicas = emb0.crossJoin(spark.range(k).select(col("id").as("rep")))
-          .select(
-            (col("vec_id") + col("rep") * lit(1000000L)).as("vec_id"),
-            transform(col("embedding"), (x, idx) =>
-              when(idx === 0,
-                (x + col("rep").cast("double") * lit(0.05)).cast("float"))
-                .otherwise(x)).as("embedding"),
-            col("label"))
-        // validate a cached fixture by SCHEMA and ROW COUNT, same rule
-        // as the stream fixtures above: an isDirectory-only check would
-        // serve a torn write or a stale corpus vintage forever and
-        // silently skew every future SCALE-INC table
-        val fix = s"$dir/embeddings.parquet"
-        val valid = new java.io.File(fix).isDirectory && {
-          try {
-            val cached = spark.read.parquet(fix)
-            cached.schema == replicas.schema && cached.count() == e0 * k
-          } catch { case _: Exception => false }
-        }
-        if (!valid)
-          replicas.repartition(32).write.mode("overwrite").parquet(fix)
+        val dir = ensureEmbIncReplicas(k)
         // fresh build every run: stale per-fingerprint publications would
         // time a no-op read instead of the maintenance step
         import graft.operators.Similarity.IvfIncIndex
@@ -597,24 +606,7 @@ object ScaleSmoke {
       }
       locally {
         val k = 100
-        val dir = s"/tmp/graft_scale_embinc_${k}x"
-        val replicas = emb0.crossJoin(spark.range(k).select(col("id").as("rep")))
-          .select(
-            (col("vec_id") + col("rep") * lit(1000000L)).as("vec_id"),
-            transform(col("embedding"), (x, idx) =>
-              when(idx === 0,
-                (x + col("rep").cast("double") * lit(0.05)).cast("float"))
-                .otherwise(x)).as("embedding"),
-            col("label"))
-        val fix = s"$dir/embeddings.parquet"
-        val valid = new java.io.File(fix).isDirectory && {
-          try {
-            val cached = spark.read.parquet(fix)
-            cached.schema == replicas.schema && cached.count() == e0 * k
-          } catch { case _: Exception => false }
-        }
-        if (!valid)
-          replicas.repartition(32).write.mode("overwrite").parquet(fix)
+        val dir = ensureEmbIncReplicas(k)
         import graft.operators.Similarity.IvfIncIndex
         (Seq(Similarity.IvfIndex.indexDirFor(dir), IvfIncIndex.baseDirFor(dir),
           IvfIncIndex.deltaDirFor(dir)))

@@ -84,7 +84,14 @@ object SpillSmoke {
       } catch {
         case e: Throwable =>
           println(s"SPILL $name FAILED: ${e.getClass.getSimpleName} ${e.getMessage}")
-      } finally spark.sparkContext.removeSparkListener(listener)
+      } finally {
+        // release in finally: a query that DIES under starvation must
+        // not leak its cached/checkpointed blocks into the next
+        // query's already-starved measurement
+        try graft.Lifecycle.release(spark)
+        catch { case _: Throwable => () }
+        spark.sparkContext.removeSparkListener(listener)
+      }
     }
     spark.stop()
   }

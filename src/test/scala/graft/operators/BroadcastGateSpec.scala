@@ -17,13 +17,17 @@ import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
   * not). */
 class BroadcastGateSpec extends SparkSpec {
 
-  private def collectPlans(p: SparkPlan): Seq[SparkPlan] =
-    p +: (p.children ++ p.subqueries).flatMap(collectPlans) match {
-      case all => all.flatMap {
-        case a: AdaptiveSparkPlanExec => a +: collectPlans(a.executedPlan)
-        case x => Seq(x)
-      }
+  /** Full traversal including AQE wrappers: QueryStageExec nodes are
+    * LEAVES whose real subtree hangs off `plan` (the BucketedJoinSpec
+    * walker), so the finalized stages are actually visible. */
+  private def collectPlans(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
     }
+    p +: kids.flatMap(collectPlans)
+  }
 
   private def joinPlan(threshold: String, payloadChars: Int) = {
     import spark.implicits._
@@ -35,7 +39,10 @@ class BroadcastGateSpec extends SparkSpec {
         octet_length(col("shingle")))(_.hint("SHUFFLE_HASH"))
       val big = (1 to 1000).map(i => ("k" * payloadChars) + (i % 60)).toDF("shingle")
       val joined = big.join(gated, Seq("shingle"), "left_semi")
-      joined.count() // execute so AQE finalizes the physical plan
+      // collect() executes THIS Dataset's QueryExecution (count() would
+      // build a different one), so the walked executedPlan below is the
+      // finalized adaptive plan that actually ran
+      joined.collect()
       collectPlans(joined.queryExecution.executedPlan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
