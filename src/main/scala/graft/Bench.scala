@@ -64,15 +64,25 @@ object Bench {
     // query (and a valid earlier sample is never poisoned by a later
     // failure: failed samples are simply dropped from the min).
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    var best = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
-    (1 to 2).foreach { _ =>
-      ordered.foreach { case (name, fn) =>
-        val t = timeOnce(name, fn)
-        if (t >= 0)
-          best += name -> (if (best(name) < 0) t else math.min(best(name), t))
-      }
+    val passResults: Seq[Seq[(String, Double)]] = (1 to 3).map { _ =>
+      ordered.map { case (name, fn) => name -> timeOnce(name, fn) }
     }
+    val best = ordered.map { case (name, _) =>
+      val samples = passResults.flatMap(_.collect {
+        case (`name`, t) if t >= 0 => t
+      })
+      name -> (if (samples.isEmpty) -1.0 else samples.min)
+    }.toMap
     val results = ordered.map { case (name, _) => name -> best(name) }
+    // Artifact self-description (r13 VERDICT nit: BENCH_r13 carried a
+    // degraded-host window's total as the round's number with nothing in
+    // the JSON saying so). pass_totals lets a cross-round diff reader see
+    // the spread; `transient` flags a pass-to-pass swing beyond the
+    // measured ±15% container noise floor — when true, the min-side
+    // numbers (which `value` already reports, being min-of-passes) are
+    // the engine's cost and the worst pass is host noise.
+    val passTotals = passResults.map(_.map { case (_, t) => math.max(t, 0.0) }.sum)
+    val transientRun = passTotals.min > 0 && passTotals.max / passTotals.min > 1.3
     // The driver captures only the LAST 2000 chars of this process's
     // output and JSON-parses the result line out of that window — at 73
     // queries, full-precision doubles push the line to ~2900 chars and
@@ -87,10 +97,12 @@ object Bench {
     val total = results.map(_._2).sum
     val sfJson = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+    val passJson = passTotals.map(fmt(_, 2)).mkString("[", ",", "]")
+    val selfDesc = s""""pass_totals":$passJson,"transient":$transientRun"""
     def line(scale: Int): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, scale) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, scale)},"unit":"sec","queries":$qs,"sf":$sfJson}"""
+      s"""{"metric":"total","value":${fmt(total, scale)},"unit":"sec",$selfDesc,"queries":$qs,"sf":$sfJson}"""
     }
     // the driver's tail window is 2000 chars (minus a possible "[info] "
     // prefix and newline); at 111 catalog queries the full names ALONE
@@ -109,7 +121,7 @@ object Bench {
       val qs = results.zip(prefixes).map { case ((_, v), p) =>
         "\"" + p + "\":" + fmt(v, scale)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, scale)},"unit":"sec","queries":$qs,"sf":$sfJson}"""
+      s"""{"metric":"total","value":${fmt(total, scale)},"unit":"sec",$selfDesc,"queries":$qs,"sf":$sfJson}"""
     }
     def lineTop(scale: Int, keep: Int): String = {
       val desc = results.sortBy { case (n, v) => (-v, n) }
@@ -118,7 +130,7 @@ object Bench {
         .mkString("{", ",", "}")
       val omitted = if (keep >= results.size) ""
         else s""","omitted":${results.size - keep}"""
-      s"""{"metric":"total","value":${fmt(total, scale)},"unit":"sec","queries":$qs$omitted,"sf":$sfJson}"""
+      s"""{"metric":"total","value":${fmt(total, scale)},"unit":"sec",$selfDesc,"queries":$qs$omitted,"sf":$sfJson}"""
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), line(2) + "\n")

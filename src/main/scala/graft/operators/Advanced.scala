@@ -1340,6 +1340,78 @@ object Advanced {
       |  FROM tok t JOIN curated USING (doc_id))
       |ORDER BY doc_id""".stripMargin))
 
+  /** Nightly-maintenance composition — the INCREMENTAL ring as one
+    * hash-checked gate, chaining both index families' delta steps with
+    * the probe that consumes them. The pipeline a daily 100 TB
+    * deployment actually runs when a crawl slice (doc_id % 10 == 7 /
+    * vec_id % 5 == 4, the shared slice conventions) arrives:
+    *
+    *  1. text: the persisted RESIDENT pair index
+    *     ([[TextDedup.ResidentPairIndex]] — yesterday's state) is grown
+    *     by the t34 delta ([[TextDedup.pairDelta]]: slice bands probe
+    *     the corpus band index, candidates exact-verified) — an APPEND,
+    *     never a corpus re-pair;
+    *  2. the t25 dedup probe runs over the GROWN index
+    *     ([[TextDedup.probeKeep]]) — the keep mask tomorrow's ingest
+    *     acts on;
+    *  3. vectors: the s08 IVF delta segment
+    *     ([[Similarity.IvfIncIndex]]) assigns only the new slice
+    *     against frozen centroids; readers union base ∪ delta.
+    *
+    * The oracle is FULL-REBUILD EQUIVALENCE, recomputed from scratch in
+    * DuckDB: the grown pair set must hash-equal the all-pairs Jaccard
+    * of the whole corpus (the PairIndexDeltaSpec union invariant,
+    * promoted to the DuckDB gate), the keep mask must equal a probe of
+    * that from-scratch set, and the segment union must equal a whole-
+    * corpus re-assignment against the persisted centroids. Any drift —
+    * a pair double-counted or missed by the append, probe divergence,
+    * assignment nondeterminism, a torn segment — breaks the hash.
+    *
+    * Scale: every stage keeps its member's shape — the delta is
+    * O(slice × bands) against a persisted signature read, the probe is
+    * one semi-join + anti-join on the batch's pair neighborhood, the
+    * IVF delta is ∝ |slice| — so the whole nightly run costs ∝ the
+    * slice, never ∝ the corpus (measured: PLANS.md SCALE-DEEP/SIG). */
+  val c04 = QueryDef(
+    "c04_nightly_maintenance",
+    (s, d) => {
+      val resident = TextDedup.ResidentPairIndex.ensure(s, d)
+      val grown = resident.unionByName(TextDedup.pairDelta(s, d))
+      val keep = TextDedup.probeKeep(s, d, grown)
+      graft.functions.VectorExpressions.register(s)
+      val (base, delta) = Similarity.IvfIncIndex.ensure(s, d)
+      val nullId2 = lit(null).cast("long")
+      grown.select(lit("pairs").as("stage"), col("doc1").as("id"),
+          col("doc2").as("id2"), col("jaccard").as("val"))
+        .unionByName(keep.select(lit("dedup").as("stage"),
+          col("doc_id").as("id"), nullId2.as("id2"),
+          when(col("keep"), 1.0).otherwise(0.0).as("val")))
+        .unionByName(base.unionByName(delta).select(lit("ivf").as("stage"),
+          col("vec_id").as("id"), nullId2.as("id2"),
+          col("cell").cast("double").as("val")))
+        .orderBy(col("stage"), col("id"), col("id2"))
+    },
+    None,
+    oracleLate = Some { sfDir =>
+      s"""WITH jp AS (${TextDedup.JaccardPairsSql}),
+         |batch AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+         |und AS (SELECT doc1 AS b, doc2 AS partner FROM jp
+         |        UNION ALL SELECT doc2 AS b, doc1 AS partner FROM jp),
+         |dom AS (
+         |  SELECT DISTINCT b AS doc_id FROM und JOIN batch ON und.b = batch.doc_id
+         |  WHERE partner % 10 <> 7 OR partner < b),
+         |${Similarity.ivfAssignCtes(sfDir)}
+         |SELECT 'pairs' AS stage, doc1 AS id, doc2 AS id2, jaccard AS val FROM jp
+         |UNION ALL
+         |SELECT 'dedup', b.doc_id, CAST(NULL AS BIGINT),
+         |       CASE WHEN dom.doc_id IS NULL THEN 1.0 ELSE 0.0 END
+         |FROM batch b LEFT JOIN dom ON b.doc_id = dom.doc_id
+         |UNION ALL
+         |SELECT 'ivf', vec_id, CAST(NULL AS BIGINT), CAST(cell AS DOUBLE)
+         |FROM ranked WHERE arank = 1
+         |ORDER BY stage, id, id2""".stripMargin
+    })
+
   /** SCD2 dimension build — turn the events change log into
     * slowly-changing-dimension rows with validity intervals: per user,
     * consecutive same-status events collapse (lag filter), and each
@@ -1468,31 +1540,42 @@ object Advanced {
     * entirely. The delta sums are decimal-exact per the Exact contract
     * (operands cast to decimal BEFORE subtraction — the double
     * difference would round differently than its operands). */
+  /** Library façade behind q34: row-level reconciliation of two
+    * snapshots of one table — FULL OUTER join on `key`, rows classified
+    * added/removed/changed/unchanged, per-class count and decimal-exact
+    * value delta. `a` is the older snapshot, `b` the newer; keys must be
+    * unique per snapshot (it diffs VERSIONS of rows, not multisets).
+    * Scale: one hash-partitioned full-outer join — both sides shuffle on
+    * the key once; bucketed snapshots (r08 layout) drop the exchanges. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: String, value: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 2)
+    a.select(col(key).as("k"), col(value).as("va"))
+      .join(b.select(col(key).as("k"), col(value).as("vb")), Seq("k"), "full_outer")
+      .withColumn("status",
+        when(col("va").isNull, "added")
+          .when(col("vb").isNull, "removed")
+          .when(col("va") =!= col("vb"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("vb"), lit(0.0)).cast(dec) -
+          coalesce(col("va"), lit(0.0)).cast(dec)).cast("double").as("delta"))
+      .orderBy(col("status"))
+  }
+
   val q34 = QueryDef(
     "q34_snapshot_diff",
     (s, d) => {
-      import org.apache.spark.sql.types.DecimalType
-      val dec = DecimalType(18, 2)
       val base = Tables.orders(s, d)
-      val a = base.select(col("o_orderkey").as("k"), col("o_totalprice").as("va"))
       val b = base.filter(pmod(col("o_orderkey"), lit(89)) =!= 0)
-        .select(col("o_orderkey").as("k"),
+        .select(col("o_orderkey"),
           when(pmod(col("o_orderkey"), lit(97)) === 0, col("o_totalprice") + 100.0)
-            .otherwise(col("o_totalprice")).as("vb"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
         .unionByName(base.filter(pmod(col("o_orderkey"), lit(83)) === 0)
-          .select((col("o_orderkey") + 1000000000L).as("k"),
-            col("o_totalprice").as("vb")))
-      a.join(b, Seq("k"), "full_outer")
-        .withColumn("status",
-          when(col("va").isNull, "added")
-            .when(col("vb").isNull, "removed")
-            .when(col("va") =!= col("vb"), "changed")
-            .otherwise("unchanged"))
-        .groupBy(col("status"))
-        .agg(count(lit(1)).as("n"),
-          sum(coalesce(col("vb"), lit(0.0)).cast(dec) -
-            coalesce(col("va"), lit(0.0)).cast(dec)).cast("double").as("delta"))
-        .orderBy(col("status"))
+          .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+            col("o_totalprice")))
+      snapshotDiff(base, b, "o_orderkey", "o_totalprice")
     },
     Some("""WITH a AS (SELECT o_orderkey AS k, o_totalprice AS va FROM orders),
            |b AS (
@@ -1516,6 +1599,6 @@ object Advanced {
 
   val catalog: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, q16, q17, t09, c01, c02, c03,
-      tj01, tj02, tj03, v01, v02, v03, v04, j01, q18, t10, q19, q20, q21, q24,
-      q25, q32, q33, q34)
+      c04, tj01, tj02, tj03, v01, v02, v03, v04, j01, q18, t10, q19, q20, q21,
+      q24, q25, q32, q33, q34)
 }

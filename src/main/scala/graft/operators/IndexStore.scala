@@ -104,6 +104,19 @@ private[operators] object IndexStore {
     md.digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
   }
 
+  /** Total bytes of `<d>/<table>.parquet`, via the same Hadoop listing
+    * as [[corpusFingerprint]] (object-store-capable). Any listing error
+    * degrades to -1 — callers gating a persisted-artifact path on size
+    * then take the inline branch, which is always correct (the persisted
+    * path is an optimization, never a semantic change). */
+  def corpusBytes(d: String, table: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+    try {
+      val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.listStatus(path).map(_.getLen).sum
+    } catch { case _: java.io.IOException => -1L }
+  }
+
   /** Ensure the index at `dirPath` is published (its `marker` file
     * exists), running `build` into a private temp sibling and atomically
     * renaming it into place if not. Returns `dirPath`. */

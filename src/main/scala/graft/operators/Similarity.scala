@@ -820,6 +820,25 @@ object Similarity {
     * anywhere (assignment nondeterminism, a missed or duplicated vector
     * in the segment split, centroid mutation during growth) breaks the
     * hash. */
+  /** DuckDB CTE chain re-assigning the WHOLE corpus against the
+    * persisted frozen centroids of [[IvfIncIndex]] — `ranked` with
+    * `arank = 1` is the from-scratch counterfactual both incremental
+    * gates (s08, and c04's composition in Advanced) compare against.
+    * Late-bound: the centroid dir embeds the corpus fingerprint of the
+    * run being verified. */
+  private[operators] def ivfAssignCtes(sfDir: String): String = {
+    val dir = IvfIncIndex.baseDirFor(sfDir)
+    s"""cen AS (SELECT cell, center FROM read_parquet('$dir/centroids/*.parquet')),
+       |scored AS (
+       |  SELECT e.vec_id, cen.cell,
+       |         ${duckDot("cen.center", "cen.center")} - 2.0 * ${duckDot("e.embedding", "cen.center")} AS score
+       |  FROM embeddings e CROSS JOIN cen),
+       |ranked AS (
+       |  SELECT vec_id, cell,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS arank
+       |  FROM scored)""".stripMargin
+  }
+
   val s08 = QueryDef(
     "s08_ann_ivf_incremental",
     (s, d) => {
@@ -832,16 +851,7 @@ object Similarity {
     },
     None,
     oracleLate = Some { sfDir =>
-      val dir = IvfIncIndex.baseDirFor(sfDir)
-      s"""WITH cen AS (SELECT cell, center FROM read_parquet('$dir/centroids/*.parquet')),
-         |scored AS (
-         |  SELECT e.vec_id, cen.cell,
-         |         ${duckDot("cen.center", "cen.center")} - 2.0 * ${duckDot("e.embedding", "cen.center")} AS score
-         |  FROM embeddings e CROSS JOIN cen),
-         |ranked AS (
-         |  SELECT vec_id, cell,
-         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS arank
-         |  FROM scored)
+      s"""WITH ${ivfAssignCtes(sfDir)}
          |SELECT vec_id, cell,
          |       (vec_id % ${IvfIncIndex.NewSliceMod} = ${IvfIncIndex.NewSliceRem}) AS is_new
          |FROM ranked WHERE arank = 1 ORDER BY vec_id""".stripMargin

@@ -82,12 +82,15 @@ object TextDedup {
   }
 
   /** Exact Jaccard >= threshold on candidate pairs given a (doc1, doc2)
-    * candidate DataFrame. Joins the per-doc shingle sets (one row per doc
-    * — broadcastable at moderate doc counts; at extreme scale replace with
-    * a semi-join back into the index). */
-  private[graft] def verifyJaccard(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+    * candidate DataFrame, over an explicit (doc_id, text) source frame —
+    * the frame-generic core behind [[verifyJaccard]] and the
+    * [[dedupNearPairs]] façade. Joins the per-doc shingle sets (one row
+    * per doc — broadcastable at moderate doc counts; at extreme scale
+    * replace with a semi-join back into the index). */
+  private[graft] def verifyJaccardOf(src: DataFrame, cand: DataFrame): DataFrame = {
+    val s = src.sparkSession
     graft.functions.TextExpressions.register(s)
-    val sets = docs(s, d)
+    val sets = src
       .repartition(s.sparkContext.defaultParallelism) // parallelism (see shingleIndex)
       .select(col("doc_id"), call_function("graft_shingles", col("text")).as("sh"))
     // (measured: caching this is slower than recomputing both branches —
@@ -105,6 +108,9 @@ object TextDedup {
       .select(col("doc1"), col("doc2"), col("jaccard"))
       .orderBy(col("doc1"), col("doc2"))
   }
+
+  private[graft] def verifyJaccard(s: SparkSession, d: String, cand: DataFrame): DataFrame =
+    verifyJaccardOf(docs(s, d), cand)
 
   // ---------------------------------------------------------------- catalog
 
@@ -486,27 +492,101 @@ object TextDedup {
     * a banding change (seed, band count, kernel) can never desynchronize
     * the persisted PairIndex from its delta — the invariant
     * PairIndexDeltaSpec pins. */
-  private[graft] def bandsFrame(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bandsOf(src: DataFrame): DataFrame = {
+    val s = src.sparkSession
     graft.functions.TextExpressions.register(s)
-    docs(s, d)
+    src
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         posexplode(call_function("graft_minhash_bands", col("text")))
           .as(Seq("band_idx", "band_hash")))
   }
 
-  /** The LSH near-dup pipeline itself: band self-join candidates,
-    * exact-verified. [[PairIndex]] persists its result; consumers
-    * (t07, t11, t19) go through the index, not this. */
-  private[graft] def lshPairs(s: SparkSession, d: String): DataFrame = {
-    val bands = bandsFrame(s, d)
+  private[graft] def bandsFrame(s: SparkSession, d: String): DataFrame =
+    bandsOf(docs(s, d))
+
+  /** Corpus-fingerprinted persisted band-signature table — the SigIndex
+    * pattern ([[Similarity.SigIndex]]) for the text side: every doc's
+    * (band_idx, band_hash) LSH assignments, a pure fixed-seed function
+    * of the corpus, published once per corpus fingerprint and read by
+    * the maintenance path ([[pairDelta]]) so a nightly delta never
+    * re-runs the tokenize+shingle+minhash kernel over the RESIDENT
+    * corpus. Publication/staleness contract: [[IndexStore]]. */
+  object BandIndex {
+    private[graft] def indexDirFor(d: String): String =
+      s"${sys.props("java.io.tmpdir")}/graft_bands_${IndexStore.corpusFingerprint(d, "documents")}"
+
+    def ensure(s: SparkSession, d: String): DataFrame = {
+      val dir = IndexStore.ensure(indexDirFor(d), "bands/_SUCCESS") { tmp =>
+        bandsFrame(s, d).write.mode("overwrite").parquet(s"$tmp/bands")
+      }
+      s.read.parquet(s"$dir/bands")
+    }
+  }
+
+  /** Above this documents.parquet size the band signatures come from the
+    * persisted [[BandIndex]]; below it they are recomputed inline. The
+    * inline kernel wins at gate scale (the r8 posting-list negative
+    * result: a parquet round-trip of a derivation costs more than the
+    * fused scan it replaces when the corpus is small), but the kernel
+    * pass is CPU-∝-corpus while the persisted read is IO-∝-signatures —
+    * at 125k docs the corpus-side recompute is ~the whole t34 wall
+    * (PLANS.md SIG table), and at 100 TB it is a nightly full-corpus
+    * pass a deployment cannot afford. 4 MiB keeps every gate SF inline
+    * (sf0.1 documents = 584 KiB) and flips the deep /tmp corpora. */
+  private[operators] val BandsPersistBytes = 4L * 1024 * 1024
+
+  /** The corpus band signatures, from the persisted [[BandIndex]] or the
+    * inline kernel per the size gate above; `spark.graft.bands.mode`
+    * (`auto`/`persisted`/`inline`) overrides for measurement. Both paths
+    * are bit-identical by construction (the index IS the kernel's
+    * output, fixed seed, no trained state) — pinned in
+    * PairIndexDeltaSpec. */
+  private[graft] def corpusBands(s: SparkSession, d: String): DataFrame =
+    s.conf.get("spark.graft.bands.mode", "auto") match {
+      case "persisted" => BandIndex.ensure(s, d)
+      case "inline"    => bandsFrame(s, d)
+      case _ =>
+        if (IndexStore.corpusBytes(d, "documents") > BandsPersistBytes)
+          BandIndex.ensure(s, d)
+        else bandsFrame(s, d)
+    }
+
+  /** Band self-join candidate pairs → exact verification, over an
+    * explicit band frame — the ONE pairing body shared by the full build
+    * ([[lshPairs]]) and the resident-only build
+    * ([[ResidentPairIndex]]). */
+  private def lshPairsFromBands(src: DataFrame, bands: DataFrame): DataFrame = {
     val x = bands.select(col("doc_id").as("doc1"), col("band_idx"), col("band_hash"))
     val y = bands.select(col("doc_id").as("doc2"), col("band_idx").as("bi2"), col("band_hash").as("bh2"))
     val cand = x.join(y,
         x("band_idx") === y("bi2") && x("band_hash") === y("bh2") &&
           col("doc1") < col("doc2"))
       .select(col("doc1"), col("doc2")).distinct()
-    verifyJaccard(s, d, cand)
+    verifyJaccardOf(src, cand)
+  }
+
+  /** The LSH near-dup pipeline itself: band self-join candidates,
+    * exact-verified. [[PairIndex]] persists its result; consumers
+    * (t07, t11, t19) go through the index, not this. */
+  private[graft] def lshPairs(s: SparkSession, d: String): DataFrame =
+    lshPairsFromBands(docs(s, d), bandsFrame(s, d))
+
+  /** Library façade: exact-verified MinHash/LSH near-dup pairs over ANY
+    * DataFrame — `(doc1, doc2, jaccard)` for every pair with 3-token-
+    * shingle Jaccard ≥ [[JaccardThreshold]], doc1 < doc2 under the id
+    * column's own ordering (ids must be orderable and distinct). The
+    * same banded pipeline the fixture gates run (t07 is exactly
+    * `dedupNearPairs(documents, "doc_id", "text")` behind its persisted
+    * index): candidates from the band self-join — shuffle
+    * O(rows × bands), never all-pairs — then exact verification, so the
+    * result equals the exact inverted-index answer (recall gate:
+    * SimilarityRecallSpec). Unordered; callers sort. For repeated use
+    * over one corpus, persist the result ([[PairIndex]] pattern) rather
+    * than recomputing. */
+  def dedupNearPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val src = df.select(col(idCol).as("doc_id"), col(textCol).cast("string").as("text"))
+    lshPairsFromBands(src, bandsOf(src))
   }
 
   /** Corpus-fingerprinted persisted near-dup pair table (doc1, doc2,
@@ -565,21 +645,29 @@ object TextDedup {
     * the batch and its pair neighborhood, not the corpus. At 100 TB with
     * a ~1% daily batch this is the difference between re-sharding the
     * corpus shingle index nightly and a bounded index probe. */
+  /** t25's probe core over an EXPLICIT pair frame: the batch
+    * (doc_id % 10 == 7, the daily-slice convention shared with t34/s08)
+    * deduped against the pairs — a batch doc is dropped iff it near-dups
+    * a corpus-resident doc or an earlier batch doc. Factored so the
+    * nightly-maintenance composition (c04) can probe the GROWN
+    * (resident ∪ delta) index it just maintained, while t25 probes the
+    * published full index. Unordered — callers impose their order. */
+  private[graft] def probeKeep(s: SparkSession, d: String, pairFrame: DataFrame): DataFrame = {
+    val pairs = pairFrame.select(col("doc1"), col("doc2"))
+    val batch = docs(s, d).filter(col("doc_id") % 10 === 7).select(col("doc_id"))
+    val und = pairs.select(col("doc1").as("b"), col("doc2").as("partner"))
+      .unionByName(pairs.select(col("doc2").as("b"), col("doc1").as("partner")))
+    val dominated = und
+      .join(batch.withColumnRenamed("doc_id", "b"), Seq("b"))
+      .filter(col("partner") % 10 =!= 7 || col("partner") < col("b"))
+      .select(col("b").as("doc_id")).distinct()
+    batch.join(dominated.withColumn("dom", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dom").isNull.as("keep"))
+  }
+
   val t25 = QueryDef(
     "t25_incremental_dedup",
-    (s, d) => {
-      val pairs = PairIndex.ensure(s, d).select(col("doc1"), col("doc2"))
-      val batch = docs(s, d).filter(col("doc_id") % 10 === 7).select(col("doc_id"))
-      val und = pairs.select(col("doc1").as("b"), col("doc2").as("partner"))
-        .unionByName(pairs.select(col("doc2").as("b"), col("doc1").as("partner")))
-      val dominated = und
-        .join(batch.withColumnRenamed("doc_id", "b"), Seq("b"))
-        .filter(col("partner") % 10 =!= 7 || col("partner") < col("b"))
-        .select(col("b").as("doc_id")).distinct()
-      batch.join(dominated.withColumn("dom", lit(true)), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("dom").isNull.as("keep"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => probeKeep(s, d, PairIndex.ensure(s, d)).orderBy(col("doc_id")),
     Some(s"""WITH jp AS ($JaccardPairsSql),
        |batch AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
        |und AS (SELECT doc1 AS b, doc2 AS partner FROM jp
@@ -1358,32 +1446,68 @@ object TextDedup {
     * side — O(slice × bands) shuffle rows probing the corpus's band
     * index, never corpus × corpus; verification touches only the
     * candidates' shingle sets. Band signatures are per-row pure
-    * functions of the fixed-seed kernel (no trained state), so at
-    * deployment scale the corpus side reads the persisted signature
-    * table (the [[Similarity.SigIndex]] pattern) instead of recomputing
-    * — recomputed inline here at gate scale, where the kernel pass is
-    * cheaper than a parquet round-trip (the r8 posting-list NEGATIVE
+    * functions of the fixed-seed kernel (no trained state), so the
+    * corpus side reads the persisted signature table ([[BandIndex]],
+    * the [[Similarity.SigIndex]] pattern) whenever the size gate says
+    * the corpus out-costs the round-trip ([[corpusBands]]); small
+    * corpora keep the inline kernel (the r8 posting-list NEGATIVE
     * result). Oracle equality rests on the same premise as t07's gate:
     * banding at these parameters finds every pair at or above the
     * threshold (recall gate: SimilarityRecallSpec). */
+  /** t34's delta body over the size-gated [[corpusBands]] source: the
+    * slice's bands probe the corpus's, candidates with ≥1 slice endpoint
+    * are exact-verified. When the gate selects the persisted
+    * [[BandIndex]], the corpus side is a parquet read of the signature
+    * table — the deployment shape; inline recompute survives for small
+    * corpora where the kernel pass beats the round-trip. */
+  private[graft] def pairDelta(s: SparkSession, d: String): DataFrame = {
+    val bands = corpusBands(s, d)
+    val fresh = bands.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id").as("da"), col("band_idx").as("bi"),
+        col("band_hash").as("bh"))
+    val corpus = bands
+      .select(col("doc_id").as("db"), col("band_idx").as("bi2"),
+        col("band_hash").as("bh2"))
+    val cand = fresh.join(corpus,
+        fresh("bi") === corpus("bi2") && fresh("bh") === corpus("bh2") &&
+          col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc1"),
+        greatest(col("da"), col("db")).as("doc2"))
+      .distinct()
+    // verification touches ONLY the candidate neighborhood: semi-join
+    // the doc scan down to candidate endpoints BEFORE the shingle
+    // kernel, so the delta's verify cost is ∝ candidates — without this
+    // the verify step re-shingles the whole corpus and the persisted
+    // band index saves only half the full-corpus work (measured:
+    // PLANS.md SIG table). Value-neutral: a doc's shingle set does not
+    // depend on which other docs are examined.
+    val ids = cand.select(col("doc1").as("doc_id"))
+      .unionByName(cand.select(col("doc2").as("doc_id"))).distinct()
+    verifyJaccardOf(docs(s, d).join(ids, Seq("doc_id"), "left_semi"), cand)
+  }
+
+  /** Corpus-fingerprinted persisted pair index over the RESIDENT corpus
+    * only (doc_id % 10 != 7 — yesterday's snapshot in the daily-slice
+    * convention): the state a nightly maintenance job starts from. c04
+    * grows it with [[pairDelta]] and gates that resident ∪ delta equals
+    * the full rebuild. Same [[IndexStore]] contract as [[PairIndex]]. */
+  object ResidentPairIndex {
+    private[graft] def indexDirFor(d: String): String =
+      s"${sys.props("java.io.tmpdir")}/graft_pairs_res_${IndexStore.corpusFingerprint(d, "documents")}"
+
+    def ensure(s: SparkSession, d: String): DataFrame = {
+      val dir = IndexStore.ensure(indexDirFor(d), "pairs/_SUCCESS") { tmp =>
+        lshPairsFromBands(docs(s, d),
+            corpusBands(s, d).filter(col("doc_id") % 10 =!= 7))
+          .write.mode("overwrite").parquet(s"$tmp/pairs")
+      }
+      s.read.parquet(s"$dir/pairs")
+    }
+  }
+
   val t34 = QueryDef(
     "t34_pair_index_delta",
-    (s, d) => {
-      val bands = bandsFrame(s, d)
-      val fresh = bands.filter(col("doc_id") % 10 === 7)
-        .select(col("doc_id").as("da"), col("band_idx").as("bi"),
-          col("band_hash").as("bh"))
-      val corpus = bands
-        .select(col("doc_id").as("db"), col("band_idx").as("bi2"),
-          col("band_hash").as("bh2"))
-      val cand = fresh.join(corpus,
-          fresh("bi") === corpus("bi2") && fresh("bh") === corpus("bh2") &&
-            col("da") =!= col("db"))
-        .select(least(col("da"), col("db")).as("doc1"),
-          greatest(col("da"), col("db")).as("doc2"))
-        .distinct()
-      verifyJaccard(s, d, cand)
-    },
+    (s, d) => pairDelta(s, d),
     Some(ShingleCte + s""",
       |pairs AS (
       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter

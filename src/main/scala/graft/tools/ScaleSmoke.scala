@@ -620,6 +620,77 @@ object ScaleSmoke {
           f"($nDelta new-slice rows)")
       }
     }
+    // ---- persisted band-signature index (r14 slate #2) ----
+    // t34's delta with the corpus side from the persisted BandIndex vs
+    // the inline kernel recompute, at the 125k-doc decade point. The
+    // claim under measurement: the signature build is a once-per-corpus
+    // amortized cost, after which every nightly delta reads signatures
+    // (IO ∝ signature bytes) instead of re-running the tokenize+shingle+
+    // minhash kernel over the resident corpus (CPU ∝ corpus text).
+    if (want("sig")) {
+      def time[T](f: => T): (Double, T) = {
+        val t0 = System.nanoTime(); val v = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.Lifecycle.release(spark)
+        (dt, v)
+      }
+      import graft.operators.TextDedup
+      Seq(25).foreach { k =>
+        val dir = ensureDocsReplicas(k)
+        graft.Lifecycle.deleteRecursively(
+          new java.io.File(TextDedup.BandIndex.indexDirFor(dir)))
+        spark.conf.set("spark.graft.bands.mode", "inline")
+        val (tInline, nInline) = time(TextDedup.t34.fn(spark, dir).count())
+        spark.conf.set("spark.graft.bands.mode", "persisted")
+        val (tBuild, _) = time(TextDedup.BandIndex.ensure(spark, dir).count())
+        val (tDelta, nPers) = time(TextDedup.t34.fn(spark, dir).count())
+        spark.conf.set("spark.graft.bands.mode", "auto")
+        println(f"SIG docs=${n0 * k}%7d inlineDelta=${tInline}%6.1fs " +
+          f"sigBuild=${tBuild}%6.1fs persistedDelta=${tDelta}%6.1fs " +
+          f"($nPers pairs)")
+        assert(nInline == nPers, s"band source changed the delta: $nInline vs $nPers")
+      }
+    }
+
+    // ---- deep skew stress (r14 slate #4) ----
+    // A deliberately skewed corpus at scale: every doc's text is made
+    // replica-disjoint (each token interleaved with a replica marker, so
+    // cross-replica shingles never collide and the organic pair load
+    // stays bounded), then ONE hot phrase is planted in 1/64 of all
+    // docs — a df ~100x the organic hot tail. The direct plan lands
+    // each hot shingle's ~2M-pair fan-out on ONE key group; the
+    // stats-gated hatch (t06 default) spreads it over HotBlocks keys.
+    // Measured: wall + max/p50 task (the straggler signal), identical
+    // pair counts.
+    if (want("skewdeep")) {
+      val k = 12
+      val skewDir = "/tmp/graft_scale_skewdeep"
+      if (!new java.io.File(s"$skewDir/documents.parquet").isDirectory) {
+        val copies = (0 until k).map { i =>
+          base.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+            regexp_replace(col("text"), lit(" "), lit(s" r$i ")).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }
+        copies.reduce(_ unionAll _)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(64)) === 3,
+              concat(col("text"), lit(" zzqq hot common boiler plate phrase")))
+              .otherwise(col("text")).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+      }
+      val nDocs = spark.read.parquet(s"$skewDir/documents.parquet").count()
+      val (tD, nD, maxD, p50D) = spreadOf(spark)(
+        graft.operators.TextDedup.jaccardPairsDirect(spark, skewDir).count())
+      val (tH, nH, maxH, p50H) = spreadOf(spark)(
+        graft.operators.TextDedup.t06.fn(spark, skewDir).count())
+      println(f"SKEW-DEEP docs=$nDocs%7d direct=${tD}%6.1fs ($nD pairs) " +
+        f"maxTask=${maxD}ms p50Task=${p50D}ms")
+      println(f"SKEW-DEEP docs=$nDocs%7d hatched=${tH}%6.1fs ($nH pairs) " +
+        f"maxTask=${maxH}ms p50Task=${p50H}ms")
+      assert(nD == nH, s"skew hatch changed the pair count: $nD vs $nH")
+    }
     spark.stop()
   }
 }

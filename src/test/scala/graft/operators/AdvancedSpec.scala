@@ -87,4 +87,19 @@ class AdvancedSpec extends SparkSpec {
     assert(rows.forall(_._4 > 0.0))
     assert(rows.map(-_._4).toSeq == rows.map(-_._4).toSeq.sorted)
   }
+
+  test("c04's probe over the grown index equals t25 over the published one") {
+    val sf = "/root/testdata/sf0.001"
+    val c04Dedup = Advanced.c04.fn(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("stage") === "dedup")
+      .collect().map(r => r.getLong(1) -> (r.getDouble(3) == 1.0)).toMap
+    val t25Keep = TextDedup.t25.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(c04Dedup == t25Keep)
+    assert(c04Dedup.nonEmpty)
+    // all three stages present: the composition exercised every member
+    val stages = Advanced.c04.fn(spark, sf)
+      .select("stage").distinct().collect().map(_.getString(0)).toSet
+    assert(stages == Set("pairs", "dedup", "ivf"))
+  }
 }

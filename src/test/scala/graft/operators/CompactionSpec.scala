@@ -34,20 +34,21 @@ class CompactionSpec extends SparkSpec {
   test("r06 compacts the 64-file fragmented table to the byte-budget file count") {
     SourcesStreaming.r06.fn(spark, sf).collect()
     val frag = parquetFiles(SourcesStreaming.roundtripDir("frag", sf))
-    val compact = parquetFiles(SourcesStreaming.roundtripDir("compact", sf))
+    val compactData = s"${SourcesStreaming.compactDir(sf)}/data"
+    val compact = parquetFiles(compactData)
     assert(frag.length == 64)
     val expected = math.max(1,
       math.ceil(frag.map(_.length).sum / (32.0 * 1024 * 1024)).toInt)
     assert(compact.length == expected)
     assert(compact.length < frag.length)
     // compaction must not lose or duplicate rows
-    assert(spark.read.parquet(SourcesStreaming.roundtripDir("compact", sf)).count() ==
+    assert(spark.read.parquet(compactData).count() ==
       graft.Tables.lineitem(spark, sf).count())
   }
 
   test("r07's clustered layout row-group-skips a day filter; scrambled layout cannot") {
     val tmp = sys.props("java.io.tmpdir")
-    val clustered = SourcesStreaming.roundtripDir("cluster", sf)
+    val clustered = s"${SourcesStreaming.clusterDir(sf)}/data"
     SourcesStreaming.r07.fn(spark, sf).collect() // materializes the clustered copy
     // adversarial baseline: same rows, time order destroyed, so every
     // file's ts min/max spans the whole month and no row group can be
@@ -77,5 +78,31 @@ class CompactionSpec extends SparkSpec {
     // groups (~2/8 of the rows) — allow both plus slack
     assert(clusteredScanRows <= scrambledScanRows / 3,
       s"clustered scan did not skip: $clusteredScanRows vs $scrambledScanRows")
+  }
+
+  test("a crashed rewrite can never serve a torn clustered copy") {
+    import graft.Lifecycle.deleteRecursively
+    val expected = SourcesStreaming.r07.fn(spark, sf).collect().toSeq
+    val dir = new java.io.File(SourcesStreaming.clusterDir(sf))
+
+    // 1. crash BEFORE rename: a torn .build-* sibling sits next to the
+    // published copy — it must be ignored, the published copy serves
+    val torn = new java.io.File(dir.getParentFile, dir.getName + ".build-dead")
+    new java.io.File(torn, "data").mkdirs()
+    java.nio.file.Files.writeString(
+      torn.toPath.resolve("data/part-00000-dead.parquet"), "not parquet")
+    assert(SourcesStreaming.r07.fn(spark, sf).collect().toSeq == expected)
+    deleteRecursively(torn)
+
+    // 2. torn DESTINATION (marker missing — a crash inside a pre-rename
+    // world, or a half-deleted dir): must be rebuilt, never served
+    assert(new java.io.File(dir, "data/_SUCCESS").delete())
+    val dataFiles = new java.io.File(dir, "data").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(dataFiles.nonEmpty)
+    dataFiles.head.delete() // actually tear it, not just unmark it
+    assert(SourcesStreaming.r07.fn(spark, sf).collect().toSeq == expected)
+    assert(new java.io.File(dir, "data/_SUCCESS").exists(),
+      "rebuild must republish the completeness marker")
   }
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The library-façade contract (r13 VERDICT slate #6): the highest-reuse
+  * operators must work as plain DataFrame-in/DataFrame-out APIs over
+  * tables they were NOT developed against — the fixture gates then stay
+  * as instantiations. profile() (ProfileSpec) and packSequences
+  * (CorpusSpec) already have this shape; these tests pin dedupNearPairs
+  * and snapshotDiff. */
+class FacadeSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("dedupNearPairs over the documents fixture equals the t07 gate result") {
+    val facade = TextDedup.dedupNearPairs(
+        graft.Tables.documents(spark, sf), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val gate = TextDedup.t07.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(facade == gate)
+    assert(facade.nonEmpty)
+  }
+
+  test("dedupNearPairs finds planted twins in a second table (part)") {
+    // a table the pipeline was never tuned on: part descriptions
+    // (name + type + brand — ≥4 tokens, enough for 3-token shingles)
+    // plus a twin copy of every row under offset keys — each original
+    // must pair with its twin at jaccard 1.0, and exact verification
+    // must keep every reported pair at or above the threshold
+    val part = graft.Tables.part(spark, sf)
+      .select(col("p_partkey").as("id"),
+        concat_ws(" ", col("p_name"), col("p_type"), col("p_brand")).as("nm"))
+    val twins = part.select((col("id") + 100000L).as("id"), col("nm"))
+    val pairs = TextDedup.dedupNearPairs(part.unionByName(twins), "id", "nm")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val keys = part.select("id").collect().map(_.getLong(0))
+    keys.foreach { k =>
+      assert(pairs.get((k, k + 100000L)).contains(1.0),
+        s"twin pair for part $k missing or not 1.0: ${pairs.get((k, k + 100000L))}")
+    }
+    assert(pairs.values.forall(_ >= 0.6))
+  }
+
+  test("snapshotDiff classifies a hand-built customer snapshot pair exactly") {
+    val a = graft.Tables.customer(spark, sf)
+    val removed = a.filter(pmod(col("c_custkey"), lit(10)) === 0)
+    val changed = a.filter(pmod(col("c_custkey"), lit(10)) =!= 0 &&
+      pmod(col("c_custkey"), lit(7)) === 0)
+    val b = a.filter(pmod(col("c_custkey"), lit(10)) =!= 0)
+      .withColumn("c_acctbal",
+        when(pmod(col("c_custkey"), lit(7)) === 0, col("c_acctbal") + 5.0)
+          .otherwise(col("c_acctbal")))
+      .unionByName(a.limit(0)) // schema guard: unionByName would throw on drift
+      .unionByName(a.filter(pmod(col("c_custkey"), lit(10)) === 1)
+        .withColumn("c_custkey", col("c_custkey") + 900000L))
+    val diff = Advanced.snapshotDiff(a, b, "c_custkey", "c_acctbal")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val total = a.count()
+    val nRemoved = removed.count()
+    val nChanged = changed.count()
+    val nAdded = a.filter(pmod(col("c_custkey"), lit(10)) === 1).count()
+    assert(diff("removed")._1 == nRemoved)
+    assert(diff("changed")._1 == nChanged)
+    assert(diff("added")._1 == nAdded)
+    assert(diff("unchanged")._1 == total - nRemoved - nChanged)
+    // decimal-exact deltas: +5 per changed row; removed rows subtract
+    // their balance; added rows contribute theirs
+    assert(diff("changed")._2 == 5.0 * nChanged)
+    val removedSum = removed.agg(graft.functions.Exact.exactSum(col("c_acctbal")))
+      .head().getDouble(0)
+    assert(diff("removed")._2 == -removedSum)
+  }
+}

@@ -32,4 +32,39 @@ class PairIndexDeltaSpec extends SparkSpec {
     assert(baseInternal.keySet ++ delta.keySet == full.keySet)
     assert(baseInternal.keySet.intersect(delta.keySet).isEmpty)
   }
+
+  test("persisted BandIndex path is bit-identical to the inline kernel") {
+    // the size gate keeps gate-scale corpora inline; force both arms and
+    // pin equality — the invariant that makes the gate a pure
+    // optimization (the persisted table IS the kernel's output)
+    val prev = spark.conf.getOption("spark.graft.bands.mode")
+    try {
+      spark.conf.set("spark.graft.bands.mode", "inline")
+      val inline = pairs(TextDedup.t34.fn(spark, sf))
+      spark.conf.set("spark.graft.bands.mode", "persisted")
+      val persisted = pairs(TextDedup.t34.fn(spark, sf))
+      assert(persisted == inline,
+        s"missing=${inline.keySet -- persisted.keySet} " +
+          s"extra=${persisted.keySet -- inline.keySet}")
+      assert(persisted.nonEmpty)
+    } finally {
+      prev.fold(spark.conf.unset("spark.graft.bands.mode"))(
+        spark.conf.set("spark.graft.bands.mode", _))
+    }
+  }
+
+  test("resident index ∪ delta == the full published index (c04's append)") {
+    val full = pairs(TextDedup.PairIndex.ensure(spark, sf)
+      .orderBy(org.apache.spark.sql.functions.col("doc1")))
+    val resident = pairs(TextDedup.ResidentPairIndex.ensure(spark, sf)
+      .orderBy(org.apache.spark.sql.functions.col("doc1")))
+    val delta = pairs(TextDedup.t34.fn(spark, sf))
+    assert(resident.keySet.intersect(delta.keySet).isEmpty,
+      "append would double-count a pair")
+    val grown = resident ++ delta
+    assert(grown == full,
+      s"missing=${full.keySet -- grown.keySet} extra=${grown.keySet -- full.keySet}")
+    // resident must contain NO slice endpoint — it is yesterday's state
+    assert(resident.keySet.forall { case (a, b) => a % 10 != 7 && b % 10 != 7 })
+  }
 }

@@ -30,8 +30,8 @@ class ZOrderSpec extends SparkSpec {
   test("z-order skips on both dimensions; linear ts sort cannot skip on user") {
     SourcesStreaming.r11.fn(spark, sf).collect() // materialize z-ordered copy
     SourcesStreaming.r07.fn(spark, sf).collect() // materialize ts-sorted copy
-    val zdir = SourcesStreaming.roundtripDir("zorder", sf)
-    val ldir = SourcesStreaming.roundtripDir("cluster", sf)
+    val zdir = s"${SourcesStreaming.zorderDir(sf)}/data"
+    val ldir = s"${SourcesStreaming.clusterDir(sf)}/data"
     val total = graft.Tables.events(spark, sf).count()
 
     // ~10% slices of each dimension (150 users / 30 days at this SF)
