@@ -284,7 +284,14 @@ object TextDedup {
     * docs routes through the blocked self-join ([[jaccardPairsHatched]]);
     * its pair fan-out is split across [[HotBlocks]] join keys. */
   private[graft] val HotShingleDf = 256
-  private[graft] val HotBlocks = 16
+  // 32 blocks: with B blocks a hot shingle's pair fan-out splits into B
+  // key-groups of df·(df/B) rows; at 16 the (4 hot shingles × 16) = 64
+  // groups packed unevenly over 32 reduce partitions (measured maxTask
+  // 19s at df=7500 — one partition drew 4+ groups), at 32 the 128
+  // groups smooth out (maxTask 3.6s, ~p50). Cost of more blocks is the
+  // a-side explode (occurrences × B rows — KB-scale) — cheap against
+  // the df² fan-out it spreads.
+  private[graft] val HotBlocks = 32
 
   /** t06's default plan: the inverted-index self-join with a stats-gated
     * hot-shingle escape hatch. EXACT (result-identical to
@@ -432,9 +439,27 @@ object TextDedup {
         .select(col("doc1"), col("doc2"), col("n1"), col("n2"))
     }
     val hotPairs = {
+      // The explicit fixed-N repartition is the TEETH of the salting —
+      // two planner behaviors silently collapse it otherwise (both
+      // measured at df=7500, PLANS.md SKEW-DEEP):
+      //  1. without any redistribution the planner broadcasts the small
+      //     b-side and REUSES the shingle-partitioned exchange for `a`,
+      //     so the whole hot fan-out is produced on the few unsalted
+      //     shingle partitions (hatched maxTask 35.7s == direct's
+      //     34.5s straggler — salting reduced to a join predicate);
+      //  2. a SHUFFLE_HASH hint does exchange on (shingle, block), but
+      //     AQE's BYTE-based coalescing then folds the ~25 MB salted
+      //     shuffle into ONE partition — it cannot see the join's 234x
+      //     output amplification (maxTask 83.8s, worse than unhatched).
+      // A user repartition with an explicit partition count is exempt
+      // from AQE coalescing, pins the distribution on the FULL salted
+      // key, and lets the planner broadcast the tiny b-side over it —
+      // no b-side shuffle at all (maxTask 34.5s -> 3.6s).
       val a = hotRows
         .select(col("doc_id").as("doc1"), col("n").as("n1"), col("shingle"),
           explode(lit((0 until blocks).toArray)).as("j"))
+        .repartition(s.sparkContext.defaultParallelism,
+          col("shingle"), col("j"))
       val b = hotRows.select(col("doc_id").as("doc2"), col("n").as("n2"), col("shingle"),
         pmod(xxhash64(col("doc_id")), lit(blocks.toLong)).as("b2"))
       a.join(b, a("shingle") === b("shingle") && col("j") === col("b2") &&

@@ -652,28 +652,77 @@ object ScaleSmoke {
       }
     }
 
+    // ---- nightly-maintenance ring at depth (r14 slate #1) ----
+    // c04's composition, timed stage by stage at the 125k-doc decade:
+    // the one-time costs (signature index, resident pair index) vs the
+    // NIGHTLY costs (delta append + probe over the grown index) vs the
+    // non-incremental counterfactual (full pair-index rebuild). The c04
+    // gate proves the composition CORRECT (resident ∪ delta == full
+    // rebuild, hash-checked against DuckDB); this measures why a
+    // deployment runs it: the nightly path must cost ∝ the slice.
+    if (want("ring")) {
+      def time[T](f: => T): (Double, T) = {
+        val t0 = System.nanoTime(); val v = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.Lifecycle.release(spark)
+        (dt, v)
+      }
+      import graft.operators.TextDedup
+      val k = 25
+      val dir = ensureDocsReplicas(k)
+      Seq(TextDedup.PairIndex.indexDirFor(dir),
+          TextDedup.ResidentPairIndex.indexDirFor(dir))
+        .foreach(p => graft.Lifecycle.deleteRecursively(new java.io.File(p)))
+      spark.conf.set("spark.graft.bands.mode", "persisted")
+      val (tSig, _) = time(TextDedup.BandIndex.ensure(spark, dir).count())
+      val (tFull, nFull) = time(TextDedup.PairIndex.ensure(spark, dir).count())
+      val (tRes, nRes) = time(TextDedup.ResidentPairIndex.ensure(spark, dir).count())
+      // the nightly append: delta written as a segment (what a
+      // deployment adds to the published index), then the probe reads
+      // the grown (resident ∪ delta) view
+      val deltaOut = s"/tmp/graft_ring_delta_${k}x"
+      val (tDelta, _) = time(TextDedup.pairDelta(spark, dir)
+        .write.mode("overwrite").parquet(deltaOut))
+      val nDelta = spark.read.parquet(deltaOut).count()
+      val grown = TextDedup.ResidentPairIndex.ensure(spark, dir)
+        .unionByName(spark.read.parquet(deltaOut))
+      val (tProbe, nProbe) = time(TextDedup.probeKeep(spark, dir, grown).count())
+      spark.conf.set("spark.graft.bands.mode", "auto")
+      println(f"RING docs=${n0 * k}%7d onceOnly: sig=${tSig}%5.1fs " +
+        f"resident=${tRes}%5.1fs ($nRes pairs) | " +
+        f"nightly: delta=${tDelta}%5.1fs ($nDelta pairs) probe=${tProbe}%5.1fs " +
+        f"($nProbe batch docs) | counterfactual fullRebuild=${tFull}%5.1fs ($nFull pairs)")
+      assert(nRes + nDelta == nFull,
+        s"append invariant broken at depth: $nRes + $nDelta != $nFull")
+    }
+
     // ---- deep skew stress (r14 slate #4) ----
     // A deliberately skewed corpus at scale: every doc's text is made
-    // replica-disjoint (each token interleaved with a replica marker, so
-    // cross-replica shingles never collide and the organic pair load
-    // stays bounded), then ONE hot phrase is planted in 1/64 of all
-    // docs — a df ~100x the organic hot tail. The direct plan lands
-    // each hot shingle's ~2M-pair fan-out on ONE key group; the
-    // stats-gated hatch (t06 default) spreads it over HotBlocks keys.
-    // Measured: wall + max/p50 task (the straggler signal), identical
-    // pair counts.
+    // replica-disjoint by PREFIXING each token with the replica id
+    // (shingle df distribution per replica stays exactly the original
+    // corpus's; cross-replica shingles never collide — NOT the
+    // interleave trick, whose "rI tok rI" shingles inherit TOKEN
+    // frequency and mint dozens of df~4000 keys, swamping the planted
+    // one; first attempt, measured: direct 716s/maxTask 517s vs hatched
+    // 321s/279s — a 2.2x hatch win on an unintended multi-hot-key
+    // distribution, kept in PLANS.md as a bonus datum). Then ONE hot
+    // phrase is planted in 1/16 of all docs — df ~3750, >>100x the
+    // organic tail. The direct plan lands each hot shingle's ~7M-pair
+    // fan-out on ONE key group; the stats-gated hatch (t06 default)
+    // spreads it over HotBlocks keys. Measured: wall + max/p50 task
+    // (the straggler signal), identical pair counts.
     if (want("skewdeep")) {
       val k = 12
-      val skewDir = "/tmp/graft_scale_skewdeep"
+      val skewDir = "/tmp/graft_scale_skewdeep3"
       if (!new java.io.File(s"$skewDir/documents.parquet").isDirectory) {
         val copies = (0 until k).map { i =>
           base.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
-            regexp_replace(col("text"), lit(" "), lit(s" r$i ")).as("text"),
+            regexp_replace(col("text"), lit("(\\S+)"), lit(s"r$i$$1")).as("text"),
             col("lang"), col("source"), col("n_chars"))
         }
         copies.reduce(_ unionAll _)
           .select(col("doc_id"),
-            when(pmod(col("doc_id"), lit(64)) === 3,
+            when(pmod(col("doc_id"), lit(8)) === 3,
               concat(col("text"), lit(" zzqq hot common boiler plate phrase")))
               .otherwise(col("text")).as("text"),
             col("lang"), col("source"), col("n_chars"))
@@ -681,6 +730,11 @@ object ScaleSmoke {
           .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
       }
       val nDocs = spark.read.parquet(s"$skewDir/documents.parquet").count()
+      // publish the stats profile OUTSIDE the timed region: it is the
+      // once-per-corpus-snapshot artifact a deployment refreshes with
+      // its other table stats, not part of the per-query cost under test
+      graft.operators.TextDedup.HotShingleProfile.ensureBoth(spark, skewDir)
+      graft.Lifecycle.release(spark)
       val (tD, nD, maxD, p50D) = spreadOf(spark)(
         graft.operators.TextDedup.jaccardPairsDirect(spark, skewDir).count())
       val (tH, nH, maxH, p50H) = spreadOf(spark)(
