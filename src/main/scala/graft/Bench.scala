@@ -82,7 +82,13 @@ object Bench {
     // numbers (which `value` already reports, being min-of-passes) are
     // the engine's cost and the worst pass is host noise.
     val passTotals = passResults.map(_.map { case (_, t) => math.max(t, 0.0) }.sum)
-    val transientRun = passTotals.min > 0 && passTotals.max / passTotals.min > 1.3
+    // noise is judged on the TAIL passes only: pass 1 structurally pays
+    // the per-JVM fixture writes (r06's 64-file frag, r08's bucketed
+    // tables, fresh-fingerprint index builds), so a pass1-vs-pass3
+    // spread is amortization, not host noise (measured 54.2 -> 35.6 s
+    // in a quiet window)
+    val tail = passTotals.drop(1)
+    val transientRun = tail.min > 0 && tail.max / tail.min > 1.3
     // The driver captures only the LAST 2000 chars of this process's
     // output and JSON-parses the result line out of that window — at 73
     // queries, full-precision doubles push the line to ~2900 chars and

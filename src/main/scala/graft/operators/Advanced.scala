@@ -1550,12 +1550,18 @@ object Advanced {
   def snapshotDiff(a: DataFrame, b: DataFrame, key: String, value: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(18, 2)
-    a.select(col(key).as("k"), col(value).as("va"))
-      .join(b.select(col(key).as("k"), col(value).as("vb")), Seq("k"), "full_outer")
+    // presence markers, not value-null tests: a NULLABLE value column
+    // must not flip a both-sides row into added/removed, and a
+    // null-vs-value transition is a CHANGE (null-safe <=>); the q34
+    // fixture is null-free so its oracle's IS NULL formulation stays
+    // equivalent there
+    a.select(col(key).as("k"), col(value).as("va"), lit(true).as("ina"))
+      .join(b.select(col(key).as("k"), col(value).as("vb"), lit(true).as("inb")),
+        Seq("k"), "full_outer")
       .withColumn("status",
-        when(col("va").isNull, "added")
-          .when(col("vb").isNull, "removed")
-          .when(col("va") =!= col("vb"), "changed")
+        when(col("ina").isNull, "added")
+          .when(col("inb").isNull, "removed")
+          .when(!(col("va") <=> col("vb")), "changed")
           .otherwise("unchanged"))
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n"),

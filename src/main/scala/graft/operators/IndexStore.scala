@@ -19,6 +19,12 @@ package graft.operators
   *    racing builders converge on one winner;
   *  - the completeness marker (written last within the build) gates out
   *    a torn leftover from a crashed pre-rename build.
+  *
+  * NOT covered: CODE staleness — the fingerprint sees the corpus, not
+  * the builder. An artifact whose layout/derivation changes must bump a
+  * layout-version salt in its dir name (the `_l1` convention:
+  * SourcesStreaming.RewriteLayoutV, BandIndex) or a warm /tmp serves
+  * the old code's output.
   */
 private[operators] object IndexStore {
 

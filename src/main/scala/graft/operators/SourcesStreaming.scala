@@ -266,12 +266,19 @@ object SourcesStreaming {
     * forces a rebuild. Before r14 these rewrites `overwrite`d the
     * serving path in place — safe within one JVM, but a crash mid-write
     * at deployment would have left a torn table (the r13 VERDICT nit). */
+  /** Layout-version salt for the rewrite dirs: the corpus fingerprint
+    * catches DATA staleness but not CODE staleness — a changed
+    * targetBytesPerFile / range partitioning / z-interleave served from
+    * a warm /tmp would silently keep the OLD layout (and fail the specs
+    * that recompute expectations from the new constants). Bump when a
+    * rewrite's output layout changes. */
+  private val RewriteLayoutV = "l1"
   private[operators] def compactDir(d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_compact_${IndexStore.corpusFingerprint(d, "lineitem")}"
+    s"${sys.props("java.io.tmpdir")}/graft_compact_${RewriteLayoutV}_${IndexStore.corpusFingerprint(d, "lineitem")}"
   private[operators] def clusterDir(d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_cluster_${IndexStore.corpusFingerprint(d, "events")}"
+    s"${sys.props("java.io.tmpdir")}/graft_cluster_${RewriteLayoutV}_${IndexStore.corpusFingerprint(d, "events")}"
   private[operators] def zorderDir(d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_zorder_${IndexStore.corpusFingerprint(d, "events")}"
+    s"${sys.props("java.io.tmpdir")}/graft_zorder_${RewriteLayoutV}_${IndexStore.corpusFingerprint(d, "events")}"
 
   val r06 = QueryDef(
     "r06_compaction",

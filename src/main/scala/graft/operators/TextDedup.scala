@@ -538,8 +538,11 @@ object TextDedup {
     * re-runs the tokenize+shingle+minhash kernel over the RESIDENT
     * corpus. Publication/staleness contract: [[IndexStore]]. */
   object BandIndex {
+    // _l1: layout-version salt (the SourcesStreaming.RewriteLayoutV
+    // convention) — a banding change (NumHashes/BandRows/kernel seed)
+    // must not be served from a warm pre-change publication
     private[graft] def indexDirFor(d: String): String =
-      s"${sys.props("java.io.tmpdir")}/graft_bands_${IndexStore.corpusFingerprint(d, "documents")}"
+      s"${sys.props("java.io.tmpdir")}/graft_bands_l1_${IndexStore.corpusFingerprint(d, "documents")}"
 
     def ensure(s: SparkSession, d: String): DataFrame = {
       val dir = IndexStore.ensure(indexDirFor(d), "bands/_SUCCESS") { tmp =>
@@ -593,9 +596,12 @@ object TextDedup {
 
   /** The LSH near-dup pipeline itself: band self-join candidates,
     * exact-verified. [[PairIndex]] persists its result; consumers
-    * (t07, t11, t19) go through the index, not this. */
+    * (t07, t11, t19) go through the index, not this. Bands come from
+    * the size-gated [[corpusBands]] so a full rebuild at scale reads
+    * the persisted signature table instead of re-running the kernel
+    * the [[BandIndex]] already paid for (r14 review finding). */
   private[graft] def lshPairs(s: SparkSession, d: String): DataFrame =
-    lshPairsFromBands(docs(s, d), bandsFrame(s, d))
+    lshPairsFromBands(docs(s, d), corpusBands(s, d))
 
   /** Library façade: exact-verified MinHash/LSH near-dup pairs over ANY
     * DataFrame — `(doc1, doc2, jaccard)` for every pair with 3-token-
@@ -1518,7 +1524,7 @@ object TextDedup {
     * the full rebuild. Same [[IndexStore]] contract as [[PairIndex]]. */
   object ResidentPairIndex {
     private[graft] def indexDirFor(d: String): String =
-      s"${sys.props("java.io.tmpdir")}/graft_pairs_res_${IndexStore.corpusFingerprint(d, "documents")}"
+      s"${sys.props("java.io.tmpdir")}/graft_pairs_res_l1_${IndexStore.corpusFingerprint(d, "documents")}"
 
     def ensure(s: SparkSession, d: String): DataFrame = {
       val dir = IndexStore.ensure(indexDirFor(d), "pairs/_SUCCESS") { tmp =>

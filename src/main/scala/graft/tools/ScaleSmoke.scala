@@ -47,6 +47,18 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    /** The ONE timing body every section's local `time` delegates to:
+      * stop the clock, then sweep per-query residue (cache/checkpoint
+      * blocks) so it cannot pollute the next measurement. Centralized
+      * (r14 review) so a protocol change cannot silently skew one
+      * section. */
+    def timeReleasing[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val v = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.Lifecycle.release(spark)
+      (dt, v)
+    }
+
     val base = graft.Tables.documents(spark, "/root/testdata/sf0.1")
     // lazy: sections that never print a docs count (e.g. `stream`) must
     // not pay a full documents scan at startup
@@ -103,14 +115,7 @@ object ScaleSmoke {
       val dir = writeDocsReplicas(k)
       // warm the file cache / JIT on first use
       graft.operators.TextDedup.t05.fn(spark, dir).count()
-      def time(f: => Long): (Double, Long) = {
-        val t0 = System.nanoTime(); val n = f
-        val dt = (System.nanoTime() - t0) / 1e9
-        // sweep checkpoint/cache residue (e.g. t11's final-labels blocks)
-        // so it cannot pollute the next measurement
-        graft.Lifecycle.release(spark)
-        (dt, n)
-      }
+      def time(f: => Long): (Double, Long) = timeReleasing(f)
       val (tExact, nExact) = time(graft.operators.TextDedup.t06.fn(spark, dir).count())
       val (tLsh, nLsh) = time(graft.operators.TextDedup.t07.fn(spark, dir).count())
       println(f"SCALE docs=${n0 * k}%7d exact=${tExact}%6.1fs ($nExact pairs)  lsh=${tLsh}%6.1fs ($nLsh pairs)")
@@ -139,12 +144,7 @@ object ScaleSmoke {
     // however large the corpus; what should grow is ONLY the scan. The
     // accuracy contracts must hold as distinct shingles grow ~12x.
     if (want("sketch")) {
-      def time[T](f: => T): (Double, T) = {
-        val t0 = System.nanoTime(); val v = f
-        val dt = (System.nanoTime() - t0) / 1e9
-        graft.Lifecycle.release(spark)
-        (dt, v)
-      }
+      def time[T](f: => T): (Double, T) = timeReleasing(f)
       Seq(1, 4, 12).foreach { k =>
         val dir = s"/tmp/graft_scale_${k}x"
         val (tCms, cms) = time(graft.operators.Sketches.sk01.fn(spark, dir).collect())
@@ -324,12 +324,7 @@ object ScaleSmoke {
     // stays ~fixed while the occurrence scan grows Kx. Numbers ->
     // PLANS.md SCALE-BAND / SCALE-GRID tables.
     if (want("bands")) {
-      def time[T](f: => T): (Double, T) = {
-        val t0 = System.nanoTime(); val v = f
-        val dt = (System.nanoTime() - t0) / 1e9
-        graft.Lifecycle.release(spark)
-        (dt, v)
-      }
+      def time[T](f: => T): (Double, T) = timeReleasing(f)
       val ne0 = graft.Tables.events(spark, "/root/testdata/sf0.1").count()
       var e07Rows = -1L
       Seq(1, 4, 12).foreach { k =>
@@ -461,12 +456,7 @@ object ScaleSmoke {
     // because a deployment amortizes it across runs. mm04 is a per-row
     // kernel into one hash aggregate: time should track N ~linearly.
     if (want("extra")) {
-      def time[T](f: => T): (Double, T) = {
-        val t0 = System.nanoTime(); val v = f
-        val dt = (System.nanoTime() - t0) / 1e9
-        graft.Lifecycle.release(spark)
-        (dt, v)
-      }
+      def time[T](f: => T): (Double, T) = timeReleasing(f)
       Seq(1, 4, 12).foreach { k =>
         val dir = s"/tmp/graft_scale_emb_${k}x"
         val (tBuild, _) = time(graft.operators.Similarity.IvfIndex.ensure(spark, dir))
@@ -535,12 +525,7 @@ object ScaleSmoke {
     // (~20% here) as N grows; the fit-included build dwarfs both.
     // Numbers -> PLANS.md SCALE-INC table.
     if (want("inc")) {
-      def time[T](f: => T): (Double, T) = {
-        val t0 = System.nanoTime(); val v = f
-        val dt = (System.nanoTime() - t0) / 1e9
-        graft.Lifecycle.release(spark)
-        (dt, v)
-      }
+      def time[T](f: => T): (Double, T) = timeReleasing(f)
       Seq(12, 48, 192, 768).foreach { k =>
         // crossJoin replication (not a k-way unionAll — a 192-branch
         // union is an analyzer stress test, one range join is not);
@@ -585,12 +570,7 @@ object ScaleSmoke {
     // k=100 (200k vecs) alongside: both are Θ(vectors) — index build
     // linear, delta step ∝ the new slice only.
     if (want("deep")) {
-      def time[T](f: => T): (Double, T) = {
-        val t0 = System.nanoTime(); val v = f
-        val dt = (System.nanoTime() - t0) / 1e9
-        graft.Lifecycle.release(spark)
-        (dt, v)
-      }
+      def time[T](f: => T): (Double, T) = timeReleasing(f)
       import graft.operators.{Similarity, TextDedup}
       Seq(25, 50, 100).foreach { k =>
         val dir = ensureDocsReplicas(k)
@@ -628,12 +608,7 @@ object ScaleSmoke {
     // (IO ∝ signature bytes) instead of re-running the tokenize+shingle+
     // minhash kernel over the resident corpus (CPU ∝ corpus text).
     if (want("sig")) {
-      def time[T](f: => T): (Double, T) = {
-        val t0 = System.nanoTime(); val v = f
-        val dt = (System.nanoTime() - t0) / 1e9
-        graft.Lifecycle.release(spark)
-        (dt, v)
-      }
+      def time[T](f: => T): (Double, T) = timeReleasing(f)
       import graft.operators.TextDedup
       Seq(25).foreach { k =>
         val dir = ensureDocsReplicas(k)
@@ -661,17 +636,16 @@ object ScaleSmoke {
     // rebuild, hash-checked against DuckDB); this measures why a
     // deployment runs it: the nightly path must cost ∝ the slice.
     if (want("ring")) {
-      def time[T](f: => T): (Double, T) = {
-        val t0 = System.nanoTime(); val v = f
-        val dt = (System.nanoTime() - t0) / 1e9
-        graft.Lifecycle.release(spark)
-        (dt, v)
-      }
+      def time[T](f: => T): (Double, T) = timeReleasing(f)
       import graft.operators.TextDedup
       val k = 25
       val dir = ensureDocsReplicas(k)
+      // delete ALL three artifacts, BandIndex included: a sig-section
+      // (or prior-run) publication would make tSig time a warm no-op
+      // read and understate the once-per-snapshot cost column
       Seq(TextDedup.PairIndex.indexDirFor(dir),
-          TextDedup.ResidentPairIndex.indexDirFor(dir))
+          TextDedup.ResidentPairIndex.indexDirFor(dir),
+          TextDedup.BandIndex.indexDirFor(dir))
         .foreach(p => graft.Lifecycle.deleteRecursively(new java.io.File(p)))
       spark.conf.set("spark.graft.bands.mode", "persisted")
       val (tSig, _) = time(TextDedup.BandIndex.ensure(spark, dir).count())
@@ -706,7 +680,7 @@ object ScaleSmoke {
     // one; first attempt, measured: direct 716s/maxTask 517s vs hatched
     // 321s/279s — a 2.2x hatch win on an unintended multi-hot-key
     // distribution, kept in PLANS.md as a bonus datum). Then ONE hot
-    // phrase is planted in 1/16 of all docs — df ~3750, >>100x the
+    // phrase is planted in 1/8 of all docs — df 7500, >>250x the
     // organic tail. The direct plan lands each hot shingle's ~7M-pair
     // fan-out on ONE key group; the stats-gated hatch (t06 default)
     // spreads it over HotBlocks keys. Measured: wall + max/p50 task

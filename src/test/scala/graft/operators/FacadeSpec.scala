@@ -71,4 +71,21 @@ class FacadeSpec extends SparkSpec {
       .head().getDouble(0)
     assert(diff("removed")._2 == -removedSum)
   }
+
+  test("snapshotDiff classifies NULL values by side presence, not value nullness") {
+    // a nullable value column must not flip a both-sides row into
+    // added/removed (r14 review finding): null->value and value->null
+    // are CHANGES, null->null is unchanged
+    import spark.implicits._
+    val a = Seq((1L, Option.empty[Double]), (2L, Some(7.0)),
+      (3L, Option.empty[Double]), (4L, Some(1.0))).toDF("k", "v")
+    val b = Seq((1L, Some(5.0)), (2L, Option.empty[Double]),
+      (3L, Option.empty[Double]), (5L, Some(2.0))).toDF("k", "v")
+    val diff = Advanced.snapshotDiff(a, b, "k", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(diff.getOrElse("changed", 0L) == 2)   // k=1 null->5.0, k=2 7.0->null
+    assert(diff.getOrElse("unchanged", 0L) == 1) // k=3 null->null
+    assert(diff.getOrElse("removed", 0L) == 1)   // k=4
+    assert(diff.getOrElse("added", 0L) == 1)     // k=5
+  }
 }
