@@ -857,5 +857,88 @@ object Similarity {
          |FROM ranked WHERE arank = 1 ORDER BY vec_id""".stripMargin
     })
 
-  val catalog: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
+  /** ANN top-k QUERY over the incrementally-maintained segmented index —
+    * the read path a deployment actually serves between s08's
+    * maintenance runs, and the piece s08 (segment-assignment equality)
+    * and c04 (composition) leave unexercised: probing base ∪ delta as
+    * one inverted file. The reader view computes norms in one narrow
+    * pass (segments persist only (vec_id, embedding, cell) — norms are
+    * derived, not stored, so a norm-definition change can never desync
+    * segments); the probe itself is s04's plan against the FROZEN base
+    * centroids: rank cells by query·center, cut to NProbe, hash-join the
+    * cell's vectors, exact cosine, top-3.
+    *
+    * The late-bound oracle re-derives EVERYTHING from scratch in DuckDB:
+    * whole-corpus assignment from the persisted frozen centroids (the
+    * s08 counterfactual), norms from the raw embeddings, then the same
+    * probe — so a drift in the segments, the norm pass, or the probe
+    * plan all break the hash. Scale: broadcast centroid set (K rows),
+    * one hash join on cell (≈ N·NProbe/K candidate rows), two windows
+    * over query-sized groups — identical cost shape to s04, plus the
+    * segment union which is a zero-shuffle concat of parquet scans. */
+  val s09 = QueryDef(
+    "s09_ann_segmented_probe",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorExpressions.register(s)
+      val (baseSeg, deltaSeg) = IvfIncIndex.ensure(s, d)
+      val centersDf = s.read.parquet(s"${IvfIncIndex.baseDirFor(d)}/centroids")
+      val assigned = baseSeg.unionByName(deltaSeg)
+        .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      val q = assigned.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("cdist").desc, col("cell"))
+      val probed = q.crossJoin(broadcast(centersDf))
+        .withColumn("cdist", dot(col("qe"), col("center")))
+        .withColumn("crank", row_number().over(wProbe))
+        .filter(col("crank") <= NProbe)
+        .select(col("query_id"), col("qe"), col("qn"), col("cell"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      probed.join(assigned.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne"), col("nrm").as("nn"), col("cell")), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None,
+    oracleLate = Some { sfDir =>
+      s"""WITH ${ivfAssignCtes(sfDir)},
+         |a AS (
+         |  SELECT e.vec_id, e.embedding,
+         |         sqrt(${duckDot("e.embedding", "e.embedding")}) AS nrm, r.cell
+         |  FROM embeddings e
+         |  JOIN (SELECT vec_id, cell FROM ranked WHERE arank = 1) r
+         |    ON e.vec_id = r.vec_id),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, qn FROM (
+         |        SELECT vec_id, embedding, nrm AS qn FROM a)
+         |      WHERE vec_id < $NumQueries),
+         |probed AS (
+         |  SELECT query_id, qe, qn, cell FROM (
+         |    SELECT q.query_id, q.qe, q.qn, cen.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${duckDot("q.qe", "cen.center")} DESC NULLS LAST,
+         |                      cen.cell) AS crank
+         |    FROM q CROSS JOIN cen)
+         |  WHERE crank <= $NProbe),
+         |cand AS (
+         |  SELECT probed.query_id, c.vec_id AS neighbor_id,
+         |         CASE WHEN probed.qn = 0 OR c.nrm = 0 THEN NULL
+         |              ELSE ${duckDot("probed.qe", "c.embedding")} / (probed.qn * c.nrm) END AS cos
+         |  FROM probed JOIN a c
+         |    ON probed.cell = c.cell AND probed.query_id <> c.vec_id)
+         |SELECT query_id, neighbor_id, cos, rank FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC NULLS LAST, neighbor_id) AS rank
+         |  FROM cand)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    })
+
+  val catalog: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
 }

@@ -126,4 +126,18 @@ class IvfIncSpec extends SparkSpec {
     assert(sigs(delta).nonEmpty && (sigs(base) & sigs(delta)).isEmpty,
       "delta empty or overlapping base")
   }
+
+  test("s09 segmented probe: complete top-3 per query, neighbors from BOTH segments") {
+    val rows = Similarity.s09.fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == (0L until 10L).toSet, s"queries missing: ${byQ.keySet}")
+    byQ.values.foreach(g => assert(g.map(_._3).sorted.toSeq == Seq(1, 2, 3)))
+    // the reader view must actually serve the union: with queries and
+    // corpus spanning both segments, at least one reported neighbor must
+    // be a delta vector (vec_id % 5 == 4) and at least one a base vector
+    val neigh = rows.map(_._2)
+    assert(neigh.exists(_ % 5 == 4), "no delta-segment neighbor surfaced")
+    assert(neigh.exists(_ % 5 != 4), "no base-segment neighbor surfaced")
+  }
 }
