@@ -106,7 +106,10 @@ object TextDedup {
         col("inter") * lit(1.0) / (size(col("sh1")) + size(col("sh2")) - col("inter")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc1"), col("doc2"), col("jaccard"))
-      .orderBy(col("doc1"), col("doc2"))
+    // UNORDERED: gate entries order at the QueryDef boundary. A trailing
+    // orderBy here survives as a Sort+Exchange INSIDE composed plans
+    // (c04's union — EliminateSorts does not reach under Union) and is
+    // wasted work for every index write.
   }
 
   private[graft] def verifyJaccard(s: SparkSession, d: String, cand: DataFrame): DataFrame =
@@ -618,6 +621,55 @@ object TextDedup {
   def dedupNearPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val src = df.select(col(idCol).as("doc_id"), col(textCol).cast("string").as("text"))
     lshPairsFromBands(src, bandsOf(src))
+  }
+
+  /** The delta body shared by [[pairDelta]] (fixture slice convention)
+    * and the [[dedupNearPairsDelta]] façade: `freshBands`' bands probe
+    * the full `bands`, candidates with ≥1 fresh endpoint are
+    * exact-verified against only their own shingle sets. */
+  private def bandDelta(src: DataFrame, bands: DataFrame, freshBands: DataFrame): DataFrame = {
+    val fresh = freshBands
+      .select(col("doc_id").as("da"), col("band_idx").as("bi"),
+        col("band_hash").as("bh"))
+    val corpus = bands
+      .select(col("doc_id").as("db"), col("band_idx").as("bi2"),
+        col("band_hash").as("bh2"))
+    val cand = fresh.join(corpus,
+        fresh("bi") === corpus("bi2") && fresh("bh") === corpus("bh2") &&
+          col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc1"),
+        greatest(col("da"), col("db")).as("doc2"))
+      .distinct()
+    // verification touches ONLY the candidate neighborhood: semi-join
+    // the doc scan down to candidate endpoints BEFORE the shingle
+    // kernel, so the delta's verify cost is ∝ candidates (without this
+    // the verify step re-shingles the whole corpus — PLANS.md SIG).
+    // Value-neutral: a doc's shingle set does not depend on which other
+    // docs are examined.
+    val ids = cand.select(col("doc1").as("doc_id"))
+      .unionByName(cand.select(col("doc2").as("doc_id"))).distinct()
+    verifyJaccardOf(src.join(ids, Seq("doc_id"), "left_semi"), cand)
+  }
+
+  /** Library façade: INCREMENTAL near-dup pairs over ANY frame — exactly
+    * the pairs with at least one endpoint where `isNew` holds (including
+    * new-internal pairs), at O(new × bands) candidate cost, never
+    * re-pairing the resident rows. Appending the result to the
+    * resident-only [[dedupNearPairs]] output reconstructs the full pair
+    * set bit-exactly (the t34/c04 append invariant, hash-gated there;
+    * FacadeSpec pins it for this entry point). Unordered. */
+  def dedupNearPairsDelta(df: DataFrame, idCol: String, textCol: String,
+      isNew: Column): DataFrame = {
+    val s = df.sparkSession
+    graft.functions.TextExpressions.register(s)
+    val src = df.select(col(idCol).as("doc_id"),
+        col(textCol).cast("string").as("text"), isNew.cast("boolean").as("is_new"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val bands = src.select(col("doc_id"), col("is_new"),
+      posexplode(call_function("graft_minhash_bands", col("text")))
+        .as(Seq("band_idx", "band_hash")))
+    bandDelta(src.select(col("doc_id"), col("text")),
+      bands, bands.filter(col("is_new")))
   }
 
   /** Corpus-fingerprinted persisted near-dup pair table (doc1, doc2,
@@ -1493,28 +1545,7 @@ object TextDedup {
     * corpora where the kernel pass beats the round-trip. */
   private[graft] def pairDelta(s: SparkSession, d: String): DataFrame = {
     val bands = corpusBands(s, d)
-    val fresh = bands.filter(col("doc_id") % 10 === 7)
-      .select(col("doc_id").as("da"), col("band_idx").as("bi"),
-        col("band_hash").as("bh"))
-    val corpus = bands
-      .select(col("doc_id").as("db"), col("band_idx").as("bi2"),
-        col("band_hash").as("bh2"))
-    val cand = fresh.join(corpus,
-        fresh("bi") === corpus("bi2") && fresh("bh") === corpus("bh2") &&
-          col("da") =!= col("db"))
-      .select(least(col("da"), col("db")).as("doc1"),
-        greatest(col("da"), col("db")).as("doc2"))
-      .distinct()
-    // verification touches ONLY the candidate neighborhood: semi-join
-    // the doc scan down to candidate endpoints BEFORE the shingle
-    // kernel, so the delta's verify cost is ∝ candidates — without this
-    // the verify step re-shingles the whole corpus and the persisted
-    // band index saves only half the full-corpus work (measured:
-    // PLANS.md SIG table). Value-neutral: a doc's shingle set does not
-    // depend on which other docs are examined.
-    val ids = cand.select(col("doc1").as("doc_id"))
-      .unionByName(cand.select(col("doc2").as("doc_id"))).distinct()
-    verifyJaccardOf(docs(s, d).join(ids, Seq("doc_id"), "left_semi"), cand)
+    bandDelta(docs(s, d), bands, bands.filter(col("doc_id") % 10 === 7))
   }
 
   /** Corpus-fingerprinted persisted pair index over the RESIDENT corpus
@@ -1538,7 +1569,7 @@ object TextDedup {
 
   val t34 = QueryDef(
     "t34_pair_index_delta",
-    (s, d) => pairDelta(s, d),
+    (s, d) => pairDelta(s, d).orderBy(col("doc1"), col("doc2")),
     Some(ShingleCte + s""",
       |pairs AS (
       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter

@@ -42,6 +42,27 @@ class FacadeSpec extends SparkSpec {
     assert(pairs.values.forall(_ >= 0.6))
   }
 
+  test("dedupNearPairsDelta + resident pairs reconstruct the full pair set") {
+    val part = graft.Tables.part(spark, sf)
+      .select(col("p_partkey").as("id"),
+        concat_ws(" ", col("p_name"), col("p_type"), col("p_brand")).as("nm"))
+    val all = part.unionByName(
+      part.select((col("id") + 100000L).as("id"), col("nm")))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = pairs(TextDedup.dedupNearPairs(all, "id", "nm"))
+    val resident = pairs(TextDedup.dedupNearPairs(part, "id", "nm"))
+    val delta = pairs(TextDedup.dedupNearPairsDelta(all, "id", "nm",
+      col("id") >= 100000L))
+    // the append invariant, at the facade entry point: resident ∪ delta
+    // == full, disjoint, and delta is exactly the new-endpoint subset
+    assert(resident.keySet.intersect(delta.keySet).isEmpty)
+    assert(resident ++ delta == full)
+    assert(delta.keySet == full.keySet.filter { case (a, b) =>
+      a >= 100000L || b >= 100000L })
+    assert(delta.nonEmpty && resident.keySet.subsetOf(full.keySet))
+  }
+
   test("snapshotDiff classifies a hand-built customer snapshot pair exactly") {
     val a = graft.Tables.customer(spark, sf)
     val removed = a.filter(pmod(col("c_custkey"), lit(10)) === 0)
