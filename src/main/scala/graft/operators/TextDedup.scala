@@ -287,14 +287,40 @@ object TextDedup {
     * docs routes through the blocked self-join ([[jaccardPairsHatched]]);
     * its pair fan-out is split across [[HotBlocks]] join keys. */
   private[graft] val HotShingleDf = 256
-  // 32 blocks: with B blocks a hot shingle's pair fan-out splits into B
-  // key-groups of df·(df/B) rows; at 16 the (4 hot shingles × 16) = 64
-  // groups packed unevenly over 32 reduce partitions (measured maxTask
-  // 19s at df=7500 — one partition drew 4+ groups), at 32 the 128
-  // groups smooth out (maxTask 3.6s, ~p50). Cost of more blocks is the
-  // a-side explode (occurrences × B rows — KB-scale) — cheap against
-  // the df² fan-out it spreads.
+  // 32 blocks floor: with B blocks a hot shingle's pair fan-out splits
+  // into B key-groups of df·(df/B) rows; at 16 the (4 hot shingles × 16)
+  // = 64 groups packed unevenly over 32 reduce partitions (measured
+  // maxTask 19s at df=7500 — one partition drew 4+ groups), at 32 the
+  // 128 groups smooth out (maxTask ~10s, hash-packing noise). Cost of
+  // more blocks is the a-side explode (occurrences × B rows) — cheap
+  // against the df² fan-out it spreads.
   private[graft] val HotBlocks = 32
+
+  /** Per-group output target for [[blocksFor]]: df²/2 pair rows per hot
+    * shingle divided into ~4M-row groups keeps each salted task seconds-
+    * scale regardless of how hot the key is. */
+  private val HotRowsPerBlock = 4e6
+
+  /** Adaptive block count from the PROFILED max hot df — a fixed block
+    * count cannot serve both a df=7.5k key (32 groups of 1.8M) and a
+    * df=100k key (32 groups of 312M: a straggler again). B =
+    * ceil(maxDf²/2 / 4M), floored at [[HotBlocks]], capped at 4096 (the
+    * a-side explode is occurrences × B — at the cap and df=1M that is
+    * bounded by the candidate volume it spreads). Driver-side agg over
+    * the hot set is safe: the set is bounded by |corpus|/HotShingleDf
+    * and usually empty. Profiles persisted before the df column exist
+    * degrade to the floor. */
+  private[graft] def blocksFor(hot: DataFrame): Int =
+    if (!hot.columns.contains("df")) HotBlocks
+    else {
+      val m = hot.agg(max(col("df"))).head()
+      if (m.isNullAt(0)) HotBlocks
+      else {
+        val df = m.getLong(0).toDouble
+        math.min(4096,
+          math.max(HotBlocks, math.ceil(df * df / 2 / HotRowsPerBlock).toInt))
+      }
+    }
 
   /** t06's default plan: the inverted-index self-join with a stats-gated
     * hot-shingle escape hatch. EXACT (result-identical to
@@ -331,7 +357,7 @@ object TextDedup {
     * the direct plan (PLANS.md r10). */
   private[graft] def jaccardPairsHatched(
       s: SparkSession, d: String,
-      hotDf: Int = HotShingleDf, blocks: Int = HotBlocks): DataFrame = {
+      hotDf: Int = HotShingleDf, blocks: Int = -1): DataFrame = {
     // localCheckpoint: jaccardPairsOnHot's broadcast gate PROBES the hot
     // frame eagerly (one tiny agg) before the join consumes it — an
     // uncached profile aggregate would run its full corpus pass twice.
@@ -339,7 +365,7 @@ object TextDedup {
     // way); this inline variant materializes once. Blocks are freed by
     // Lifecycle.release like every other checkpoint.
     val hot = shingleFrame(s, d).groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= hotDf).select(col("shingle"))
+      .filter(col("df") >= hotDf).select(col("shingle"), col("df"))
       .localCheckpoint()
     jaccardPairsOnHot(s, d, hot, blocks)
   }
@@ -375,7 +401,7 @@ object TextDedup {
     * instead of re-profiling the corpus. */
   object HotShingleProfile {
     private[operators] def indexDirFor(d: String, hotDf: Int): String =
-      s"${sys.props("java.io.tmpdir")}/graft_hotsh_${IndexStore.corpusFingerprint(d, "documents")}_df$hotDf"
+      s"${sys.props("java.io.tmpdir")}/graft_hotsh_l1_${IndexStore.corpusFingerprint(d, "documents")}_df$hotDf"
 
     /** Persist BOTH stats artifacts from ONE df aggregate: `hot`
       * (df >= hotDf, the skew-hatch routing set) and `matchable`
@@ -391,7 +417,9 @@ object TextDedup {
         val df = shingleFrame(s, d)
           .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .localCheckpoint() // one aggregate feeds both artifacts
-        df.filter(col("df") >= hotDf).select(col("shingle"))
+        // hot keeps its df: [[blocksFor]] sizes the salting from the
+        // profiled max (the r14 adaptive-blocks change; layout salt l1)
+        df.filter(col("df") >= hotDf).select(col("shingle"), col("df"))
           .write.mode("overwrite").parquet(s"$tmp/hot")
         df.filter(col("df") >= 2).select(col("shingle"))
           .write.mode("overwrite").parquet(s"$tmp/matchable")
@@ -406,8 +434,9 @@ object TextDedup {
     * [[HotShingleProfile]] for the catalog default). */
   private[graft] def jaccardPairsOnHot(
       s: SparkSession, d: String, hot: DataFrame,
-      blocks: Int = HotBlocks,
+      blocks: Int = -1, // <= 0: adaptive from the hot set's df ([[blocksFor]])
       matchable: Option[DataFrame] = None): DataFrame = {
+    val nBlocks = if (blocks > 0) blocks else blocksFor(hot)
     val raw = shingleFrame(s, d)
     // optional matchable prefilter (df >= 2, from the persisted profile):
     // df=1 shingles can never produce a cross-doc pair, so dropping them
@@ -460,11 +489,11 @@ object TextDedup {
       // no b-side shuffle at all (maxTask 34.5s -> 3.6s).
       val a = hotRows
         .select(col("doc_id").as("doc1"), col("n").as("n1"), col("shingle"),
-          explode(lit((0 until blocks).toArray)).as("j"))
+          explode(lit((0 until nBlocks).toArray)).as("j"))
         .repartition(s.sparkContext.defaultParallelism,
           col("shingle"), col("j"))
       val b = hotRows.select(col("doc_id").as("doc2"), col("n").as("n2"), col("shingle"),
-        pmod(xxhash64(col("doc_id")), lit(blocks.toLong)).as("b2"))
+        pmod(xxhash64(col("doc_id")), lit(nBlocks.toLong)).as("b2"))
       a.join(b, a("shingle") === b("shingle") && col("j") === col("b2") &&
           col("doc1") < col("doc2"))
         .select(col("doc1"), col("doc2"), col("n1"), col("n2"))

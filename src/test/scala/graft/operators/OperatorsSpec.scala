@@ -124,6 +124,21 @@ class OperatorsSpec extends SparkSpec {
     val allHot = TextDedup.shingleFrame(spark, sf)
       .select(org.apache.spark.sql.functions.col("shingle")).distinct()
     assert(rows(TextDedup.jaccardPairsOnHot(spark, sf, allHot, blocks = 4)) == direct)
+    // the adaptive arm (blocks unset) must also stay exact: allHot has
+    // no df column, so blocksFor degrades to the floor
+    assert(rows(TextDedup.jaccardPairsOnHot(spark, sf, allHot)) == direct)
+  }
+
+  test("blocksFor sizes the salting from the profiled max df") {
+    import spark.implicits._
+    def hotOf(dfs: Long*) = dfs.map(d => ("s", d)).toDF("shingle", "df")
+    assert(TextDedup.blocksFor(hotOf(7500L)) == 32)        // floor holds
+    assert(TextDedup.blocksFor(hotOf(100000L)) == 1250)    // df²/2 / 4M
+    assert(TextDedup.blocksFor(hotOf(500L, 100000L)) == 1250) // max df rules
+    assert(TextDedup.blocksFor(hotOf(1000000L)) == 4096)   // explode cap
+    assert(TextDedup.blocksFor(hotOf()) == 32)             // empty hot set
+    assert(TextDedup.blocksFor(
+      Seq("s").toDF("shingle")) == 32)                     // pre-l1 profile
   }
 
   test("t22 head hatch and t20 agg hatch are result-identical to the directs") {
