@@ -757,25 +757,43 @@ object TextDedup {
     * the batch and its pair neighborhood, not the corpus. At 100 TB with
     * a ~1% daily batch this is the difference between re-sharding the
     * corpus shingle index nightly and a bounded index probe. */
-  /** t25's probe core over an EXPLICIT pair frame: the batch
-    * (doc_id % 10 == 7, the daily-slice convention shared with t34/s08)
-    * deduped against the pairs — a batch doc is dropped iff it near-dups
-    * a corpus-resident doc or an earlier batch doc. Factored so the
-    * nightly-maintenance composition (c04) can probe the GROWN
-    * (resident ∪ delta) index it just maintained, while t25 probes the
-    * published full index. Unordered — callers impose their order. */
-  private[graft] def probeKeep(s: SparkSession, d: String, pairFrame: DataFrame): DataFrame = {
+  /** Library façade: the dedup PROBE of the incremental ring — given a
+    * near-dup pair frame (doc1, doc2, …) and the id set of the new
+    * batch, return (doc_id, keep) for every batch id: a batch doc is
+    * dropped iff it near-dups a NON-batch doc (the resident corpus
+    * always wins) or an EARLIER batch doc (smaller id — so the batch is
+    * also internally deduped, deterministically). Together with
+    * [[dedupNearPairs]] (full build) and [[dedupNearPairsDelta]]
+    * (append) this is the complete maintenance ring as DataFrame APIs.
+    *
+    * Scale: one semi-shape join of the symmetrized pairs against the
+    * batch ids plus one hash lookup for partner-membership — cost ∝ the
+    * batch's pair neighborhood, never the corpus. Unordered — callers
+    * impose their order. */
+  def dedupKeepMask(pairFrame: DataFrame, batchIds: DataFrame): DataFrame = {
     val pairs = pairFrame.select(col("doc1"), col("doc2"))
-    val batch = docs(s, d).filter(col("doc_id") % 10 === 7).select(col("doc_id"))
+    val batch = batchIds.select(batchIds.columns.head).toDF("doc_id")
     val und = pairs.select(col("doc1").as("b"), col("doc2").as("partner"))
       .unionByName(pairs.select(col("doc2").as("b"), col("doc1").as("partner")))
+    val inBatch = batch.select(col("doc_id").as("partner"), lit(true).as("pb"))
     val dominated = und
       .join(batch.withColumnRenamed("doc_id", "b"), Seq("b"))
-      .filter(col("partner") % 10 =!= 7 || col("partner") < col("b"))
+      .join(inBatch, Seq("partner"), "left")
+      .filter(col("pb").isNull || col("partner") < col("b"))
       .select(col("b").as("doc_id")).distinct()
     batch.join(dominated.withColumn("dom", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"), col("dom").isNull.as("keep"))
   }
+
+  /** t25's probe core over an EXPLICIT pair frame: [[dedupKeepMask]]
+    * instantiated on the fixture's daily-slice convention
+    * (doc_id % 10 == 7, shared with t34/s08). Factored so the
+    * nightly-maintenance composition (c04) can probe the GROWN
+    * (resident ∪ delta) index it just maintained, while t25 probes the
+    * published full index. */
+  private[graft] def probeKeep(s: SparkSession, d: String, pairFrame: DataFrame): DataFrame =
+    dedupKeepMask(pairFrame,
+      docs(s, d).filter(col("doc_id") % 10 === 7).select(col("doc_id")))
 
   val t25 = QueryDef(
     "t25_incremental_dedup",

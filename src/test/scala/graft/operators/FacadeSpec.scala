@@ -63,6 +63,33 @@ class FacadeSpec extends SparkSpec {
     assert(delta.nonEmpty && resident.keySet.subsetOf(full.keySet))
   }
 
+  test("dedupKeepMask: resident partners dominate, earlier batch ids win ties") {
+    import spark.implicits._
+    // pairs: (1,2) batch-internal, (3,4) resident-vs-batch, 5 isolated
+    val pairs = Seq((1L, 2L, 1.0), (3L, 4L, 1.0)).toDF("doc1", "doc2", "jaccard")
+    val batch = Seq(1L, 2L, 4L, 5L).toDF("doc_id")
+    val mask = TextDedup.dedupKeepMask(pairs, batch)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(mask == Map(
+      1L -> true,  // partner 2 is batch-internal and LARGER: 1 wins
+      2L -> false, // dominated by earlier batch doc 1
+      4L -> false, // dominated by resident doc 3 (resident always wins)
+      5L -> true)) // no near-dup at all
+    // and over a real corpus: every planted twin (batch) is dominated by
+    // its resident original
+    val part = graft.Tables.part(spark, sf)
+      .select(col("p_partkey").as("id"),
+        concat_ws(" ", col("p_name"), col("p_type"), col("p_brand")).as("nm"))
+    val all = part.unionByName(
+      part.select((col("id") + 100000L).as("id"), col("nm")))
+    val twins = part.select((col("id") + 100000L).as("doc_id"))
+    val m2 = TextDedup.dedupKeepMask(
+        TextDedup.dedupNearPairs(all, "id", "nm"), twins)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(m2.keySet == twins.collect().map(_.getLong(0)).toSet)
+    assert(m2.values.forall(_ == false), "a twin survived its resident original")
+  }
+
   test("snapshotDiff classifies a hand-built customer snapshot pair exactly") {
     val a = graft.Tables.customer(spark, sf)
     val removed = a.filter(pmod(col("c_custkey"), lit(10)) === 0)
