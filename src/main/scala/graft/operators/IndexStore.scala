@@ -47,10 +47,26 @@ private[operators] object IndexStore {
       sizeOf: org.apache.spark.sql.Column)(
       fallback: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, count, lit, sum}
+    import org.apache.spark.sql.functions.{count, lit, sum}
     val st = df.agg(count(lit(1)), sum(sizeOf)).head()
-    val est = (32L * st.getLong(0) +
-      (if (st.isNullAt(1)) 0L else st.getLong(1))) * 2
+    broadcastIfFitsPre(s, df, estimateBytes(st.getLong(0),
+      if (st.isNullAt(1)) 0L else st.getLong(1)))(fallback)
+  }
+
+  /** The row-count + payload-bytes → hash-relation-bytes estimate the
+    * gate uses (32 B/row UnsafeRow overhead, x2 relation layout). Public
+    * so a caller that already aggregated the frame for other reasons
+    * (jaccardPairsOnHot's combined stats pass) can feed the gate
+    * without a second eager job. */
+  def estimateBytes(rows: Long, payloadBytes: Long): Long =
+    (32L * rows + payloadBytes) * 2
+
+  /** [[broadcastIfFits]] with a precomputed estimate — no aggregate run. */
+  def broadcastIfFitsPre(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame, est: Long)(
+      fallback: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
     // the threshold arrives as a bare long ("-1" disables broadcast —
     // the standard ops setting, which byteStringAsBytes rejects) or a
     // size string ("10MB")

@@ -310,16 +310,17 @@ object TextDedup {
     * the hot set is safe: the set is bounded by |corpus|/HotShingleDf
     * and usually empty. Profiles persisted before the df column exist
     * degrade to the floor. */
+  private[graft] def blocksForMax(maxDf: Long): Int = {
+    val df = maxDf.toDouble
+    math.min(4096,
+      math.max(HotBlocks, math.ceil(df * df / 2 / HotRowsPerBlock).toInt))
+  }
+
   private[graft] def blocksFor(hot: DataFrame): Int =
     if (!hot.columns.contains("df")) HotBlocks
     else {
       val m = hot.agg(max(col("df"))).head()
-      if (m.isNullAt(0)) HotBlocks
-      else {
-        val df = m.getLong(0).toDouble
-        math.min(4096,
-          math.max(HotBlocks, math.ceil(df * df / 2 / HotRowsPerBlock).toInt))
-      }
+      if (m.isNullAt(0)) HotBlocks else blocksForMax(m.getLong(0))
     }
 
   /** t06's default plan: the inverted-index self-join with a stats-gated
@@ -436,7 +437,18 @@ object TextDedup {
       s: SparkSession, d: String, hot: DataFrame,
       blocks: Int = -1, // <= 0: adaptive from the hot set's df ([[blocksFor]])
       matchable: Option[DataFrame] = None): DataFrame = {
-    val nBlocks = if (blocks > 0) blocks else blocksFor(hot)
+    // ONE combined eager stats pass over the hot set serves both the
+    // broadcast gate and the adaptive block sizing (two separate
+    // driver-blocking jobs otherwise — r14 review). Empty set: count 0,
+    // null sums → estimate 0 (broadcasts) and the block floor.
+    val hotStats = hot.agg(count(lit(1)), sum(octet_length(col("shingle"))),
+      (if (hot.columns.contains("df")) max(col("df")) else max(lit(0L)))).head()
+    val nBlocks =
+      if (blocks > 0) blocks
+      else if (hotStats.isNullAt(2)) HotBlocks
+      else blocksForMax(hotStats.getLong(2))
+    val hotEst = IndexStore.estimateBytes(hotStats.getLong(0),
+      if (hotStats.isNullAt(1)) 0L else hotStats.getLong(1))
     val raw = shingleFrame(s, d)
     // optional matchable prefilter (df >= 2, from the persisted profile):
     // df=1 shingles can never produce a cross-doc pair, so dropping them
@@ -459,8 +471,8 @@ object TextDedup {
         octet_length(col("shingle")))(_.hint("SHUFFLE_HASH"))
       raw.join(mSide, Seq("shingle"), "left_semi")
     }
-    val hotSide = IndexStore.broadcastIfFits(s, hot,
-      octet_length(col("shingle")))(_.hint("SHUFFLE_HASH"))
+    val hotSide = IndexStore.broadcastIfFitsPre(s, hot, hotEst)(
+      _.hint("SHUFFLE_HASH"))
     val cold = sh.join(hotSide, Seq("shingle"), "left_anti")
     val hotRows = sh.join(hotSide, Seq("shingle"), "left_semi")
     val coldPairs = {
@@ -549,14 +561,14 @@ object TextDedup {
     * a banding change (seed, band count, kernel) can never desynchronize
     * the persisted PairIndex from its delta — the invariant
     * PairIndexDeltaSpec pins. */
-  private[graft] def bandsOf(src: DataFrame): DataFrame = {
+  private[graft] def bandsOf(src: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val s = src.sparkSession
     graft.functions.TextExpressions.register(s)
     src
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
+      .select(col("doc_id") +: carry.map(col) :+
         posexplode(call_function("graft_minhash_bands", col("text")))
-          .as(Seq("band_idx", "band_hash")))
+          .as(Seq("band_idx", "band_hash")): _*)
   }
 
   private[graft] def bandsFrame(s: SparkSession, d: String): DataFrame =
@@ -689,14 +701,19 @@ object TextDedup {
     * FacadeSpec pins it for this entry point). Unordered. */
   def dedupNearPairsDelta(df: DataFrame, idCol: String, textCol: String,
       isNew: Column): DataFrame = {
-    val s = df.sparkSession
-    graft.functions.TextExpressions.register(s)
+    // a NULL flag is a contract violation, not a resident row: silently
+    // treating it as resident would drop its cross pairs from the delta
+    // and break the append invariant with no signal (the snapshotDiff
+    // null-semantics lesson, r14 review) — fail loudly instead
+    val flag = when(isNew.isNull,
+        raise_error(lit("dedupNearPairsDelta: isNew must be non-null")))
+      .otherwise(isNew.cast("boolean"))
     val src = df.select(col(idCol).as("doc_id"),
-        col(textCol).cast("string").as("text"), isNew.cast("boolean").as("is_new"))
-      .repartition(s.sparkContext.defaultParallelism)
-    val bands = src.select(col("doc_id"), col("is_new"),
-      posexplode(call_function("graft_minhash_bands", col("text")))
-        .as(Seq("band_idx", "band_hash")))
+      col(textCol).cast("string").as("text"), flag.as("is_new"))
+    // ONE banding projection (bandsOf) shared with dedupNearPairs and
+    // the gate pipelines — an inline copy here could desynchronize the
+    // facade pair from a future banding change (review finding)
+    val bands = bandsOf(src, carry = Seq("is_new"))
     bandDelta(src.select(col("doc_id"), col("text")),
       bands, bands.filter(col("is_new")))
   }
@@ -770,9 +787,14 @@ object TextDedup {
     * batch ids plus one hash lookup for partner-membership — cost ∝ the
     * batch's pair neighborhood, never the corpus. Unordered — callers
     * impose their order. */
-  def dedupKeepMask(pairFrame: DataFrame, batchIds: DataFrame): DataFrame = {
+  def dedupKeepMask(pairFrame: DataFrame, batchIds: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
     val pairs = pairFrame.select(col("doc1"), col("doc2"))
-    val batch = batchIds.select(batchIds.columns.head).toDF("doc_id")
+    // explicit id column (a positional columns.head would silently mask
+    // over the wrong column of a multi-column frame) and distinct ids
+    // (the mask contract is one row per batch id, whatever the input's
+    // multiplicity)
+    val batch = batchIds.select(col(idCol).as("doc_id")).distinct()
     val und = pairs.select(col("doc1").as("b"), col("doc2").as("partner"))
       .unionByName(pairs.select(col("doc2").as("b"), col("doc1").as("partner")))
     val inBatch = batch.select(col("doc_id").as("partner"), lit(true).as("pb"))

@@ -65,11 +65,13 @@ class FacadeSpec extends SparkSpec {
 
   test("dedupKeepMask: resident partners dominate, earlier batch ids win ties") {
     import spark.implicits._
-    // pairs: (1,2) batch-internal, (3,4) resident-vs-batch, 5 isolated
+    // pairs: (1,2) batch-internal, (3,4) resident-vs-batch, 5 isolated;
+    // the duplicated 5 must still yield ONE mask row (per-id contract)
     val pairs = Seq((1L, 2L, 1.0), (3L, 4L, 1.0)).toDF("doc1", "doc2", "jaccard")
-    val batch = Seq(1L, 2L, 4L, 5L).toDF("doc_id")
-    val mask = TextDedup.dedupKeepMask(pairs, batch)
-      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val batch = Seq(1L, 2L, 4L, 5L, 5L).toDF("doc_id")
+    val mask0 = TextDedup.dedupKeepMask(pairs, batch).collect()
+    assert(mask0.length == 4, "duplicate batch ids must collapse to one mask row")
+    val mask = mask0.map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(mask == Map(
       1L -> true,  // partner 2 is batch-internal and LARGER: 1 wins
       2L -> false, // dominated by earlier batch doc 1
@@ -118,6 +120,20 @@ class FacadeSpec extends SparkSpec {
     val removedSum = removed.agg(graft.functions.Exact.exactSum(col("c_acctbal")))
       .head().getDouble(0)
     assert(diff("removed")._2 == -removedSum)
+  }
+
+  test("dedupNearPairsDelta rejects a NULL isNew flag loudly") {
+    import spark.implicits._
+    // a null flag is neither resident nor new — silently picking either
+    // side would corrupt the append invariant, so the facade must throw
+    val df = Seq((1L, "alpha beta gamma delta", Some(true)),
+      (2L, "alpha beta gamma delta", Option.empty[Boolean])).toDF("id", "nm", "flag")
+    val e = intercept[Exception] {
+      TextDedup.dedupNearPairsDelta(df, "id", "nm", col("flag")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("isNew must be non-null")), e.toString)
   }
 
   test("snapshotDiff classifies NULL values by side presence, not value nullness") {
