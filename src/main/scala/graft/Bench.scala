@@ -81,14 +81,23 @@ object Bench {
     // measured ±15% container noise floor — when true, the min-side
     // numbers (which `value` already reports, being min-of-passes) are
     // the engine's cost and the worst pass is host noise.
-    val passTotals = passResults.map(_.map { case (_, t) => math.max(t, 0.0) }.sum)
+    // failed samples (-1) are EXCLUDED from a pass's total, not mapped
+    // to 0 (r14 review: a query failing in one pass but not another
+    // would skew the totals and spuriously set/mask `transient`); the
+    // per-pass failure count is emitted alongside whenever nonzero so
+    // an asymmetric-sample total is never read as a clean one
+    val passTotals = passResults.map(_.collect { case (_, t) if t >= 0 => t }.sum)
+    val passFails = passResults.map(_.count(_._2 < 0))
     // noise is judged on the TAIL passes only: pass 1 structurally pays
     // the per-JVM fixture writes (r06's 64-file frag, r08's bucketed
     // tables, fresh-fingerprint index builds), so a pass1-vs-pass3
     // spread is amortization, not host noise (measured 54.2 -> 35.6 s
-    // in a quiet window)
+    // in a quiet window). A tail pass with ANY failed sample makes the
+    // ratio meaningless (different query sets), so transient stays
+    // false and pass_fails carries the signal instead.
     val tail = passTotals.drop(1)
-    val transientRun = tail.min > 0 && tail.max / tail.min > 1.3
+    val transientRun = passFails.drop(1).forall(_ == 0) &&
+      tail.min > 0 && tail.max / tail.min > 1.3
     // The driver captures only the LAST 2000 chars of this process's
     // output and JSON-parses the result line out of that window — at 73
     // queries, full-precision doubles push the line to ~2900 chars and
@@ -104,7 +113,9 @@ object Bench {
     val sfJson = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
     val passJson = passTotals.map(fmt(_, 2)).mkString("[", ",", "]")
-    val selfDesc = s""""pass_totals":$passJson,"transient":$transientRun"""
+    val failsJson = if (passFails.exists(_ > 0))
+      s""","pass_fails":${passFails.mkString("[", ",", "]")}""" else ""
+    val selfDesc = s""""pass_totals":$passJson,"transient":$transientRun$failsJson"""
     def line(scale: Int): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, scale) }
         .mkString("{", ",", "}")

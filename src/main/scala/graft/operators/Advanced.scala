@@ -1412,6 +1412,47 @@ object Advanced {
          |ORDER BY stage, id, id2""".stripMargin
     })
 
+  /** Ring-promotion LOOP gate — the invariant c04 (one night) cannot
+    * see: run the WHOLE multi-night maintenance cycle through
+    * [[TextDedup.PromotedPairIndex]], where each night ends by
+    * atomically PROMOTING the grown pair index as the next resident
+    * state and the next night starts from that promotion, then check
+    * EVERY promoted state — not just the final one — against a
+    * from-scratch DuckDB rebuild restricted to the docs present that
+    * night. A pair dropped or duplicated by any promotion, a night
+    * started from the wrong state, or a torn publish serving a partial
+    * index all break the hash at the night where they happen, which
+    * pins down WHERE the loop drifted.
+    *
+    * Scale: the gate's cost is the ring's cost — night 0 is the only
+    * corpus-proportional build; each later night is a slice-band probe
+    * + a pair-set-sized promotion write (measured per-night ∝ slice at
+    * 125k docs: PLANS.md RING-LOOP). */
+  val c05 = QueryDef(
+    "c05_ring_promotion",
+    (s, d) => {
+      val nights = 0 to TextDedup.PromotedPairIndex.SliceRems.size
+      nights.map { k =>
+        TextDedup.PromotedPairIndex.ensure(s, d, k)
+          .select(lit(k).as("night"), col("doc1"), col("doc2"), col("jaccard"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("night"), col("doc1"), col("doc2"))
+    },
+    Some {
+      val rems = TextDedup.PromotedPairIndex.SliceRems
+      val branches = (0 to rems.size).map { k =>
+        val future = rems.drop(k)
+        val cond =
+          if (future.isEmpty) "TRUE"
+          else future.map(r => s"doc1 % 10 <> $r AND doc2 % 10 <> $r")
+            .mkString(" AND ")
+        s"SELECT $k AS night, doc1, doc2, jaccard FROM jp WHERE $cond"
+      }
+      s"""WITH jp AS (${TextDedup.JaccardPairsSql})
+         |${branches.mkString("\nUNION ALL\n")}
+         |ORDER BY night, doc1, doc2""".stripMargin
+    })
+
   /** SCD2 dimension build — turn the events change log into
     * slowly-changing-dimension rows with validity intervals: per user,
     * consecutive same-status events collapse (lag filter), and each
@@ -1545,11 +1586,24 @@ object Advanced {
     * added/removed/changed/unchanged, per-class count and decimal-exact
     * value delta. `a` is the older snapshot, `b` the newer; keys must be
     * unique per snapshot (it diffs VERSIONS of rows, not multisets).
+    *
+    * Delta precision: a DECIMAL value column keeps its own scale with
+    * +10 integer digits of headroom (capped at the decimal maximum of
+    * 38), so decimal inputs are exact by construction. Non-decimal
+    * numerics sum through DECIMAL(18,2) — exact up to 16 integer digits
+    * and 2 fractional digits; a wider float-borne value overflows
+    * loudly under ANSI (never silently rounds the integer part), and
+    * finer-than-cent fractions round at the cast. Callers with such
+    * values should diff a decimal-typed column (r14 review finding).
+    *
     * Scale: one hash-partitioned full-outer join — both sides shuffle on
     * the key once; bucketed snapshots (r08 layout) drop the exchanges. */
   def snapshotDiff(a: DataFrame, b: DataFrame, key: String, value: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val dec = DecimalType(18, 2)
+    val dec = a.select(col(value)).schema.head.dataType match {
+      case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
+      case _ => DecimalType(18, 2)
+    }
     // presence markers, not value-null tests: a NULLABLE value column
     // must not flip a both-sides row into added/removed, and a
     // null-vs-value transition is a CHANGE (null-safe <=>); the q34
@@ -1605,6 +1659,6 @@ object Advanced {
 
   val catalog: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, q16, q17, t09, c01, c02, c03,
-      c04, tj01, tj02, tj03, v01, v02, v03, v04, j01, q18, t10, q19, q20, q21,
+      c04, c05, tj01, tj02, tj03, v01, v02, v03, v04, j01, q18, t10, q19, q20, q21,
       q24, q25, q32, q33, q34)
 }

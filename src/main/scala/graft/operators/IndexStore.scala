@@ -131,13 +131,21 @@ private[operators] object IndexStore {
     * degrades to -1 — callers gating a persisted-artifact path on size
     * then take the inline branch, which is always correct (the persisted
     * path is an optimization, never a semantic change). */
-  def corpusBytes(d: String, table: String): Long = {
-    val path = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+  def corpusBytes(d: String, table: String): Long =
+    dirBytes(s"$d/$table.parquet")
+
+  /** Total bytes directly under `dir` (non-recursive — index segments
+    * are flat parquet dirs). NonFatal, not just IOException: a malformed
+    * dir string throws IllegalArgumentException from Path/getFileSystem
+    * before any IO — every listing failure must degrade to the caller's
+    * always-correct branch as -1, never fail the query (r14 review
+    * finding). */
+  def dirBytes(dir: String): Long =
     try {
+      val path = new org.apache.hadoop.fs.Path(dir)
       val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
       fs.listStatus(path).map(_.getLen).sum
-    } catch { case _: java.io.IOException => -1L }
-  }
+    } catch { case scala.util.control.NonFatal(_) => -1L }
 
   /** Ensure the index at `dirPath` is published (its `marker` file
     * exists), running `build` into a private temp sibling and atomically

@@ -876,35 +876,47 @@ object Similarity {
     * one hash join on cell (≈ N·NProbe/K candidate rows), two windows
     * over query-sized groups — identical cost shape to s04, plus the
     * segment union which is a zero-shuffle concat of parquet scans. */
+  /** The s09/s10 probe body over an EXPLICIT (vec_id, embedding, cell)
+    * inverted file and centroid set: norms derived in one narrow pass
+    * (segments persist no norms — a norm-definition change can never
+    * desync them), cells ranked by query·center, cut to [[NProbe]],
+    * hash join on cell, exact cosine, top-3. Factored so the segmented
+    * reader (s09) and the compacted reader (s10) provably run the SAME
+    * plan over different physical layouts — the gate pair then isolates
+    * compaction itself. */
+  private def ivfProbe(assignedRaw: DataFrame, centersDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = assignedRaw
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(centersDf))
+      .withColumn("cdist", dot(col("qe"), col("center")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= NProbe)
+      .select(col("query_id"), col("qe"), col("qn"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probed.join(assigned.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne"), col("nrm").as("nn"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val s09 = QueryDef(
     "s09_ann_segmented_probe",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       graft.functions.VectorExpressions.register(s)
       val (baseSeg, deltaSeg) = IvfIncIndex.ensure(s, d)
       val centersDf = s.read.parquet(s"${IvfIncIndex.baseDirFor(d)}/centroids")
-      val assigned = baseSeg.unionByName(deltaSeg)
-        .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
-      val q = assigned.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("nrm").as("qn"))
-      val wProbe = Window.partitionBy(col("query_id"))
-        .orderBy(col("cdist").desc, col("cell"))
-      val probed = q.crossJoin(broadcast(centersDf))
-        .withColumn("cdist", dot(col("qe"), col("center")))
-        .withColumn("crank", row_number().over(wProbe))
-        .filter(col("crank") <= NProbe)
-        .select(col("query_id"), col("qe"), col("qn"), col("cell"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      probed.join(assigned.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("ne"), col("nrm").as("nn"), col("cell")), Seq("cell"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          cosine(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .orderBy(col("query_id"), col("rank"))
+      ivfProbe(baseSeg.unionByName(deltaSeg), centersDf)
     },
     None,
     oracleLate = Some { sfDir =>

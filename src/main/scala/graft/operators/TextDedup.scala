@@ -316,12 +316,21 @@ object TextDedup {
       math.max(HotBlocks, math.ceil(df * df / 2 / HotRowsPerBlock).toInt))
   }
 
-  private[graft] def blocksFor(hot: DataFrame): Int =
-    if (!hot.columns.contains("df")) HotBlocks
-    else {
-      val m = hot.agg(max(col("df"))).head()
-      if (m.isNullAt(0)) HotBlocks else blocksForMax(m.getLong(0))
-    }
+  /** ONE eager aggregate over the hot set serving every consumer of its
+    * stats: (row count, shingle payload bytes, salting block count).
+    * Profiles persisted before the df column existed (or an empty hot
+    * set) degrade to the block floor. This is the single sizing code
+    * path — [[blocksFor]] and [[jaccardPairsOnHot]] both read it, so the
+    * spec-pinned helper can never drift from the plan's inline logic
+    * (r14 review finding). */
+  private[graft] def hotStats(hot: DataFrame): (Long, Long, Int) = {
+    val st = hot.agg(count(lit(1)), sum(octet_length(col("shingle"))),
+      (if (hot.columns.contains("df")) max(col("df")) else max(lit(0L)))).head()
+    val nBlocks = if (st.isNullAt(2)) HotBlocks else blocksForMax(st.getLong(2))
+    (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1), nBlocks)
+  }
+
+  private[graft] def blocksFor(hot: DataFrame): Int = hotStats(hot)._3
 
   /** t06's default plan: the inverted-index self-join with a stats-gated
     * hot-shingle escape hatch. EXACT (result-identical to
@@ -441,14 +450,13 @@ object TextDedup {
     // broadcast gate and the adaptive block sizing (two separate
     // driver-blocking jobs otherwise — r14 review). Empty set: count 0,
     // null sums → estimate 0 (broadcasts) and the block floor.
-    val hotStats = hot.agg(count(lit(1)), sum(octet_length(col("shingle"))),
-      (if (hot.columns.contains("df")) max(col("df")) else max(lit(0L)))).head()
-    val nBlocks =
-      if (blocks > 0) blocks
-      else if (hotStats.isNullAt(2)) HotBlocks
-      else blocksForMax(hotStats.getLong(2))
-    val hotEst = IndexStore.estimateBytes(hotStats.getLong(0),
-      if (hotStats.isNullAt(1)) 0L else hotStats.getLong(1))
+    val (hotRowsN, hotPayload, statBlocks) = hotStats(hot)
+    val nBlocks = if (blocks > 0) blocks else statBlocks
+    val hotEst = IndexStore.estimateBytes(hotRowsN, hotPayload)
+    // the df column has done its job (block sizing above); project it
+    // away so the broadcast relation / join side carries only the
+    // shingle key — 8 dead bytes per row otherwise (r14 review)
+    val hotKeys = hot.select(col("shingle"))
     val raw = shingleFrame(s, d)
     // optional matchable prefilter (df >= 2, from the persisted profile):
     // df=1 shingles can never produce a cross-doc pair, so dropping them
@@ -471,7 +479,7 @@ object TextDedup {
         octet_length(col("shingle")))(_.hint("SHUFFLE_HASH"))
       raw.join(mSide, Seq("shingle"), "left_semi")
     }
-    val hotSide = IndexStore.broadcastIfFitsPre(s, hot, hotEst)(
+    val hotSide = IndexStore.broadcastIfFitsPre(s, hotKeys, hotEst)(
       _.hint("SHUFFLE_HASH"))
     val cold = sh.join(hotSide, Seq("shingle"), "left_anti")
     val hotRows = sh.join(hotSide, Seq("shingle"), "left_semi")
@@ -795,11 +803,19 @@ object TextDedup {
     // (the mask contract is one row per batch id, whatever the input's
     // multiplicity)
     val batch = batchIds.select(col(idCol).as("doc_id")).distinct()
-    val und = pairs.select(col("doc1").as("b"), col("doc2").as("partner"))
-      .unionByName(pairs.select(col("doc2").as("b"), col("doc1").as("partner")))
+    // batch-filter each direction BEFORE the union symmetrizes: only
+    // pair rows with a batch endpoint on that side survive into the
+    // doubled stream, so the partner-membership join downstream sees
+    // the batch's pair neighborhood, not 2x the whole index (r14
+    // VERDICT slate #6 touch-up). batch is distinct, so the inner join
+    // preserves pair-row multiplicity exactly.
+    def endpointRows(bc: String, pc: String): DataFrame =
+      pairs.join(batch.select(col("doc_id").as(bc)), Seq(bc))
+        .select(col(bc).as("b"), col(pc).as("partner"))
+    val und = endpointRows("doc1", "doc2")
+      .unionByName(endpointRows("doc2", "doc1"))
     val inBatch = batch.select(col("doc_id").as("partner"), lit(true).as("pb"))
     val dominated = und
-      .join(batch.withColumnRenamed("doc_id", "b"), Seq("b"))
       .join(inBatch, Seq("partner"), "left")
       .filter(col("pb").isNull || col("partner") < col("b"))
       .select(col("b").as("doc_id")).distinct()
@@ -1631,6 +1647,74 @@ object TextDedup {
         lshPairsFromBands(docs(s, d),
             corpusBands(s, d).filter(col("doc_id") % 10 =!= 7))
           .write.mode("overwrite").parquet(s"$tmp/pairs")
+      }
+      s.read.parquet(s"$dir/pairs")
+    }
+  }
+
+  /** N-night PROMOTION ring over the persisted pair index — the piece
+    * that closes the maintenance LOOP (r14 VERDICT slate #1): c04
+    * computes resident ∪ delta but never writes it back, so every night
+    * would start from the same resident. Here each night ENDS by
+    * atomically publishing the grown pair set as the next resident
+    * state, and night k+1 STARTS from night k's output:
+    *
+    *  - night 0: from-scratch LSH build over the original resident
+    *    corpus (docs whose slice has not yet arrived);
+    *  - night k: read the PROMOTED state k-1, band-probe slice k
+    *    against the now-present corpus ([[bandDelta]] — cost ∝ slice,
+    *    never ∝ corpus), append, and promote the union as state k via
+    *    the same [[IndexStore.ensure]] rename+marker publication every
+    *    index uses (atomic: a crash mid-promotion leaves state k-1
+    *    serving; a torn pre-rename leftover is recovered).
+    *
+    * Slices arrive in [[SliceRems]] order (doc_id % 10 == 3, then == 7 —
+    * the second is the t25/t34/c04 daily-slice convention, so the ring's
+    * last night is exactly the fixture's "today"). The loop invariant —
+    * EVERY promoted state equals a from-scratch rebuild over the docs
+    * present that night, not just the final one — is what the c05 gate
+    * hash-checks against DuckDB's all-pairs Jaccard filtered to each
+    * night's present set.
+    *
+    * Scale: the promotion write is ∝ the pair set (sparse — the
+    * compressed artifact, never corpus-sized), the delta is
+    * O(slice × bands) against the size-gated persisted [[BandIndex]],
+    * and the previous state is READ, not recomputed — so per-night cost
+    * stays ∝ slice as the resident grows (measured: PLANS.md RING-LOOP).
+    * Reference anchor: the daily cron shape, `README.md:9`,
+    * `tabjolt_email.py:345-394`. */
+  object PromotedPairIndex {
+    /** Successive crawl-slice conventions, in arrival order. */
+    private[graft] val SliceRems: Seq[Int] = Seq(3, 7)
+
+    /** Docs present at the START of night `night`+1 / END of night
+      * `night`: the original resident plus slices 1..night. */
+    private[graft] def presentAt(night: Int): Column =
+      SliceRems.drop(night).foldLeft(lit(true))(
+        (acc, r) => acc && col("doc_id") % 10 =!= r)
+
+    private[graft] def stateDirFor(d: String, night: Int): String =
+      s"${sys.props("java.io.tmpdir")}/graft_pairs_ring_l1_${IndexStore.corpusFingerprint(d, "documents")}_n$night"
+
+    /** The promoted pair-index state after `night` nights, recursively
+      * building and publishing every missing predecessor first (a warm
+      * ring reads one parquet dir). Unordered — consumers sort. */
+    def ensure(s: SparkSession, d: String, night: Int): DataFrame = {
+      require(night >= 0 && night <= SliceRems.size,
+        s"ring has ${SliceRems.size} nights; got $night")
+      val dir = IndexStore.ensure(stateDirFor(d, night), "pairs/_SUCCESS") { tmp =>
+        val pairs =
+          if (night == 0)
+            lshPairsFromBands(docs(s, d).filter(presentAt(0)),
+              corpusBands(s, d).filter(presentAt(0)))
+          else {
+            val prev = ensure(s, d, night - 1)
+            val bands = corpusBands(s, d).filter(presentAt(night))
+            val delta = bandDelta(docs(s, d).filter(presentAt(night)),
+              bands, bands.filter(col("doc_id") % 10 === SliceRems(night - 1)))
+            prev.unionByName(delta)
+          }
+        pairs.write.mode("overwrite").parquet(s"$tmp/pairs")
       }
       s.read.parquet(s"$dir/pairs")
     }

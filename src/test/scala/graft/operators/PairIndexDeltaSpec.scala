@@ -53,6 +53,51 @@ class PairIndexDeltaSpec extends SparkSpec {
     }
   }
 
+  test("promotion ring: every promoted state == from-scratch rebuild of its present set") {
+    import org.apache.spark.sql.functions.col
+    val full = pairs(TextDedup.PairIndex.ensure(spark, sf).orderBy(col("doc1")))
+    val rems = TextDedup.PromotedPairIndex.SliceRems
+    def presentPair(night: Int)(p: (Long, Long)): Boolean =
+      rems.drop(night).forall(r => p._1 % 10 != r && p._2 % 10 != r)
+    var prevKeys = Set.empty[(Long, Long)]
+    (0 to rems.size).foreach { k =>
+      val state = pairs(
+        TextDedup.PromotedPairIndex.ensure(spark, sf, k).orderBy(col("doc1")))
+      val expected = full.view.filterKeys(presentPair(k)).toMap
+      assert(state == expected,
+        s"night $k: missing=${expected.keySet -- state.keySet} " +
+          s"extra=${state.keySet -- expected.keySet}")
+      // the loop grows monotonically: night k's state contains night k-1's
+      assert(prevKeys.subsetOf(state.keySet), s"night $k lost promoted pairs")
+      prevKeys = state.keySet
+    }
+    // final promoted state IS the full rebuild — the loop invariant
+    assert(prevKeys == full.keySet)
+    assert(full.nonEmpty, "fixture must exercise the ring")
+  }
+
+  test("a promoted state is READ by the next night, not recomputed") {
+    // corrupt-the-cache probe: publish night 0, overwrite its pair rows
+    // with a sentinel, and check the sentinel propagates through night
+    // 1's promotion — proof the ring starts from the PROMOTED state (a
+    // recompute would silently mask a broken promotion; detecting the
+    // sentinel shows the read path is real). Scratch corpus so the
+    // shared fixture ring stays clean.
+    import org.apache.spark.sql.functions.{col, lit}
+    val scratch = java.nio.file.Files.createTempDirectory("ring_read").toFile
+    spark.read.parquet(s"$sf/documents.parquet")
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val d = scratch.getAbsolutePath
+    TextDedup.PromotedPairIndex.ensure(spark, d, 0)
+    val dir0 = TextDedup.PromotedPairIndex.stateDirFor(d, 0)
+    val sentinel = spark.range(1)
+      .select(lit(-1L).as("doc1"), lit(-2L).as("doc2"), lit(0.99).as("jaccard"))
+    sentinel.write.mode("overwrite").parquet(s"$dir0/pairs")
+    val night1 = TextDedup.PromotedPairIndex.ensure(spark, d, 1)
+      .filter(col("doc1") === -1L).count()
+    assert(night1 == 1, "night 1 did not read the promoted night-0 state")
+  }
+
   test("resident index ∪ delta == the full published index (c04's append)") {
     val full = pairs(TextDedup.PairIndex.ensure(spark, sf)
       .orderBy(org.apache.spark.sql.functions.col("doc1")))
