@@ -760,14 +760,24 @@ object Similarity {
     /** Deterministic nearest-centroid assignment of `vecs` against a
       * broadcast centroid set (tiny: K rows). One narrow pass over the
       * input — the only corpus-sized work in any build or growth step. */
-    private[graft] def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    private[graft] def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+      assignWithDist(vecs, centroids)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+
+    /** [[assign]] plus the TRUE squared distance to the winning centroid
+      * (the argmin score is ‖c‖² − 2·x·c; adding the per-row ‖x‖²
+      * rebases it). The distance column is what the drift monitor
+      * aggregates; [[assign]]'s projection prunes it away, so the shared
+      * body costs the hot path nothing. */
+    private[graft] def assignWithDist(vecs: DataFrame, centroids: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("score"), col("cell"))
       vecs.crossJoin(broadcast(centroids))
         .withColumn("score",
           dot(col("center"), col("center")) - lit(2.0) * dot(col("embedding"), col("center")))
         .withColumn("arank", row_number().over(w))
         .filter(col("arank") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell"))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          (col("score") + dot(col("embedding"), col("embedding"))).as("sqdist"))
     }
 
     /** Base segment: KMeans fit on the base snapshot (the expensive,
@@ -810,6 +820,139 @@ object Similarity {
       val dd = ensureDelta(s, d)
       (s.read.parquet(s"$bd/assigned"), s.read.parquet(s"$dd/assigned"))
     }
+
+    // ------------------------------------------------- segment compaction
+    //
+    // Delta segments accumulate (r14 VERDICT slate #2): every nightly
+    // growth step appends one, and a reader's segment union eventually
+    // pays a long tail of small files — the classic LSM read
+    // amplification. The rebase below folds base ∪ delta into ONE new
+    // base segment against the SAME frozen centroids (compaction must
+    // NEVER retrain — assignments are copied rows, not recomputed, so
+    // probe results are identical by construction and the s10 gate
+    // hash-checks exactly that). Publication is the same atomic
+    // rename+marker as every index; a crash mid-compaction leaves the
+    // segmented index serving.
+
+    /** Rebase when the delta has grown to ≥ this fraction of the base:
+      * below it the fold's full-index rewrite costs more than the read
+      * amplification it removes; above it the delta is no longer "small
+      * new data" and each probe pays the segment tail. 0.2 is the
+      * standard LSM minor-compaction shape (fold when the new layer is
+      * a fifth of the old). */
+    private[graft] val CompactRatio = 0.2
+
+    /** The size/ratio policy: true when the delta segment's bytes are ≥
+      * [[CompactRatio]] × base bytes. Degraded listings (-1) are never
+      * "due" — compaction is an optimization; the segmented union stays
+      * the always-correct reader. */
+    private[graft] def compactionDue(s: SparkSession, d: String): Boolean = {
+      val bb = IndexStore.dirBytes(s"${baseDirFor(d)}/assigned")
+      val db = IndexStore.dirBytes(s"${deltaDirFor(d)}/assigned")
+      bb > 0 && db >= 0 && db.toDouble >= CompactRatio * bb
+    }
+
+    private[graft] def compactedDirFor(d: String): String =
+      s"${sys.props("java.io.tmpdir")}/graft_ivfinc_${IndexStore.corpusFingerprint(d, "embeddings")}_k${IvfIndex.K}_compact"
+
+    /** Fold base ∪ delta into one published segment (centroids copied
+      * bit-identically — the frozen-quantizer contract survives
+      * compaction). Cost ∝ index bytes, a scheduled job at scale;
+      * returns the compacted dir. */
+    def ensureCompacted(s: SparkSession, d: String): String = {
+      val bd = ensureBase(s, d)
+      val dd = ensureDelta(s, d)
+      IndexStore.ensure(compactedDirFor(d), "assigned/_SUCCESS") { tmp =>
+        s.read.parquet(s"$bd/centroids")
+          .write.mode("overwrite").parquet(s"$tmp/centroids")
+        s.read.parquet(s"$bd/assigned")
+          .unionByName(s.read.parquet(s"$dd/assigned"))
+          .write.mode("overwrite").parquet(s"$tmp/assigned")
+      }
+    }
+
+    /** The maintained reader view: the compacted single segment when the
+      * ratio policy says the fold has paid for itself, the base ∪ delta
+      * union otherwise. Both arms are row-identical by construction
+      * (s10 gates the compacted arm against the from-scratch oracle;
+      * IvfIncSpec pins arm equality directly). */
+    def maintained(s: SparkSession, d: String): DataFrame =
+      if (compactionDue(s, d))
+        s.read.parquet(s"${ensureCompacted(s, d)}/assigned")
+      else {
+        val (base, delta) = ensure(s, d)
+        base.unionByName(delta)
+      }
+
+    // ------------------------------------------------- centroid drift
+    //
+    // Freeze-forever is a POLICY, not a law (r14 VERDICT slate #3): the
+    // frozen quantizer stays optimal only while arriving data keeps the
+    // base distribution. When a crawl's distribution shifts, new
+    // vectors land far from every frozen centroid — cells unbalance,
+    // nprobe recall decays — and nothing in the ring would ever notice.
+    // The monitor below measures exactly that, and the trigger schedules
+    // the one maintenance action frozen-centroid IVF reserves for
+    // distribution change: a full recluster published as the NEXT INDEX
+    // GENERATION (never a mutation of the serving one).
+
+    /** Recluster when the delta slice's mean nearest-centroid squared
+      * distance reaches this multiple of the base's. Same-distribution
+      * growth sits at ~1.0 by construction (both slices drawn from what
+      * the quantizer was fit on); the gap to 1.25 absorbs sampling noise
+      * at small slices, while a genuine shift moves the ratio by the
+      * squared shift magnitude — measured 1.00 on the fixture's uniform
+      * slices vs ≫2 on a planted +0.75σ/dim shift (IvfIncSpec,
+      * PLANS.md DRIFT). */
+    private[graft] val ReclusterRatio = 1.25
+
+    /** Mean nearest-centroid squared distance of the delta slice over
+      * the base's, under the FROZEN base centroids — 1.0 means the new
+      * data lives where the quantizer was trained. Cost: one
+      * assignment-shaped pass per segment (a scheduled monitor, not a
+      * probe-path tax); the distances come from the same deterministic
+      * [[assignWithDist]] the ring assigns with, so the metric measures
+      * the index's own geometry, not a parallel implementation's. */
+    def driftRatio(s: SparkSession, d: String): Double = {
+      val bd = ensureBase(s, d)
+      val centroids = s.read.parquet(s"$bd/centroids")
+      def meanDist(slice: DataFrame): Double =
+        assignWithDist(slice, centroids).agg(avg(col("sqdist"))).head().getDouble(0)
+      val e = embDouble(s, d)
+      val base = meanDist(e.filter(col("vec_id") % NewSliceMod =!= NewSliceRem))
+      val delta = meanDist(e.filter(col("vec_id") % NewSliceMod === NewSliceRem))
+      delta / base
+    }
+
+    /** The trigger: true when [[driftRatio]] has crossed
+      * [[ReclusterRatio]] — the signal a deployment wires to its
+      * scheduled [[recluster]] job. */
+    def reclusterDue(s: SparkSession, d: String): Boolean =
+      driftRatio(s, d) >= ReclusterRatio
+
+    private[graft] def gen2DirFor(d: String): String =
+      s"${sys.props("java.io.tmpdir")}/graft_ivfinc_${IndexStore.corpusFingerprint(d, "embeddings")}_k${IvfIndex.K}_g2"
+
+    /** The scheduled response to drift: a fresh KMeans fit over the
+      * WHOLE grown corpus, published atomically as generation 2 — a new
+      * base segment whose centroids supersede the drifted generation's;
+      * the ring (delta growth, compaction, probes) continues unchanged
+      * on top of it. The serving index is never mutated: readers switch
+      * generations at the publication marker, exactly the [[IndexStore]]
+      * contract every segment rides. */
+    def recluster(s: SparkSession, d: String): String =
+      IndexStore.ensure(gen2DirFor(d), "assigned/_SUCCESS") { tmp =>
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val all = embDouble(s, d)
+        val feat = all.withColumn("features", array_to_vector(col("embedding")))
+        val model = new KMeans().setK(IvfIndex.K).setSeed(43L).setMaxIter(10).fit(feat)
+        import s.implicits._
+        val centroids = model.clusterCenters.zipWithIndex
+          .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("cell", "center")
+        centroids.write.mode("overwrite").parquet(s"$tmp/centroids")
+        assign(all, centroids).write.mode("overwrite").parquet(s"$tmp/assigned")
+      }
   }
 
   /** Incremental IVF maintenance gate: the reader-view union of the base
@@ -919,38 +1062,72 @@ object Similarity {
       ivfProbe(baseSeg.unionByName(deltaSeg), centersDf)
     },
     None,
-    oracleLate = Some { sfDir =>
-      s"""WITH ${ivfAssignCtes(sfDir)},
-         |a AS (
-         |  SELECT e.vec_id, e.embedding,
-         |         sqrt(${duckDot("e.embedding", "e.embedding")}) AS nrm, r.cell
-         |  FROM embeddings e
-         |  JOIN (SELECT vec_id, cell FROM ranked WHERE arank = 1) r
-         |    ON e.vec_id = r.vec_id),
-         |q AS (SELECT vec_id AS query_id, embedding AS qe, qn FROM (
-         |        SELECT vec_id, embedding, nrm AS qn FROM a)
-         |      WHERE vec_id < $NumQueries),
-         |probed AS (
-         |  SELECT query_id, qe, qn, cell FROM (
-         |    SELECT q.query_id, q.qe, q.qn, cen.cell,
-         |           ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |             ORDER BY ${duckDot("q.qe", "cen.center")} DESC NULLS LAST,
-         |                      cen.cell) AS crank
-         |    FROM q CROSS JOIN cen)
-         |  WHERE crank <= $NProbe),
-         |cand AS (
-         |  SELECT probed.query_id, c.vec_id AS neighbor_id,
-         |         CASE WHEN probed.qn = 0 OR c.nrm = 0 THEN NULL
-         |              ELSE ${duckDot("probed.qe", "c.embedding")} / (probed.qn * c.nrm) END AS cos
-         |  FROM probed JOIN a c
-         |    ON probed.cell = c.cell AND probed.query_id <> c.vec_id)
-         |SELECT query_id, neighbor_id, cos, rank FROM (
-         |  SELECT query_id, neighbor_id, cos,
-         |         ROW_NUMBER() OVER (PARTITION BY query_id
-         |           ORDER BY cos DESC NULLS LAST, neighbor_id) AS rank
-         |  FROM cand)
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
-    })
+    oracleLate = Some(segmentedProbeOracle))
 
-  val catalog: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
+  /** The from-scratch DuckDB counterfactual shared by s09 and s10:
+    * whole-corpus assignment re-derived from the persisted frozen
+    * centroids, norms from the raw embeddings, then the identical
+    * probe. Shared because the two gates differ ONLY in the physical
+    * layout the Spark side reads (segment union vs compacted fold) —
+    * the correct answer is the same by contract, and one oracle text
+    * makes that contract impossible to desynchronize. */
+  private def segmentedProbeOracle(sfDir: String): String =
+    s"""WITH ${ivfAssignCtes(sfDir)},
+       |a AS (
+       |  SELECT e.vec_id, e.embedding,
+       |         sqrt(${duckDot("e.embedding", "e.embedding")}) AS nrm, r.cell
+       |  FROM embeddings e
+       |  JOIN (SELECT vec_id, cell FROM ranked WHERE arank = 1) r
+       |    ON e.vec_id = r.vec_id),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, qn FROM (
+       |        SELECT vec_id, embedding, nrm AS qn FROM a)
+       |      WHERE vec_id < $NumQueries),
+       |probed AS (
+       |  SELECT query_id, qe, qn, cell FROM (
+       |    SELECT q.query_id, q.qe, q.qn, cen.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${duckDot("q.qe", "cen.center")} DESC NULLS LAST,
+       |                      cen.cell) AS crank
+       |    FROM q CROSS JOIN cen)
+       |  WHERE crank <= $NProbe),
+       |cand AS (
+       |  SELECT probed.query_id, c.vec_id AS neighbor_id,
+       |         CASE WHEN probed.qn = 0 OR c.nrm = 0 THEN NULL
+       |              ELSE ${duckDot("probed.qe", "c.embedding")} / (probed.qn * c.nrm) END AS cos
+       |  FROM probed JOIN a c
+       |    ON probed.cell = c.cell AND probed.query_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC NULLS LAST, neighbor_id) AS rank
+       |  FROM cand)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** The probe over the MAINTAINED reader view — the compacted single
+    * segment when [[IvfIncIndex.compactionDue]] says the delta has
+    * grown past the rebase ratio (the fixture's 1-in-5 slice always
+    * trips it), the segment union otherwise. Same [[ivfProbe]] body and
+    * the same from-scratch oracle as s09, so the gate pair isolates the
+    * COMPACTION: identical hashes prove the fold changed the physical
+    * layout and nothing else. The policy itself (ratio arithmetic,
+    * degraded-listing behavior, centroid bit-identity, fixture trigger)
+    * is pinned in IvfIncSpec.
+    *
+    * Scale: compaction is the LSM rebase a segment-per-night index
+    * needs — without it a year of nightly deltas is 365 small segments
+    * and every probe pays the scan tail; with the ratio gate each fold
+    * is ∝ index bytes and the segment count stays O(1). */
+  val s10 = QueryDef(
+    "s10_ann_compacted_probe",
+    (s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      val assigned = IvfIncIndex.maintained(s, d)
+      val centersDf = s.read.parquet(s"${IvfIncIndex.baseDirFor(d)}/centroids")
+      ivfProbe(assigned, centersDf)
+    },
+    None,
+    oracleLate = Some(segmentedProbeOracle))
+
+  val catalog: Seq[QueryDef] =
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
 }

@@ -127,6 +127,89 @@ class IvfIncSpec extends SparkSpec {
       "delta empty or overlapping base")
   }
 
+  test("compaction folds the segments without changing a row or a centroid") {
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (base, delta) = Similarity.IvfIncIndex.ensure(spark, d)
+    val union = cells(base.unionByName(delta))
+    // the fixture's 1-in-5 slice must trip the 0.2 ratio policy…
+    assert(Similarity.IvfIncIndex.compactionDue(spark, d),
+      "fixture delta (25% of base) did not trip the 0.2 compaction ratio")
+    // …so the maintained reader serves the compacted single segment
+    val maintained = cells(Similarity.IvfIncIndex.maintained(spark, d))
+    assert(maintained == union, "compaction changed the assignment rows")
+    val cdir = Similarity.IvfIncIndex.compactedDirFor(d)
+    assert(new java.io.File(s"$cdir/assigned/_SUCCESS").exists(),
+      "maintained() did not publish the compacted segment")
+    // frozen-quantizer contract: centroids copied bit-identically
+    def cen(dir: String) = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(cen(cdir) == cen(Similarity.IvfIncIndex.baseDirFor(d)),
+      "compaction perturbed the frozen centroids")
+    // a degraded listing (no such corpus/segments) is never "due":
+    // compaction is an optimization, the segmented union stays correct
+    assert(!Similarity.IvfIncIndex.compactionDue(spark, "/nonexistent/corpus"))
+  }
+
+  test("s10 compacted probe equals the s09 segmented probe row-for-row") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val seg = rows(Similarity.s09.fn(spark, d))
+    val comp = rows(Similarity.s10.fn(spark, d))
+    assert(comp == seg, "probe results drifted across the compaction")
+    assert(seg.nonEmpty)
+  }
+
+  test("drift monitor: same-distribution growth stays quiet, a planted shift trips recluster") {
+    graft.functions.VectorExpressions.register(spark)
+    // fixture slices are drawn from one distribution: the ratio must sit
+    // near 1.0 and the trigger must stay quiet — a monitor that cries
+    // wolf schedules full refits for nothing
+    val r0 = Similarity.IvfIncIndex.driftRatio(spark, d)
+    assert(r0 > 0.8 && r0 < Similarity.IvfIncIndex.ReclusterRatio,
+      s"fixture drift ratio $r0 outside the quiet band")
+    assert(!Similarity.IvfIncIndex.reclusterDue(spark, d))
+    // scratch corpus: the delta slice shifted +0.75 per component — a
+    // modest distribution change (well under one σ per dim) that frozen
+    // centroids cannot follow
+    val mod = Similarity.IvfIncIndex.NewSliceMod
+    val rem = Similarity.IvfIncIndex.NewSliceRem
+    val scratch = java.nio.file.Files.createTempDirectory("drift").toFile
+    graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        when(col("vec_id") % mod === rem,
+          transform(col("embedding"), x => x + lit(0.75f)))
+          .otherwise(col("embedding")).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+    val ds = scratch.getAbsolutePath
+    val r1 = Similarity.IvfIncIndex.driftRatio(spark, ds)
+    assert(r1 >= Similarity.IvfIncIndex.ReclusterRatio,
+      s"planted shift not detected: ratio $r1")
+    assert(Similarity.IvfIncIndex.reclusterDue(spark, ds))
+    // the response adapts: under the generation-2 centroids (fresh fit
+    // over the grown corpus) the shifted slice's mean squared distance
+    // must drop vs the frozen generation's — reclustering actually
+    // followed the distribution, it didn't just reshuffle cells
+    val g2 = Similarity.IvfIncIndex.recluster(spark, ds)
+    val deltaVecs = graft.Tables.embeddings(spark, ds)
+      .filter(col("vec_id") % mod === rem)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    def meanDist(cdir: String): Double =
+      Similarity.IvfIncIndex.assignWithDist(
+          deltaVecs, spark.read.parquet(s"$cdir/centroids"))
+        .agg(avg(col("sqdist"))).head().getDouble(0)
+    val frozen = meanDist(Similarity.IvfIncIndex.baseDirFor(ds))
+    val refit = meanDist(g2)
+    assert(refit < frozen,
+      s"gen-2 centroids did not adapt: $refit vs frozen $frozen")
+    // and the new generation is a complete index over the grown corpus
+    val n = graft.Tables.embeddings(spark, ds).count()
+    assert(spark.read.parquet(s"$g2/assigned").count() == n)
+  }
+
   test("s09 segmented probe: complete top-3 per query, neighbors from BOTH segments") {
     val rows = Similarity.s09.fn(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
