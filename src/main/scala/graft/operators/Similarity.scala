@@ -1019,6 +1019,95 @@ object Similarity {
     * one hash join on cell (≈ N·NProbe/K candidate rows), two windows
     * over query-sized groups — identical cost shape to s04, plus the
     * segment union which is a zero-shuffle concat of parquet scans. */
+  // ------------------------------------------------- library façades
+  //
+  // The vector-side API family (r14 VERDICT slate #5), completing what
+  // dedupNearPairs / dedupNearPairsDelta / dedupKeepMask are for text:
+  // the fixture gates stay as instantiations, any DataFrame with an id
+  // and an array-of-float column gets the same machinery.
+
+  /** Library façade: exact brute-force cosine top-k of `queries`
+    * against `corpus` — both frames carrying `idCol` (orderable,
+    * distinct per frame) and `vecCol` (array of numerics, equal
+    * lengths). Returns (query_id, neighbor_id, cos, rank) with rank
+    * 1..k by descending cosine, ties to the smaller neighbor id, a
+    * corpus row sharing the query's id excluded (the self-match when
+    * queries ⊆ corpus — the s02 contract; disjoint id spaces simply
+    * never trip it). Zero-norm vectors rank last (cosine NULL, both
+    * engines' DESC NULLS LAST). s02 is exactly this façade at
+    * queries = vec_id < 10 over embeddings.
+    *
+    * Scale: the correctness baseline and final re-rank stage — O(|Q|·N)
+    * exact cosines as one block join; the candidate-generation scale
+    * path in front of it is s03/s04/s09 (LSH / IVF buckets), which
+    * shrink N per query, not this stage's shape. */
+  def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = corpus.sparkSession
+    graft.functions.VectorExpressions.register(s)
+    def normed(df: DataFrame, idAs: String, eAs: String, nAs: String) = df
+      .select(col(idCol).as(idAs),
+        transform(col(vecCol), x => x.cast("double")).as(eAs))
+      .select(col(idAs), col(eAs), sqrt(dot(col(eAs), col(eAs))).as(nAs))
+    val q = normed(queries, "query_id", "qe", "qn")
+    val c = normed(corpus.repartition(s.sparkContext.defaultParallelism),
+      "neighbor_id", "ne", "nn")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Library façade: the incremental-IVF maintenance step over ANY
+    * frame — the vector twin of [[TextDedup.dedupNearPairsDelta]].
+    * Rows where `isNew` is false are the resident snapshot: the coarse
+    * quantizer is FIT ON THEM ALONE (k cells, fixed seed) and frozen;
+    * every row — resident and new — is then assigned deterministically
+    * against those frozen centroids, so appending tomorrow's rows can
+    * never perturb today's cells. Returns
+    * ((id, cell, is_new) assignments, (cell, center) centroids); a NULL
+    * `isNew` raises (the dedupNearPairsDelta contract — silently
+    * picking a side would corrupt the segment split). s08 is this
+    * façade at isNew = vec_id % 5 == 4 over embeddings, with the two
+    * sides published as segments.
+    *
+    * Scale: the fit is ∝ resident (once per generation at a
+    * deployment); assignment is one narrow pass with a broadcast
+    * k-row centroid set — cost ∝ rows, no shuffle beyond the input's. */
+  def ivfDelta(df: DataFrame, idCol: String, vecCol: String,
+      isNew: Column, k: Int = IvfIndex.K): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val s = df.sparkSession
+    graft.functions.VectorExpressions.register(s)
+    val flag = when(isNew.isNull,
+        raise_error(lit("ivfDelta: isNew must be non-null")))
+      .otherwise(isNew.cast("boolean"))
+    val src = df.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("embedding"),
+        flag.as("is_new"))
+      // the fit and the two assignment passes all read this frame; at
+      // façade scale the checkpoint is cheaper than three recomputes of
+      // an arbitrary caller plan (freed by Lifecycle.release)
+      .localCheckpoint()
+    val resident = src.filter(!col("is_new"))
+      .select(col("vec_id"), col("embedding"))
+    val feat = resident.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(feat)
+    import s.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("cell", "center")
+    val assigned = IvfIncIndex.assign(
+        src.select(col("vec_id"), col("embedding")), centroids)
+      .join(src.select(col("vec_id"), col("is_new")), Seq("vec_id"))
+      .select(col("vec_id").as("id"), col("cell"), col("is_new"))
+    (assigned, centroids)
+  }
+
   /** The s09/s10 probe body over an EXPLICIT (vec_id, embedding, cell)
     * inverted file and centroid set: norms derived in one narrow pass
     * (segments persist no norms — a norm-definition change can never

@@ -92,6 +92,93 @@ class FacadeSpec extends SparkSpec {
     assert(m2.values.forall(_ == false), "a twin survived its resident original")
   }
 
+  // deterministic signed pseudo-vectors over a table the vector
+  // pipeline was never tuned on: 8 components in [-1, 1) hashed from
+  // the customer key
+  private def custVecs = {
+    val c = graft.Tables.customer(spark, sf)
+    c.select(col("c_custkey").as("id"),
+      array((1 to 8).map(i =>
+        (pmod(xxhash64(col("c_custkey") * lit(i)), lit(2000L)).cast("float")
+          - lit(1000f)) / lit(1000f)): _*).as("v"))
+  }
+
+  test("annTopK over the embeddings fixture equals the s02 gate result") {
+    val q = graft.Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+    val facade = Similarity.annTopK(
+        graft.Tables.embeddings(spark, sf), "vec_id", "embedding", q, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val gate = Similarity.s02.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(facade == gate)
+    assert(facade.nonEmpty)
+  }
+
+  test("annTopK finds planted twins rank-1 in a second table (customer)") {
+    val base = custVecs
+    val twins = base.select((col("id") + 500000L).as("id"), col("v"))
+    val top1 = Similarity.annTopK(base.unionByName(twins), "id", "v", base, 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val keys = base.select("id").collect().map(_.getLong(0))
+    keys.foreach { k =>
+      val (nb, cos) = top1(k)
+      assert(nb == k + 500000L, s"rank-1 of $k is $nb, not its twin")
+      assert(math.abs(cos - 1.0) < 1e-12, s"twin cosine $cos")
+    }
+    assert(keys.nonEmpty)
+  }
+
+  test("ivfDelta: frozen-centroid assignment matches a brute-force argmin; flags echoed") {
+    val base = custVecs
+    val grown = base.unionByName(
+      base.select((col("id") + 500000L).as("id"), col("v")))
+    val (assigned, centroids) = Similarity.ivfDelta(
+      grown, "id", "v", col("id") >= 500000L, k = 4)
+    val cen = centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    assert(cen.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    val rows = assigned.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    val vecs = grown.select(col("id"),
+        transform(col("v"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(rows.keySet == vecs.keySet, "a row was lost or doubled")
+    // brute-force counterfactual with the SAME score and tie rule:
+    // sequential-fold ‖c‖² − 2·x·c, ties to the smallest cell
+    def dotSeq(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    vecs.foreach { case (id, x) =>
+      val best = cen.map { case (cell, c) =>
+        (dotSeq(c, c) - 2.0 * dotSeq(x, c), cell)
+      }.min._2
+      assert(rows(id)._1 == best, s"id $id assigned ${rows(id)._1}, argmin $best")
+      assert(rows(id)._2 == (id >= 500000L), s"id $id is_new flag wrong")
+    }
+    // the maintenance contract: appending the new side cannot perturb
+    // the resident side — re-run with ONLY the resident rows and the
+    // same k; resident assignments must be identical (frozen quantizer)
+    val (resOnly, _) = Similarity.ivfDelta(base, "id", "v", lit(false), k = 4)
+    val resMap = resOnly.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vecs.keySet.filter(_ < 500000L).foreach { id =>
+      assert(resMap(id) == rows(id)._1,
+        s"resident $id moved cells when the delta arrived")
+    }
+  }
+
+  test("ivfDelta rejects a NULL isNew flag loudly") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1f, 0f), Some(false)), (2L, Seq(0f, 1f), Option.empty[Boolean]))
+      .toDF("id", "v", "flag")
+    val e = intercept[Exception] {
+      Similarity.ivfDelta(df, "id", "v", col("flag"), k = 1)._1.collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("isNew must be non-null")), e.toString)
+  }
+
   test("snapshotDiff classifies a hand-built customer snapshot pair exactly") {
     val a = graft.Tables.customer(spark, sf)
     val removed = a.filter(pmod(col("c_custkey"), lit(10)) === 0)
