@@ -445,16 +445,20 @@ object Similarity {
       val (centersDf, assigned) = IvfIndex.ensure(s, d)
       val q = assigned.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      // L2-score cell ranking + explicit probed-side broadcast — the
+      // r15 probe geometry/skew fixes; rationale at [[ivfProbeN]]
       val wProbe = Window.partitionBy(col("query_id"))
-        .orderBy(col("cdist").desc, col("cell"))
+        .orderBy(col("score"), col("cell"))
       val probed = q.crossJoin(broadcast(centersDf))
-        .withColumn("cdist", dot(col("qe"), col("center")))
+        .withColumn("score",
+          dot(col("center"), col("center")) - lit(2.0) * dot(col("qe"), col("center")))
         .withColumn("crank", row_number().over(wProbe))
         .filter(col("crank") <= NProbe)
         .select(col("query_id"), col("qe"), col("qn"), col("cell"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
-      probed.join(assigned.select(col("vec_id").as("neighbor_id"),
+      broadcast(probed)
+        .join(assigned.select(col("vec_id").as("neighbor_id"),
           col("embedding").as("ne"), col("nrm").as("nn"), col("cell")), Seq("cell"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
@@ -468,10 +472,11 @@ object Similarity {
     // job at production scale — not SQL-expressible, and not part of the
     // probe under test), so the oracle reads the published
     // corpus-fingerprinted index and independently re-executes the whole
-    // PROBE: centroid ranking by the same sequential-fold dot, nprobe
-    // cell cut, inverted-file join, exact cosine, top-3. Late because the
-    // index path embeds the corpus fingerprint of the sfDir under verify;
-    // Verify interpolates it after the query run has published the index.
+    // PROBE: centroid ranking by the same sequential-fold L2 score,
+    // nprobe cell cut, inverted-file join, exact cosine, top-3. Late
+    // because the index path embeds the corpus fingerprint of the sfDir
+    // under verify; Verify interpolates it after the query run has
+    // published the index.
     oracleLate = Some { sfDir =>
       val dir = IvfIndex.indexDirFor(sfDir)
       s"""WITH cen AS (SELECT cell, center FROM read_parquet('$dir/centroids/*.parquet')),
@@ -483,7 +488,8 @@ object Similarity {
          |  SELECT query_id, qe, qn, cell FROM (
          |    SELECT q.query_id, q.qe, q.qn, cen.cell,
          |           ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |             ORDER BY ${duckDot("q.qe", "cen.center")} DESC NULLS LAST,
+         |             ORDER BY ${duckDot("cen.center", "cen.center")}
+         |                      - 2.0 * ${duckDot("q.qe", "cen.center")},
          |                      cen.cell) AS crank
          |    FROM q CROSS JOIN cen)
          |  WHERE crank <= $NProbe),
@@ -741,8 +747,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
 
     /** New-crawl-slice membership (t25's batch convention). */
-    private[operators] val NewSliceMod = 5
-    private[operators] val NewSliceRem = 4
+    private[graft] val NewSliceMod = 5
+    private[graft] val NewSliceRem = 4
 
     private[graft] def baseDirFor(d: String): String =
       s"${sys.props("java.io.tmpdir")}/graft_ivfinc_${IndexStore.corpusFingerprint(d, "embeddings")}_k${IvfIndex.K}_base"
@@ -865,8 +871,18 @@ object Similarity {
       IndexStore.ensure(compactedDirFor(d), "assigned/_SUCCESS") { tmp =>
         s.read.parquet(s"$bd/centroids")
           .write.mode("overwrite").parquet(s"$tmp/centroids")
+        // bound the output file count: the fold's read-side win is
+        // collapsing an accumulated segment tail (a year of nightly
+        // deltas is ~365 small-file dirs) into size-targeted files —
+        // floored at the parallelism so a small compacted index never
+        // costs the probe its scan splits
+        val totalBytes = math.max(IndexStore.dirBytes(s"$bd/assigned"), 0L) +
+          math.max(IndexStore.dirBytes(s"$dd/assigned"), 0L)
+        val nFiles = math.max(s.sparkContext.defaultParallelism,
+          math.ceil(totalBytes / (128.0 * 1024 * 1024)).toInt)
         s.read.parquet(s"$bd/assigned")
           .unionByName(s.read.parquet(s"$dd/assigned"))
+          .repartition(nFiles)
           .write.mode("overwrite").parquet(s"$tmp/assigned")
       }
     }
@@ -882,6 +898,65 @@ object Similarity {
       else {
         val (base, delta) = ensure(s, d)
         base.unionByName(delta)
+      }
+
+    // ------------------------------------------------- hot-cell refinement
+    //
+    // A dominant cell defeats IVF SELECTIVITY: probing a cell costs ∝
+    // its size, so when half the corpus crowds one cell (a boilerplate
+    // embedding cluster — the vector twin of t06's hot shingle), every
+    // query that probes it pays half a corpus scan of exact cosines.
+    // Join salting cannot help — the r15 hotcell stress showed the
+    // broadcast-fixed join is already BALANCED; the work is real, not
+    // misplaced. The remedy is the index's: split the hot cell into
+    // sub-cells so nprobe selectivity is restored. This is standard
+    // IVF practice (balanced/hierarchical coarse quantizers).
+
+    private[graft] def refinedDirFor(d: String): String =
+      s"${sys.props("java.io.tmpdir")}/graft_ivfinc_${IndexStore.corpusFingerprint(d, "embeddings")}_k${IvfIndex.K}_refined"
+
+    /** Refine cells holding more than `maxCellRows` vectors: each hot
+      * cell is re-fit with ceil(n/maxCellRows) sub-centroids (fixed
+      * seed, driver loop over ≤ K cells — a scheduled maintenance job),
+      * cold centroids carry over, and the WHOLE corpus is reassigned
+      * deterministically against the refined (renumbered) centroid set
+      * — so the published index is self-consistent: every row's cell is
+      * the argmin over the table it ships with, exactly the invariant
+      * [[ivfProbeN]]'s own-cell-first probing rests on. Published
+      * atomically like every index; probes run unchanged against it.
+      * Best-effort balance: k-means splits a tight cluster roughly
+      * evenly but guarantees no hard cap. */
+    def refineHotCells(s: SparkSession, d: String, maxCellRows: Long): String =
+      IndexStore.ensure(refinedDirFor(d), "assigned/_SUCCESS") { tmp =>
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        graft.functions.VectorExpressions.register(s)
+        val assigned = maintained(s, d)
+        val cen = s.read.parquet(s"${baseDirFor(d)}/centroids")
+        val hist = assigned.groupBy(col("cell")).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val hot = hist.filter(_._2 > maxCellRows).keys.toSeq.sorted
+        import s.implicits._
+        if (hot.isEmpty) {
+          cen.write.mode("overwrite").parquet(s"$tmp/centroids")
+          assigned.select(col("vec_id"), col("embedding"), col("cell"))
+            .write.mode("overwrite").parquet(s"$tmp/assigned")
+        } else {
+          val coldCenters = cen.filter(!col("cell").isInCollection(hot))
+            .orderBy(col("cell")).collect().map(_.getSeq[Double](1))
+          val subCenters = hot.flatMap { c =>
+            val members = assigned.filter(col("cell") === c)
+              .withColumn("features", array_to_vector(col("embedding")))
+            val kSub = math.ceil(hist(c).toDouble / maxCellRows).toInt
+            new KMeans().setK(kSub).setSeed(42L).setMaxIter(10)
+              .fit(members).clusterCenters.map(_.toArray.toSeq)
+          }
+          val newCen = (coldCenters ++ subCenters).zipWithIndex
+            .map { case (v, i) => (i, v) }.toSeq.toDF("cell", "center")
+          newCen.write.mode("overwrite").parquet(s"$tmp/centroids")
+          assign(assigned.select(col("vec_id"), col("embedding")), newCen)
+            .write.mode("overwrite").parquet(s"$tmp/assigned")
+        }
       }
 
     // ------------------------------------------------- centroid drift
@@ -1116,23 +1191,49 @@ object Similarity {
     * reader (s09) and the compacted reader (s10) provably run the SAME
     * plan over different physical layouts — the gate pair then isolates
     * compaction itself. */
-  private def ivfProbe(assignedRaw: DataFrame, centersDf: DataFrame): DataFrame = {
+  private def ivfProbe(assignedRaw: DataFrame, centersDf: DataFrame): DataFrame =
+    ivfProbeN(assignedRaw, centersDf, NumQueries)
+
+  /** [[ivfProbe]] with a caller-sized query set — the ScaleSmoke stress
+    * entry (the catalog's 10 fixed queries under-drive the probe's
+    * exchanges at depth; skew behavior only shows under a realistic
+    * query load). */
+  private[graft] def ivfProbeN(assignedRaw: DataFrame, centersDf: DataFrame,
+      numQueries: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = assignedRaw
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
-    val q = assigned.filter(col("vec_id") < NumQueries)
+    val q = assigned.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"))
+    // cells ranked by the SAME squared-L2 score the index assigns with
+    // (‖c‖² − 2·q·c ascending), not raw inner product: assignment is an
+    // L2 Voronoi partition, so ranking probes by a different geometry
+    // can skip the query's OWN cell — the one holding its near-identical
+    // neighbors, which on a dedup corpus are the whole answer. Measured
+    // on the drift stress (replica-heavy, r15): top-3 recall 0.05 →
+    // 1.00 under frozen centroids at the same nprobe. Own-cell-first is
+    // guaranteed: the query's assigned cell is the argmin of this score.
     val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").desc, col("cell"))
+      .orderBy(col("score"), col("cell"))
     val probed = q.crossJoin(broadcast(centersDf))
-      .withColumn("cdist", dot(col("qe"), col("center")))
+      .withColumn("score",
+        dot(col("center"), col("center")) - lit(2.0) * dot(col("qe"), col("center")))
       .withColumn("crank", row_number().over(wProbe))
       .filter(col("crank") <= NProbe)
       .select(col("query_id"), col("qe"), col("qn"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    probed.join(assigned.select(col("vec_id").as("neighbor_id"),
+    // the probed side is ≤ queries × nprobe rows BY CONSTRUCTION — tiny
+    // at any corpus scale — but its stats pass through two windows and
+    // a crossJoin, so the planner cannot see that and (measured at 384k
+    // vectors, ScaleSmoke hotcell) plans a shuffle join on cell instead:
+    // every hot-cell row lands on ONE task (maxTask 15.3 s vs p50
+    // 1.2 s). The explicit broadcast pins the join the construction
+    // guarantees is safe; the fan-out then parallelizes over the
+    // index scan's own splits.
+    broadcast(probed)
+      .join(assigned.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("ne"), col("nrm").as("nn"), col("cell")), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -1175,7 +1276,8 @@ object Similarity {
        |  SELECT query_id, qe, qn, cell FROM (
        |    SELECT q.query_id, q.qe, q.qn, cen.cell,
        |           ROW_NUMBER() OVER (PARTITION BY q.query_id
-       |             ORDER BY ${duckDot("q.qe", "cen.center")} DESC NULLS LAST,
+       |             ORDER BY ${duckDot("cen.center", "cen.center")}
+       |                      - 2.0 * ${duckDot("q.qe", "cen.center")},
        |                      cen.cell) AS crank
        |    FROM q CROSS JOIN cen)
        |  WHERE crank <= $NProbe),
@@ -1206,6 +1308,24 @@ object Similarity {
     * needs — without it a year of nightly deltas is 365 small segments
     * and every probe pays the scan tail; with the ratio gate each fold
     * is ∝ index bytes and the segment count stays O(1). */
+  /** The maintained-index probe at an arbitrary query-set size — what
+    * ScaleSmoke's hot-cell stress drives (see [[ivfProbeN]]). */
+  private[graft] def probeTopK(s: SparkSession, d: String, numQueries: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val assigned = IvfIncIndex.maintained(s, d)
+    val centersDf = s.read.parquet(s"${IvfIncIndex.baseDirFor(d)}/centroids")
+    ivfProbeN(assigned, centersDf, numQueries)
+  }
+
+  /** [[probeTopK]] over an explicit published index dir (e.g. the
+    * hot-cell-refined one) — same probe plan, different index. */
+  private[graft] def probeTopKOver(s: SparkSession, indexDir: String,
+      numQueries: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    ivfProbeN(s.read.parquet(s"$indexDir/assigned"),
+      s.read.parquet(s"$indexDir/centroids"), numQueries)
+  }
+
   val s10 = QueryDef(
     "s10_ann_compacted_probe",
     (s, d) => {

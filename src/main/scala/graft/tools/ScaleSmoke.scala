@@ -670,6 +670,203 @@ object ScaleSmoke {
         s"append invariant broken at depth: $nRes + $nDelta != $nFull")
     }
 
+    // ---- promotion-ring loop at depth (r15 slate #1) ----
+    // c05's N-night cycle timed night by night at the 125k-doc decade:
+    // night 0 is the only corpus-proportional build; nights 1 and 2 must
+    // cost ∝ their slice (delta band-probe + pair-set-sized promotion
+    // write) even though the RESIDENT they grow keeps getting bigger —
+    // the property that makes the loop affordable forever. The c05 gate
+    // proves every promoted state correct; this measures the cost claim.
+    if (want("ringloop")) {
+      def time[T](f: => T): (Double, T) = timeReleasing(f)
+      import graft.operators.TextDedup
+      val k = 25
+      val dir = ensureDocsReplicas(k)
+      val nights = TextDedup.PromotedPairIndex.SliceRems.size
+      (0 to nights).foreach(n => graft.Lifecycle.deleteRecursively(
+        new java.io.File(TextDedup.PromotedPairIndex.stateDirFor(dir, n))))
+      spark.conf.set("spark.graft.bands.mode", "persisted")
+      val counts = (0 to nights).map { n =>
+        val (tN, nPairs) = time(
+          TextDedup.PromotedPairIndex.ensure(spark, dir, n).count())
+        println(f"RING-LOOP docs=${n0 * k}%7d night$n=${tN}%6.1fs ($nPairs pairs promoted)")
+        nPairs
+      }
+      spark.conf.set("spark.graft.bands.mode", "auto")
+      val nFull = TextDedup.PairIndex.ensure(spark, dir).count()
+      assert(counts.last == nFull,
+        s"final promoted state != full rebuild: ${counts.last} vs $nFull")
+      assert(counts == counts.sorted, "a promotion lost pairs")
+    }
+
+    // ---- IVF segment compaction: read-side win (r15 slate #2) ----
+    // The fold's cost (one index-sized rewrite) vs what it buys every
+    // probe thereafter: the segmented reader unions two parquet dirs
+    // (base + delta file tails), the compacted reader scans one. Probe
+    // equality is gated (s10 == s09 == from-scratch oracle); this
+    // measures the LSM trade at depth.
+    if (want("compact")) {
+      def time[T](f: => T): (Double, T) = timeReleasing(f)
+      import graft.operators.Similarity.IvfIncIndex
+      val k = 192
+      val dir = ensureEmbIncReplicas(k)
+      Seq(IvfIncIndex.baseDirFor(dir), IvfIncIndex.deltaDirFor(dir),
+          IvfIncIndex.compactedDirFor(dir))
+        .foreach(p => graft.Lifecycle.deleteRecursively(new java.io.File(p)))
+      IvfIncIndex.ensure(spark, dir) // segments built outside the timings
+      graft.Lifecycle.release(spark)
+      def parts(p: String): Int = Option(new java.io.File(p).listFiles())
+        .map(_.count(_.getName.startsWith("part-"))).getOrElse(0)
+      val segParts = parts(s"${IvfIncIndex.baseDirFor(dir)}/assigned") +
+        parts(s"${IvfIncIndex.deltaDirFor(dir)}/assigned")
+      val (tSeg, nSeg) = time(graft.operators.Similarity.s09.fn(spark, dir).count())
+      val (tFold, cd) = time(IvfIncIndex.ensureCompacted(spark, dir))
+      val (tComp, nComp) = time(graft.operators.Similarity.s10.fn(spark, dir).count())
+      println(f"COMPACT vecs=${e0 * k}%7d segProbe=${tSeg}%6.1fs ($segParts files) " +
+        f"fold=${tFold}%6.1fs compactProbe=${tComp}%6.1fs " +
+        f"(${parts(s"$cd/assigned")} files)")
+      assert(nSeg == nComp, s"compaction changed the probe: $nSeg vs $nComp")
+    }
+
+    // ---- centroid drift: recall counterfactual (r15 slate #3) ----
+    // A shifted-distribution delta slice (+0.75 per component) lands far
+    // from every frozen centroid: the drift monitor must see it
+    // (ratio >> trigger), and the measured consequence is PROBE RECALL
+    // on shifted queries — nprobe cells chosen by the frozen quantizer
+    // miss the shifted neighborhood. The counterfactual is the
+    // generation-2 recluster (fresh fit over the grown corpus): same
+    // probe, recall restored. Truth is the exact brute-force top-3
+    // (annTopK).
+    if (want("drift")) {
+      def time[T](f: => T): (Double, T) = timeReleasing(f)
+      import graft.operators.Similarity
+      import graft.operators.Similarity.IvfIncIndex
+      val k = 48
+      val srcDir = ensureEmbIncReplicas(k)
+      val dir = "/tmp/graft_scale_drift"
+      val mod = IvfIncIndex.NewSliceMod; val rem = IvfIncIndex.NewSliceRem
+      graft.Tables.embeddings(spark, srcDir)
+        .select(col("vec_id"),
+          when(col("vec_id") % mod === rem,
+            transform(col("embedding"), x => x + lit(0.75f)))
+            .otherwise(col("embedding")).as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      Seq(IvfIncIndex.baseDirFor(dir), IvfIncIndex.deltaDirFor(dir),
+          IvfIncIndex.gen2DirFor(dir))
+        .foreach(p => graft.Lifecycle.deleteRecursively(new java.io.File(p)))
+      val ratio = IvfIncIndex.driftRatio(spark, dir)
+      graft.Lifecycle.release(spark)
+      // probe 20 shifted-slice queries through nprobe=4 of 16 cells
+      // against each generation's centroids; truth = exact top-3
+      graft.functions.VectorExpressions.register(spark)
+      // no localCheckpoint here: probeRecall runs for two generations
+      // and a Lifecycle.release between them would free the blocks a
+      // truncated-lineage frame cannot recompute (measured crash:
+      // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) — recompute is cheap at
+      // measurement scale
+      val all = graft.Tables.embeddings(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val queries = all.filter(col("vec_id") % mod === rem).orderBy(col("vec_id"))
+        .limit(20)
+      val truth = Similarity.annTopK(all, "vec_id", "embedding", queries, 3)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def probeRecall(cenDir: String): Double = {
+        import org.apache.spark.sql.expressions.Window
+        val cen = spark.read.parquet(s"$cenDir/centroids")
+        val assigned = IvfIncIndex.assign(all, cen)
+          .withColumn("nrm", sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+        val q = assigned.join(queries.select(col("vec_id")), Seq("vec_id"))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+        // the shipped probe's L2-score cell ranking (Similarity.ivfProbeN)
+        val wP = Window.partitionBy(col("query_id")).orderBy(col("score"), col("cell"))
+        val probed = q.crossJoin(broadcast(cen))
+          .withColumn("score",
+            call_function("graft_dot", col("center"), col("center"))
+              - lit(2.0) * call_function("graft_dot", col("qe"), col("center")))
+          .withColumn("crank", row_number().over(wP)).filter(col("crank") <= 4)
+          .select(col("query_id"), col("qe"), col("qn"), col("cell"))
+        val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+        val got = broadcast(probed).join(assigned.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("ne"), col("nrm").as("nn"), col("cell")), Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            (call_function("graft_dot", col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cos"))
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+          .select(col("query_id"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (truth & got).size.toDouble / truth.size
+      }
+      val frozenRecall = probeRecall(IvfIncIndex.baseDirFor(dir))
+      val (tRefit, g2) = time(IvfIncIndex.recluster(spark, dir))
+      val refitRecall = probeRecall(g2)
+      println(f"DRIFT vecs=${e0 * k}%7d ratio=$ratio%.2f (trigger ${IvfIncIndex.ReclusterRatio}) " +
+        f"frozenRecall=$frozenRecall%.3f refit=${tRefit}%6.1fs gen2Recall=$refitRecall%.3f")
+    }
+
+    // ---- hot-cell ANN skew stress (r15 slate #4) ----
+    // The t06 lesson probed on the vector side: HALF the corpus planted
+    // into one tight cluster (one IVF cell), queries drawn so the hot
+    // cell is probed. Where the fan-out lands depends on the plan: the
+    // tiny probed set broadcasts, so the cell JOIN parallelizes over the
+    // scan — the skew risk is the top-k WINDOW exchange, where every
+    // candidate row of a hot-cell query hashes to ONE partition.
+    // Measured via task spread on the s09 plan shape with a 512-query
+    // set (the catalog's 10 fixed queries under-drive the stage).
+    if (want("hotcell")) {
+      import graft.operators.Similarity.IvfIncIndex
+      val k = 192
+      val srcDir = ensureEmbIncReplicas(k)
+      val dir = "/tmp/graft_scale_hotcell"
+      // vec_id % 2 == 0 → a tight cluster around (1,…,1): hash-derived
+      // per-component jitter ≤ 0.01 keeps vectors distinct WITHOUT
+      // smearing the cluster (a first attempt used vec_id·1e-7, which
+      // reaches 19 at replica ids — the "cluster" swallowed the whole
+      // space and every query's own cell was the hot one). Odd ids keep
+      // the organic distribution.
+      graft.Tables.embeddings(spark, srcDir)
+        .select(col("vec_id"),
+          when(col("vec_id") % 2 === 0,
+            transform(col("embedding"), (_, i) =>
+              lit(1.0f) +
+                pmod(xxhash64(col("vec_id") * (i + lit(1))), lit(1000L))
+                  .cast("float") * lit(1e-5f)))
+            .otherwise(col("embedding")).as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      Seq(IvfIncIndex.baseDirFor(dir), IvfIncIndex.deltaDirFor(dir))
+        .foreach(p => graft.Lifecycle.deleteRecursively(new java.io.File(p)))
+      IvfIncIndex.ensure(spark, dir)
+      graft.Lifecycle.release(spark)
+      val cen = spark.read.parquet(s"${IvfIncIndex.baseDirFor(dir)}/centroids")
+      val hist = IvfIncIndex.maintained(spark, dir)
+        .groupBy(col("cell")).count().orderBy(col("count").desc).collect()
+      println(s"HOTCELL cell histogram top3: " +
+        hist.take(3).map(r => s"${r.getInt(0)}:${r.getLong(1)}").mkString(" "))
+      val (tP, nP, maxP, p50P) = spreadOf(spark)(
+        graft.operators.Similarity.probeTopK(spark, dir, 512).count())
+      println(f"HOTCELL vecs=${e0 * k}%7d probe512=${tP}%6.1fs ($nP rows) " +
+        f"maxTask=${maxP}ms p50Task=${p50P}ms")
+      // the index-side remedy: split the dominant cell into ~32k-row
+      // sub-cells, re-probe — the fan-out (and wall) must fall by the
+      // split factor while hot queries still find their sub-cell
+      graft.Lifecycle.deleteRecursively(
+        new java.io.File(IvfIncIndex.refinedDirFor(dir)))
+      val t0r = System.nanoTime()
+      val rd = IvfIncIndex.refineHotCells(spark, dir, 16384L)
+      val tRefine = (System.nanoTime() - t0r) / 1e9
+      graft.Lifecycle.release(spark)
+      val maxCell = spark.read.parquet(s"$rd/assigned")
+        .groupBy(col("cell")).count().agg(max(col("count"))).head().getLong(0)
+      val (tR, nR, maxR, p50R) = spreadOf(spark)(
+        graft.operators.Similarity.probeTopKOver(spark, rd, 512).count())
+      println(f"HOTCELL refined: refine=${tRefine}%6.1fs maxCell=$maxCell " +
+        f"probe512=${tR}%6.1fs ($nR rows) maxTask=${maxR}ms p50Task=${p50R}ms")
+    }
+
     // ---- deep skew stress (r14 slate #4) ----
     // A deliberately skewed corpus at scale: every doc's text is made
     // replica-disjoint by PREFIXING each token with the replica id

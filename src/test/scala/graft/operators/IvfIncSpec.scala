@@ -161,6 +161,65 @@ class IvfIncSpec extends SparkSpec {
     assert(seg.nonEmpty)
   }
 
+  test("hot-cell refinement: dominant cell split, index self-consistent, twins still found") {
+    graft.functions.VectorExpressions.register(spark)
+    // scratch corpus: half the vectors in one tight cluster around
+    // (1,…,1) with hash-jitter ≤ 0.01 — the dominant-cell stress
+    val scratch = java.nio.file.Files.createTempDirectory("hotcell").toFile
+    graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        when(col("vec_id") % 2 === 0,
+          transform(col("embedding"), (_, i) =>
+            lit(1.0f) + pmod(xxhash64(col("vec_id") * (i + lit(1))), lit(1000L))
+              .cast("float") * lit(1e-5f)))
+          .otherwise(col("embedding")).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+    val ds = scratch.getAbsolutePath
+    val before = Similarity.IvfIncIndex.maintained(spark, ds)
+      .groupBy(col("cell")).count().agg(max(col("count"))).head().getLong(0)
+    val budget = 60L
+    val rd = Similarity.IvfIncIndex.refineHotCells(spark, ds, budget)
+    val refined = spark.read.parquet(s"$rd/assigned")
+    val cen = spark.read.parquet(s"$rd/centroids")
+    val after = refined.groupBy(col("cell")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(before > budget, "fixture did not produce a hot cell; test is vacuous")
+    assert(after < before, s"refinement did not shrink the hot cell: $after vs $before")
+    // no row lost or doubled across the rebuild
+    assert(refined.count() == graft.Tables.embeddings(spark, ds).count())
+    assert(refined.select("vec_id").distinct().count() == refined.count())
+    // self-consistency: every row's cell is the argmin over the shipped
+    // centroid table under the same score and tie rule (what
+    // own-cell-first probing rests on)
+    val cenArr = cen.collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    def dotSeq(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    refined.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"), col("cell"))
+      .collect().foreach { r =>
+        val x = r.getSeq[Double](1).toArray
+        val best = cenArr.map { case (c, v) =>
+          (dotSeq(v, v) - 2.0 * dotSeq(x, v), c) }.min._2
+        assert(r.getInt(2) == best, s"row ${r.getLong(0)} not argmin-assigned")
+      }
+    // near-dup recall preserved: a hot-cluster query's top-1 through the
+    // refined probe must be its nearest jittered twin by exact cosine
+    val probe = Similarity.ivfProbeN(refined,
+      cen, 10).filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truthTop1 = Similarity.annTopK(
+        graft.Tables.embeddings(spark, ds), "vec_id", "embedding",
+        graft.Tables.embeddings(spark, ds).filter(col("vec_id") < 10), 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hotQueries = probe.keySet.filter(_ % 2 == 0)
+    assert(hotQueries.nonEmpty)
+    hotQueries.foreach { q =>
+      assert(probe(q) == truthTop1(q),
+        s"refined probe lost query $q's true top-1: ${probe(q)} vs ${truthTop1(q)}")
+    }
+  }
+
   test("drift monitor: same-distribution growth stays quiet, a planted shift trips recluster") {
     graft.functions.VectorExpressions.register(spark)
     // fixture slices are drawn from one distribution: the ratio must sit
