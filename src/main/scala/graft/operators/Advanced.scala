@@ -1587,23 +1587,30 @@ object Advanced {
     * value delta. `a` is the older snapshot, `b` the newer; keys must be
     * unique per snapshot (it diffs VERSIONS of rows, not multisets).
     *
-    * Delta precision: a DECIMAL value column keeps its own scale with
-    * +10 integer digits of headroom (capped at the decimal maximum of
-    * 38), so decimal inputs are exact by construction. Non-decimal
-    * numerics sum through DECIMAL(18,2) — exact up to 16 integer digits
-    * and 2 fractional digits; a wider float-borne value overflows
-    * loudly under ANSI (never silently rounds the integer part), and
-    * finer-than-cent fractions round at the cast. Callers with such
-    * values should diff a decimal-typed column (r14 review finding).
+    * Delta precision: a DECIMAL value column (on EITHER side — a schema
+    * migration can widen just the newer snapshot) keeps the max scale
+    * and max integer digits of the two sides plus 10 digits of headroom
+    * (capped at the decimal maximum of 38), so decimal inputs are exact
+    * by construction. Non-decimal numerics sum through DECIMAL(18,2) —
+    * exact up to 16 integer digits and 2 fractional digits; a wider
+    * float-borne value overflows loudly under ANSI (never silently
+    * rounds the integer part), and finer-than-cent fractions round at
+    * the cast. Callers with such values should diff a decimal-typed
+    * column (r14 review finding; both-sides derivation r15 review).
     *
     * Scale: one hash-partitioned full-outer join — both sides shuffle on
     * the key once; bucketed snapshots (r08 layout) drop the exchanges. */
   def snapshotDiff(a: DataFrame, b: DataFrame, key: String, value: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val dec = a.select(col(value)).schema.head.dataType match {
-      case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
-      case _ => DecimalType(18, 2)
-    }
+    val decs = Seq(a, b).map(_.select(col(value)).schema.head.dataType)
+      .collect { case d: DecimalType => d }
+    val dec =
+      if (decs.isEmpty) DecimalType(18, 2)
+      else {
+        val scale = decs.map(_.scale).max
+        val intDigits = decs.map(d => d.precision - d.scale).max
+        DecimalType(math.min(38, intDigits + scale + 10), scale)
+      }
     // presence markers, not value-null tests: a NULLABLE value column
     // must not flip a both-sides row into added/removed, and a
     // null-vs-value transition is a CHANGE (null-safe <=>); the q34

@@ -440,32 +440,14 @@ object Similarity {
   val s04 = QueryDef(
     "s04_ann_ivf",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       graft.functions.VectorExpressions.register(s)
+      // the ONE shared probe body (L2-score cell ranking, NULLS LAST,
+      // broadcast probed side — see [[probedCells]]); the stored nrm
+      // column is recomputed by the shared body from the same
+      // expression it was built with, which keeps one code path instead
+      // of a near-copy reading the persisted column (r15 review)
       val (centersDf, assigned) = IvfIndex.ensure(s, d)
-      val q = assigned.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
-      // L2-score cell ranking + explicit probed-side broadcast — the
-      // r15 probe geometry/skew fixes; rationale at [[ivfProbeN]]
-      val wProbe = Window.partitionBy(col("query_id"))
-        .orderBy(col("score"), col("cell"))
-      val probed = q.crossJoin(broadcast(centersDf))
-        .withColumn("score",
-          dot(col("center"), col("center")) - lit(2.0) * dot(col("qe"), col("center")))
-        .withColumn("crank", row_number().over(wProbe))
-        .filter(col("crank") <= NProbe)
-        .select(col("query_id"), col("qe"), col("qn"), col("cell"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      broadcast(probed)
-        .join(assigned.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("ne"), col("nrm").as("nn"), col("cell")), Seq("cell"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          cosine(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .orderBy(col("query_id"), col("rank"))
+      ivfProbe(assigned.drop("nrm"), centersDf)
     },
     None,
     // Late-bound oracle: the KMeans fit is index-BUILD state (a scheduled
@@ -776,7 +758,12 @@ object Similarity {
       * aggregates; [[assign]]'s projection prunes it away, so the shared
       * body costs the hot path nothing. */
     private[graft] def assignWithDist(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("score"), col("cell"))
+      // asc_nulls_last: Spark's ASC default is NULLS FIRST, the DuckDB
+      // counterfactual's is NULLS LAST — a null-score centroid must not
+      // win the assignment on one engine only (r15 review, same class
+      // as the probe-ranking finding)
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("score").asc_nulls_last, col("cell"))
       vecs.crossJoin(broadcast(centroids))
         .withColumn("score",
           dot(col("center"), col("center")) - lit(2.0) * dot(col("embedding"), col("center")))
@@ -892,13 +879,17 @@ object Similarity {
       * union otherwise. Both arms are row-identical by construction
       * (s10 gates the compacted arm against the from-scratch oracle;
       * IvfIncSpec pins arm equality directly). */
-    def maintained(s: SparkSession, d: String): DataFrame =
+    def maintained(s: SparkSession, d: String): DataFrame = {
+      // segments must exist BEFORE the policy reads their sizes: on a
+      // cold corpus the listing returns -1 and the first call would
+      // serve the union even when the ratio policy is due — the arm
+      // choice was call-order dependent (r15 review); output was
+      // row-identical either way, but a one-shot job never compacted
+      val (base, delta) = ensure(s, d)
       if (compactionDue(s, d))
         s.read.parquet(s"${ensureCompacted(s, d)}/assigned")
-      else {
-        val (base, delta) = ensure(s, d)
-        base.unionByName(delta)
-      }
+      else base.unionByName(delta)
+    }
 
     // ------------------------------------------------- hot-cell refinement
     //
@@ -983,20 +974,29 @@ object Similarity {
 
     /** Mean nearest-centroid squared distance of the delta slice over
       * the base's, under the FROZEN base centroids — 1.0 means the new
-      * data lives where the quantizer was trained. Cost: one
-      * assignment-shaped pass per segment (a scheduled monitor, not a
-      * probe-path tax); the distances come from the same deterministic
-      * [[assignWithDist]] the ring assigns with, so the metric measures
-      * the index's own geometry, not a parallel implementation's. */
+      * data lives where the quantizer was trained. ONE assignment pass
+      * computes both means (a slice-flag groupBy — two per-slice passes
+      * would double the scheduled monitor's corpus scan, r15 review);
+      * the distances come from the same deterministic [[assignWithDist]]
+      * the ring assigns with, so the metric measures the index's own
+      * geometry, not a parallel implementation's. Degenerate inputs
+      * degrade to the QUIET 1.0, never crash or fire: an empty delta
+      * slice has nothing to drift, and a zero/absent base mean (every
+      * base vector a centroid) cannot normalize a ratio — both
+      * documented as no-signal, not no-drift. */
     def driftRatio(s: SparkSession, d: String): Double = {
       val bd = ensureBase(s, d)
       val centroids = s.read.parquet(s"$bd/centroids")
-      def meanDist(slice: DataFrame): Double =
-        assignWithDist(slice, centroids).agg(avg(col("sqdist"))).head().getDouble(0)
-      val e = embDouble(s, d)
-      val base = meanDist(e.filter(col("vec_id") % NewSliceMod =!= NewSliceRem))
-      val delta = meanDist(e.filter(col("vec_id") % NewSliceMod === NewSliceRem))
-      delta / base
+      val means = assignWithDist(embDouble(s, d), centroids)
+        .groupBy((col("vec_id") % NewSliceMod === NewSliceRem).as("is_new"))
+        .agg(avg(col("sqdist")).as("m"))
+        .collect()
+        .flatMap(r => if (r.isNullAt(1)) None else Some(r.getBoolean(0) -> r.getDouble(1)))
+        .toMap
+      (means.get(false), means.get(true)) match {
+        case (Some(base), Some(delta)) if base > 0 => delta / base
+        case _ => 1.0
+      }
     }
 
     /** The trigger: true when [[driftRatio]] has crossed
@@ -1199,29 +1199,52 @@ object Similarity {
     * exchanges at depth; skew behavior only shows under a realistic
     * query load). */
   private[graft] def ivfProbeN(assignedRaw: DataFrame, centersDf: DataFrame,
-      numQueries: Int): DataFrame = {
+      numQueries: Int): DataFrame =
+    ivfProbeOn(assignedRaw, centersDf, _.filter(col("vec_id") < numQueries))
+
+  /** The (query_id, qe, qn, cell) nprobe cell cut for an explicit query
+    * selector over the normed index view — the ONE scoring/ranking body
+    * every probe consumer shares (the gate probes, the ScaleSmoke drift
+    * instrument, HotCellDiag's fan-out accounting), so a measurement
+    * can never silently run a different plan than the shipped one (r15
+    * review finding).
+    *
+    * Cells ranked by the SAME squared-L2 score the index assigns with
+    * (‖c‖² − 2·q·c ascending), not raw inner product: assignment is an
+    * L2 Voronoi partition, so ranking probes by a different geometry
+    * can skip the query's OWN cell — the one holding its near-identical
+    * neighbors, which on a dedup corpus are the whole answer. Measured
+    * on the drift stress (replica-heavy, r15): top-3 recall 0.05 →
+    * 1.00 under frozen centroids at the same nprobe. Own-cell-first is
+    * guaranteed: the query's assigned cell is the argmin of this score.
+    * NULLS LAST explicitly: Spark's ASC default is NULLS FIRST, so a
+    * null-score centroid (a null center row in an externally published
+    * index) would win crank 1 for every query while the DuckDB oracles
+    * rank it last (r15 review finding). */
+  private[graft] def probedCells(assigned: DataFrame, centersDf: DataFrame,
+      selectQueries: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = assignedRaw
-      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
-    val q = assigned.filter(col("vec_id") < numQueries)
+    val q = selectQueries(assigned)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"))
-    // cells ranked by the SAME squared-L2 score the index assigns with
-    // (‖c‖² − 2·q·c ascending), not raw inner product: assignment is an
-    // L2 Voronoi partition, so ranking probes by a different geometry
-    // can skip the query's OWN cell — the one holding its near-identical
-    // neighbors, which on a dedup corpus are the whole answer. Measured
-    // on the drift stress (replica-heavy, r15): top-3 recall 0.05 →
-    // 1.00 under frozen centroids at the same nprobe. Own-cell-first is
-    // guaranteed: the query's assigned cell is the argmin of this score.
     val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("score"), col("cell"))
-    val probed = q.crossJoin(broadcast(centersDf))
+      .orderBy(col("score").asc_nulls_last, col("cell"))
+    q.crossJoin(broadcast(centersDf))
       .withColumn("score",
         dot(col("center"), col("center")) - lit(2.0) * dot(col("qe"), col("center")))
       .withColumn("crank", row_number().over(wProbe))
       .filter(col("crank") <= NProbe)
       .select(col("query_id"), col("qe"), col("qn"), col("cell"))
+  }
+
+  /** Full probe with an explicit query selector: [[probedCells]] cut,
+    * broadcast candidate join, exact cosine, top-3 per query. */
+  private[graft] def ivfProbeOn(assignedRaw: DataFrame, centersDf: DataFrame,
+      selectQueries: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = assignedRaw
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+    val probed = probedCells(assigned, centersDf, selectQueries)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     // the probed side is ≤ queries × nprobe rows BY CONSTRUCTION — tiny

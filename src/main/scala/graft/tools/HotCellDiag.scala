@@ -3,9 +3,12 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Stage-level diagnosis of the hot-cell probe straggler (r15 slate #4):
-  * prints the physical plan and per-stage task-duration spread so the
-  * slow stage is identified by evidence, not guess. Scratch tool — the
+/** Stage-level diagnosis of the hot-cell probe (r15 slate #4): prints
+  * the probed-cell fan-out accounting, the physical plan and per-stage
+  * task-duration spread, so a slow stage is identified by evidence, not
+  * guess. Fan-out accounting rides the SHIPPED probe's own cell cut
+  * ([[graft.operators.Similarity.probedCells]]) — one scoring body, so
+  * the diagnosis can never disagree with the plan it diagnoses. The
   * conclusions land in PLANS.md HOTCELL. */
 object HotCellDiag {
   def main(args: Array[String]): Unit = {
@@ -27,18 +30,14 @@ object HotCellDiag {
     // fan-out accounting: which cells do the 512 queries probe, and how
     // many candidate rows does the cell join therefore produce?
     locally {
+      import graft.operators.Similarity
       graft.functions.VectorExpressions.register(spark)
-      import org.apache.spark.sql.expressions.Window
-      val assigned = graft.operators.Similarity.IvfIncIndex.maintained(spark, dir)
+      val assigned = Similarity.IvfIncIndex.maintained(spark, dir)
+        .withColumn("nrm", sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
       val cen = spark.read.parquet(
-        s"${graft.operators.Similarity.IvfIncIndex.baseDirFor(dir)}/centroids")
-      val q = assigned.filter(col("vec_id") < 512)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      val wP = Window.partitionBy(col("query_id")).orderBy(col("score"), col("cell"))
-      val probes = q.crossJoin(broadcast(cen))
-        .withColumn("score", call_function("graft_dot", col("center"), col("center"))
-          - lit(2.0) * call_function("graft_dot", col("qe"), col("center")))
-        .withColumn("crank", row_number().over(wP)).filter(col("crank") <= 4)
+        s"${Similarity.IvfIncIndex.baseDirFor(dir)}/centroids")
+      val probes = Similarity.probedCells(assigned, cen,
+          _.filter(col("vec_id") < 512))
         .groupBy(col("cell")).count().withColumnRenamed("count", "nq")
       val sizes = assigned.groupBy(col("cell")).count().withColumnRenamed("count", "nc")
       val fan = probes.join(sizes, Seq("cell"))
@@ -47,18 +46,6 @@ object HotCellDiag {
       fan.show(20, false)
       println("total fanout rows: " +
         fan.agg(sum(col("rows"))).head().getLong(0))
-      println("query OWN-cell histogram (assignment of the 512 queries):")
-      assigned.filter(col("vec_id") < 512).groupBy(col("cell")).count()
-        .orderBy(col("count").desc).show(20, false)
-      println("rank-1 probe == own cell? (must be 512 true)")
-      val own = assigned.filter(col("vec_id") < 512)
-        .select(col("vec_id").as("query_id"), col("cell").as("own"))
-      q.crossJoin(broadcast(cen))
-        .withColumn("score", call_function("graft_dot", col("center"), col("center"))
-          - lit(2.0) * call_function("graft_dot", col("qe"), col("center")))
-        .withColumn("crank", row_number().over(wP)).filter(col("crank") === 1)
-        .join(own, Seq("query_id"))
-        .groupBy((col("cell") === col("own")).as("ownFirst")).count().show()
       graft.Lifecycle.release(spark)
     }
     val df = graft.operators.Similarity.probeTopK(spark, dir, 512)

@@ -774,28 +774,14 @@ object ScaleSmoke {
       val truth = Similarity.annTopK(all, "vec_id", "embedding", queries, 3)
         .select(col("query_id"), col("neighbor_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the SHIPPED probe body (Similarity.ivfProbeOn — one code path,
+      // so the recall instrument can never measure a different plan
+      // than the one the gates run; r15 review finding)
       def probeRecall(cenDir: String): Double = {
-        import org.apache.spark.sql.expressions.Window
         val cen = spark.read.parquet(s"$cenDir/centroids")
-        val assigned = IvfIncIndex.assign(all, cen)
-          .withColumn("nrm", sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
-        val q = assigned.join(queries.select(col("vec_id")), Seq("vec_id"))
-          .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
-        // the shipped probe's L2-score cell ranking (Similarity.ivfProbeN)
-        val wP = Window.partitionBy(col("query_id")).orderBy(col("score"), col("cell"))
-        val probed = q.crossJoin(broadcast(cen))
-          .withColumn("score",
-            call_function("graft_dot", col("center"), col("center"))
-              - lit(2.0) * call_function("graft_dot", col("qe"), col("center")))
-          .withColumn("crank", row_number().over(wP)).filter(col("crank") <= 4)
-          .select(col("query_id"), col("qe"), col("qn"), col("cell"))
-        val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-        val got = broadcast(probed).join(assigned.select(col("vec_id").as("neighbor_id"),
-            col("embedding").as("ne"), col("nrm").as("nn"), col("cell")), Seq("cell"))
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .select(col("query_id"), col("neighbor_id"),
-            (call_function("graft_dot", col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cos"))
-          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        val assigned = graft.operators.Similarity.IvfIncIndex.assign(all, cen)
+        val got = graft.operators.Similarity.ivfProbeOn(assigned, cen,
+            _.join(queries.select(col("vec_id")), Seq("vec_id")))
           .select(col("query_id"), col("neighbor_id")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         (truth & got).size.toDouble / truth.size

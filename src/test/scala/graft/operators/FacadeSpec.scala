@@ -223,6 +223,21 @@ class FacadeSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("isNew must be non-null")), e.toString)
   }
 
+  test("snapshotDiff derives delta precision from BOTH sides (finer b-side scale kept)") {
+    // a schema migration can widen only the newer snapshot: a DOUBLE 'a'
+    // paired with a DECIMAL(20,4) 'b' must keep b's sub-cent digits in
+    // the delta — deriving from 'a' alone would round them silently at
+    // the cast (r15 review finding)
+    import spark.implicits._
+    val a = Seq((1L, 1.0)).toDF("k", "v")
+      .select(col("k"), col("v").cast("decimal(12,2)").as("v"))
+    val b = Seq((1L, 1.0001)).toDF("k", "v")
+      .select(col("k"), col("v").cast("decimal(20,4)").as("v"))
+    val diff = Advanced.snapshotDiff(a, b, "k", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(diff("changed") == 0.0001, s"sub-cent delta lost: ${diff("changed")}")
+  }
+
   test("snapshotDiff classifies NULL values by side presence, not value nullness") {
     // a nullable value column must not flip a both-sides row into
     // added/removed (r14 review finding): null->value and value->null
