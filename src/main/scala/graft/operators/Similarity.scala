@@ -903,8 +903,11 @@ object Similarity {
     // sub-cells so nprobe selectivity is restored. This is standard
     // IVF practice (balanced/hierarchical coarse quantizers).
 
-    private[graft] def refinedDirFor(d: String): String =
-      s"${sys.props("java.io.tmpdir")}/graft_ivfinc_${IndexStore.corpusFingerprint(d, "embeddings")}_k${IvfIndex.K}_refined"
+    // budget in the dir name: two refinements at different budgets of
+    // ONE corpus fingerprint are different indexes — without the salt
+    // the first publication would silently serve every later budget
+    private[graft] def refinedDirFor(d: String, maxCellRows: Long): String =
+      s"${sys.props("java.io.tmpdir")}/graft_ivfinc_${IndexStore.corpusFingerprint(d, "embeddings")}_k${IvfIndex.K}_refined_b$maxCellRows"
 
     /** Refine cells holding more than `maxCellRows` vectors: each hot
       * cell is re-fit with ceil(n/maxCellRows) sub-centroids (fixed
@@ -918,7 +921,7 @@ object Similarity {
       * Best-effort balance: k-means splits a tight cluster roughly
       * evenly but guarantees no hard cap. */
     def refineHotCells(s: SparkSession, d: String, maxCellRows: Long): String =
-      IndexStore.ensure(refinedDirFor(d), "assigned/_SUCCESS") { tmp =>
+      IndexStore.ensure(refinedDirFor(d, maxCellRows), "assigned/_SUCCESS") { tmp =>
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
         graft.functions.VectorExpressions.register(s)
@@ -1044,8 +1047,11 @@ object Similarity {
     * gates (s08, and c04's composition in Advanced) compare against.
     * Late-bound: the centroid dir embeds the corpus fingerprint of the
     * run being verified. */
-  private[operators] def ivfAssignCtes(sfDir: String): String = {
-    val dir = IvfIncIndex.baseDirFor(sfDir)
+  private[operators] def ivfAssignCtes(sfDir: String): String =
+    ivfAssignCtesFrom(IvfIncIndex.baseDirFor(sfDir))
+
+  /** [[ivfAssignCtes]] against an explicit published centroid dir. */
+  private def ivfAssignCtesFrom(dir: String): String = {
     s"""cen AS (SELECT cell, center FROM read_parquet('$dir/centroids/*.parquet')),
        |scored AS (
        |  SELECT e.vec_id, cen.cell,
@@ -1285,7 +1291,14 @@ object Similarity {
     * the correct answer is the same by contract, and one oracle text
     * makes that contract impossible to desynchronize. */
   private def segmentedProbeOracle(sfDir: String): String =
-    s"""WITH ${ivfAssignCtes(sfDir)},
+    probeOracleFrom(IvfIncIndex.baseDirFor(sfDir))
+
+  /** The probe counterfactual against an EXPLICIT published centroid
+    * dir — [[segmentedProbeOracle]] generalized so the refined-index
+    * gate (s11) re-derives assignment + norms + probe from the REFINED
+    * centroids it shipped, with the identical SQL mechanics. */
+  private def probeOracleFrom(cenRoot: String): String =
+    s"""WITH ${ivfAssignCtesFrom(cenRoot)},
        |a AS (
        |  SELECT e.vec_id, e.embedding,
        |         sqrt(${duckDot("e.embedding", "e.embedding")}) AS nrm, r.cell
@@ -1360,6 +1373,40 @@ object Similarity {
     None,
     oracleLate = Some(segmentedProbeOracle))
 
+  /** s11's refinement budget: trips hot-cell splitting on the larger
+    * gate corpora (sf0.1's ~125-row average cells split ~2-way) while
+    * sf0.001's ~30-row cells no-op through the copy arm — BOTH arms are
+    * gate-exercised across the three SFs, and the oracle is arm-blind
+    * (it re-derives everything from whatever centroids were shipped). */
+  private val RefineBudget = 64L
+
+  /** The probe over the HOT-CELL-REFINED index — the scale remedy for
+    * a dominant cell (half the corpus in one cell defeats nprobe
+    * selectivity; measured probe 13.0 s → 5.5 s at 384k vectors,
+    * PLANS.md HOTCELL) as a hash-checked gate. The refined index is a
+    * DIFFERENT approximation than s09's (sub-cells change which
+    * candidates a query scans), so it cannot share s09's oracle;
+    * instead the late oracle re-derives the WHOLE thing from the
+    * refined index's own published centroids — whole-corpus argmin
+    * assignment, norms from raw embeddings, the identical probe — so a
+    * torn refinement, a centroid/assignment mismatch (the published
+    * index must be self-consistent), or probe drift all break the
+    * hash. Both policy arms are covered: corpora with no cell past the
+    * budget publish the copy arm, refined corpora the split arm, and
+    * the oracle mechanics are identical either way. */
+  val s11 = QueryDef(
+    "s11_ann_refined_probe",
+    (s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      val rd = IvfIncIndex.refineHotCells(s, d, RefineBudget)
+      ivfProbe(s.read.parquet(s"$rd/assigned"),
+        s.read.parquet(s"$rd/centroids"))
+    },
+    None,
+    oracleLate = Some { sfDir =>
+      probeOracleFrom(IvfIncIndex.refinedDirFor(sfDir, RefineBudget))
+    })
+
   val catalog: Seq[QueryDef] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
 }

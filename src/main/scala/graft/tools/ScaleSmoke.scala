@@ -840,7 +840,7 @@ object ScaleSmoke {
       // sub-cells, re-probe — the fan-out (and wall) must fall by the
       // split factor while hot queries still find their sub-cell
       graft.Lifecycle.deleteRecursively(
-        new java.io.File(IvfIncIndex.refinedDirFor(dir)))
+        new java.io.File(IvfIncIndex.refinedDirFor(dir, 16384L)))
       val t0r = System.nanoTime()
       val rd = IvfIncIndex.refineHotCells(spark, dir, 16384L)
       val tRefine = (System.nanoTime() - t0r) / 1e9
