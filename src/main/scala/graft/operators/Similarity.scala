@@ -1031,6 +1031,34 @@ object Similarity {
         centroids.write.mode("overwrite").parquet(s"$tmp/centroids")
         assign(all, centroids).write.mode("overwrite").parquet(s"$tmp/assigned")
       }
+
+    /** The vector-side NIGHTLY entry point — what a scheduled job calls
+      * once per crawl slice, composing the whole maintenance family the
+      * way c04/c05 compose the text side: GROW (base ensured, the new
+      * slice assigned against frozen centroids and published as a delta
+      * segment), FOLD (ratio-gated compaction of the segment tail),
+      * WATCH (the drift monitor; past the trigger, a generation-2
+      * recluster is published — never mutating the serving index).
+      * Returns the actions taken as (step, detail) pairs for the job
+      * log; every step is idempotent (publish-once dirs), so a crashed
+      * night reruns safely. Policy composition only — each member keeps
+      * its own gate/spec; NightlySpec pins WHICH arms fire on a quiet
+      * corpus vs a shifted one. */
+    def nightly(s: SparkSession, d: String): Seq[(String, String)] = {
+      val bd = ensureBase(s, d)
+      val dd = ensureDelta(s, d)
+      val grow = Seq("base" -> bd, "delta" -> dd)
+      val fold =
+        if (compactionDue(s, d)) Seq("compacted" -> ensureCompacted(s, d))
+        else Seq("compaction" -> "not due")
+      val ratio = driftRatio(s, d)
+      val watch =
+        if (ratio >= ReclusterRatio)
+          Seq("drift" -> f"$ratio%.2f >= $ReclusterRatio — reclustering",
+            "gen2" -> recluster(s, d))
+        else Seq("drift" -> f"$ratio%.2f quiet")
+      grow ++ fold ++ watch
+    }
   }
 
   /** Incremental IVF maintenance gate: the reader-view union of the base

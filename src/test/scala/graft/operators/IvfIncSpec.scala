@@ -269,6 +269,49 @@ class IvfIncSpec extends SparkSpec {
     assert(spark.read.parquet(s"$g2/assigned").count() == n)
   }
 
+  test("nightly composite: grow + fold fire on the fixture, drift stays quiet; a shift trips gen-2") {
+    graft.functions.VectorExpressions.register(spark)
+    val quiet = Similarity.IvfIncIndex.nightly(spark, d).toMap
+    assert(quiet.contains("base") && quiet.contains("delta"))
+    assert(quiet.contains("compacted"), "fixture 25% delta should fold")
+    assert(quiet("drift").contains("quiet") && !quiet.contains("gen2"),
+      s"spurious recluster on same-distribution growth: $quiet")
+    // shifted corpus: the same entry point must also recluster
+    val mod = Similarity.IvfIncIndex.NewSliceMod
+    val rem = Similarity.IvfIncIndex.NewSliceRem
+    val scratch = java.nio.file.Files.createTempDirectory("nightly").toFile
+    graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        when(col("vec_id") % mod === rem,
+          transform(col("embedding"), x => x + lit(0.75f)))
+          .otherwise(col("embedding")).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+    val shifted = Similarity.IvfIncIndex.nightly(spark, scratch.getAbsolutePath).toMap
+    assert(shifted.contains("gen2"),
+      s"shifted slice did not trigger the recluster: $shifted")
+    assert(new java.io.File(s"${shifted("gen2")}/assigned/_SUCCESS").exists())
+  }
+
+  test("probe plans BROADCAST the probed side — the hot-cell straggler tripwire") {
+    // the probed frame is <= queries x nprobe rows by construction but
+    // the planner cannot see that through two windows and a crossJoin:
+    // without the explicit broadcast it plans a shuffle join on cell
+    // and a dominant cell's whole fan-out lands on ONE task (measured
+    // maxTask 94.8s at 384k vectors — PLANS.md HOTCELL). Pin the join
+    // shape so a refactor can't silently revert it.
+    Seq(Similarity.s04.fn(spark, d), Similarity.s09.fn(spark, d),
+        Similarity.s10.fn(spark, d), Similarity.s11.fn(spark, d))
+      .zip(Seq("s04", "s09", "s10", "s11")).foreach { case (df, name) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin [cell"),
+          s"$name: candidate join is not a broadcast hash join on cell:\n" +
+            plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+        assert(!plan.contains("SortMergeJoin [cell"),
+          s"$name: candidate join reverted to a sort-merge join on cell")
+      }
+  }
+
   test("s09 segmented probe: complete top-3 per query, neighbors from BOTH segments") {
     val rows = Similarity.s09.fn(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
