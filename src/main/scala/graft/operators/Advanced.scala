@@ -1602,15 +1602,19 @@ object Advanced {
     * the key once; bucketed snapshots (r08 layout) drop the exchanges. */
   def snapshotDiff(a: DataFrame, b: DataFrame, key: String, value: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val decs = Seq(a, b).map(_.select(col(value)).schema.head.dataType)
-      .collect { case d: DecimalType => d }
-    val dec =
-      if (decs.isEmpty) DecimalType(18, 2)
-      else {
-        val scale = decs.map(_.scale).max
-        val intDigits = decs.map(d => d.precision - d.scale).max
-        DecimalType(math.min(38, intDigits + scale + 10), scale)
-      }
+    // each side contributes its (integer digits, scale) need — a
+    // non-decimal side contributes the documented float-borne bound
+    // (16, 2), so pairing ONE decimal snapshot with a double snapshot
+    // can neither round the double side's cents away (a coarser decimal
+    // scale would) nor overflow its magnitude (a narrower precision
+    // would) — the r15 second-pass finding
+    val contrib = Seq(a, b).map(_.select(col(value)).schema.head.dataType).map {
+      case d: DecimalType => (d.precision - d.scale, d.scale)
+      case _ => (16, 2)
+    }
+    val scale = contrib.map(_._2).max
+    val dec = DecimalType(
+      math.min(38, contrib.map(_._1).max + scale + 10), scale)
     // presence markers, not value-null tests: a NULLABLE value column
     // must not flip a both-sides row into added/removed, and a
     // null-vs-value transition is a CHANGE (null-safe <=>); the q34
@@ -1625,9 +1629,15 @@ object Advanced {
           .when(!(col("va") <=> col("vb")), "changed")
           .otherwise("unchanged"))
       .groupBy(col("status"))
+      // cast each side to the decimal BEFORE coalescing: coalesce with a
+      // double literal widens decimal+double to DOUBLE, so a wide
+      // decimal would silently round through the double before the cast
+      // back (r15 second-pass finding — the 'exact by construction'
+      // claim held only for double-representable values)
       .agg(count(lit(1)).as("n"),
-        sum(coalesce(col("vb"), lit(0.0)).cast(dec) -
-          coalesce(col("va"), lit(0.0)).cast(dec)).cast("double").as("delta"))
+        sum(coalesce(col("vb").cast(dec), lit(0).cast(dec)) -
+          coalesce(col("va").cast(dec), lit(0).cast(dec)))
+          .cast("double").as("delta"))
       .orderBy(col("status"))
   }
 

@@ -982,11 +982,13 @@ object Similarity {
       * would double the scheduled monitor's corpus scan, r15 review);
       * the distances come from the same deterministic [[assignWithDist]]
       * the ring assigns with, so the metric measures the index's own
-      * geometry, not a parallel implementation's. Degenerate inputs
-      * degrade to the QUIET 1.0, never crash or fire: an empty delta
-      * slice has nothing to drift, and a zero/absent base mean (every
-      * base vector a centroid) cannot normalize a ratio — both
-      * documented as no-signal, not no-drift. */
+      * geometry, not a parallel implementation's. Degenerate inputs:
+      * an EMPTY delta slice has nothing to drift — quiet 1.0, never a
+      * crash; a zero base mean (every base vector exactly a centroid:
+      * ≤ K distinct base vectors) with a NONZERO delta mean is
+      * infinite drift and must FIRE — masking it as quiet would let a
+      * shifted slice hide behind a degenerate base (r15 second-pass
+      * finding); zero over zero is genuinely no-signal, quiet. */
     def driftRatio(s: SparkSession, d: String): Double = {
       val bd = ensureBase(s, d)
       val centroids = s.read.parquet(s"$bd/centroids")
@@ -997,8 +999,9 @@ object Similarity {
         .flatMap(r => if (r.isNullAt(1)) None else Some(r.getBoolean(0) -> r.getDouble(1)))
         .toMap
       (means.get(false), means.get(true)) match {
-        case (Some(base), Some(delta)) if base > 0 => delta / base
-        case _ => 1.0
+        case (Some(base), Some(delta)) if base > 0  => delta / base
+        case (Some(_), Some(delta)) if delta > 0    => Double.PositiveInfinity
+        case _                                      => 1.0
       }
     }
 

@@ -836,13 +836,18 @@ object ScaleSmoke {
         graft.operators.Similarity.probeTopK(spark, dir, 512).count())
       println(f"HOTCELL vecs=${e0 * k}%7d probe512=${tP}%6.1fs ($nP rows) " +
         f"maxTask=${maxP}ms p50Task=${p50P}ms")
-      // the index-side remedy: split the dominant cell into ~32k-row
-      // sub-cells, re-probe — the fan-out (and wall) must fall by the
-      // split factor while hot queries still find their sub-cell
+      // the index-side remedy: split the dominant cell into
+      // budget-bounded sub-cells, re-probe — the fan-out (and wall)
+      // must fall by the split factor while hot queries still find
+      // their sub-cell. ONE budget value for the delete and the build:
+      // the dir name is budget-salted, so diverging literals would
+      // delete one salted dir and serve a stale publication of the
+      // other (r15 second-pass finding)
+      val refineBudget = 16384L
       graft.Lifecycle.deleteRecursively(
-        new java.io.File(IvfIncIndex.refinedDirFor(dir, 16384L)))
+        new java.io.File(IvfIncIndex.refinedDirFor(dir, refineBudget)))
       val t0r = System.nanoTime()
-      val rd = IvfIncIndex.refineHotCells(spark, dir, 16384L)
+      val rd = IvfIncIndex.refineHotCells(spark, dir, refineBudget)
       val tRefine = (System.nanoTime() - t0r) / 1e9
       graft.Lifecycle.release(spark)
       val maxCell = spark.read.parquet(s"$rd/assigned")

@@ -238,6 +238,29 @@ class FacadeSpec extends SparkSpec {
     assert(diff("changed") == 0.0001, s"sub-cent delta lost: ${diff("changed")}")
   }
 
+  test("snapshotDiff: wide decimals stay exact (no double roundtrip), non-decimal side keeps its floor") {
+    import spark.implicits._
+    // 16 integer digits + a sub-cent tail: any double roundtrip zeroes
+    // the .0001 (r15 second-pass finding — coalesce with a double
+    // literal widened decimal+double to DOUBLE before the decimal cast)
+    val a = Seq((1L, "9999999999999999.0000")).toDF("k", "v")
+      .select(col("k"), col("v").cast("decimal(20,4)").as("v"))
+    val b = Seq((1L, "9999999999999999.0001")).toDF("k", "v")
+      .select(col("k"), col("v").cast("decimal(20,4)").as("v"))
+    val wide = Advanced.snapshotDiff(a, b, "k", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(wide("changed") == 0.0001, s"wide-decimal tail lost: ${wide("changed")}")
+    // ONE decimal side must not strip the other side's float-borne
+    // bound: a DOUBLE 10.55 diffed against DECIMAL(20,0) keeps its
+    // cents (scale floored at 2), instead of rounding to 11
+    val a2 = Seq((1L, 10.55)).toDF("k", "v")
+    val b2 = Seq((1L, 10.0)).toDF("k", "v")
+      .select(col("k"), col("v").cast("decimal(20,0)").as("v"))
+    val mixed = Advanced.snapshotDiff(a2, b2, "k", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(mixed("changed") == -0.55, s"double side rounded: ${mixed("changed")}")
+  }
+
   test("snapshotDiff classifies NULL values by side presence, not value nullness") {
     // a nullable value column must not flip a both-sides row into
     // added/removed (r14 review finding): null->value and value->null

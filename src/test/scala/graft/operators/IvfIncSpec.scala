@@ -269,6 +269,35 @@ class IvfIncSpec extends SparkSpec {
     assert(spark.read.parquet(s"$g2/assigned").count() == n)
   }
 
+  test("driftRatio fires on a shifted delta over a DEGENERATE base (zero base mean)") {
+    // base slice of exactly K distinct vectors: each becomes its own
+    // centroid, base mean sqdist is exactly 0 (a − 2a + a in IEEE) —
+    // the old quiet-1.0 guard would mask the shifted delta forever
+    // (r15 second-pass finding); infinite drift must FIRE
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val k = Similarity.IvfIndex.K
+    val mod = Similarity.IvfIncIndex.NewSliceMod
+    val rem = Similarity.IvfIncIndex.NewSliceRem
+    // ids 0..(mod*k/ (mod-1))… simpler: lay out ids so EXACTLY k ids are
+    // base (id % mod != rem) and a few are delta, all vectors distinct
+    val baseIds = (0L until 100L).filter(_ % mod != rem).take(k)
+    val deltaIds = (0L until 100L).filter(_ % mod == rem).take(4)
+    // 97 prime and 31 invertible mod 97: distinct ids give distinct
+    // vectors (a mod-13 first attempt collided 16 ids onto 13 vectors
+    // and k-means|| init blew up with fewer distinct centers than k)
+    def vec(id: Long, shift: Float): Seq[Float] =
+      (0 until 64).map(i => ((id * 31 + i * 7) % 97).toFloat / 97f + shift)
+    val rows = baseIds.map(id => (id, vec(id, 0f), "b")) ++
+      deltaIds.map(id => (id, vec(id, 5f), "d"))
+    val scratch = java.nio.file.Files.createTempDirectory("degen").toFile
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+    val r = Similarity.IvfIncIndex.driftRatio(spark, scratch.getAbsolutePath)
+    assert(r >= Similarity.IvfIncIndex.ReclusterRatio,
+      s"degenerate-base shift masked as quiet: ratio $r")
+  }
+
   test("nightly composite: grow + fold fire on the fixture, drift stays quiet; a shift trips gen-2") {
     graft.functions.VectorExpressions.register(spark)
     val quiet = Similarity.IvfIncIndex.nightly(spark, d).toMap
