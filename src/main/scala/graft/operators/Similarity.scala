@@ -633,44 +633,47 @@ object Similarity {
     * candidate scan fitting in executor memory or not (int8 codes +
     * SIMD-friendly integer MACs); the re-rank stage (exact float cosine
     * on the shortlist, s02's shape) bolts on behind it unchanged. */
-  val s07 = QueryDef(
-    "s07_quantized_ann",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val q8 = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("emb"))
-        // zero-vector guard: scale 0 -> all-zero codes (not NaN/Inf —
-        // CAST(round(NaN)) would error in the oracle and null-rank here)
-        .withColumn("maxabs", array_max(transform(col("emb"), x => abs(x))))
-        .withColumn("scale",
-          when(col("maxabs") > 0, lit(127.0) / col("maxabs")).otherwise(lit(0.0)))
-        .select(col("vec_id"), col("maxabs"),
-          transform(col("emb"), x => round(x * col("scale")).cast("long")).as("qv"))
-      val q = q8.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("qv").as("qq"),
-          col("maxabs").as("qmax"))
-      val c = q8.select(col("vec_id").as("neighbor_id"), col("qv").as("cq"),
-        col("maxabs").as("cmax"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("neighbor_id"))
-      q.join(c, col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
-            lit(0L), (acc, x) => acc + x).as("qdot"),
-          col("qmax"), col("cmax"))
-        // dequantized reconstruction, evaluated strictly left to right
-        // (the oracle mirrors the association) so the doubles hash-match
-        .withColumn("score",
-          col("qdot").cast("double") * (col("qmax") / lit(127.0)) *
-            (col("cmax") / lit(127.0)))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TopK)
-        .select(col("query_id"), col("neighbor_id"), col("qdot"),
-          col("score"), col("rank"))
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some(s"""WITH q8 AS (
+  /** (vec_id, maxabs, qv) int8 codes for the whole corpus — the ONE
+    * quantization body shared by s07 (quantized ranking) and s12
+    * (quantized candidates + exact re-rank); zero-vector guard: scale
+    * 0 → all-zero codes (not NaN/Inf — CAST(round(NaN)) would error in
+    * the oracle and null-rank here). */
+  private def quantizedCodes(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .withColumn("maxabs", array_max(transform(col("emb"), x => abs(x))))
+      .withColumn("scale",
+        when(col("maxabs") > 0, lit(127.0) / col("maxabs")).otherwise(lit(0.0)))
+      .select(col("vec_id"), col("maxabs"),
+        transform(col("emb"), x => round(x * col("scale")).cast("long")).as("qv"))
+
+  /** The quantized candidate stream (query × candidate with the exact
+    * integer qdot and the left-to-right dequantized score) — s07's
+    * scoring shared with s12's candidate-generation stage. */
+  private def quantizedScored(q8: DataFrame): DataFrame = {
+    val q = q8.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"),
+        col("maxabs").as("qmax"))
+    val c = q8.select(col("vec_id").as("neighbor_id"), col("qv").as("cq"),
+      col("maxabs").as("cmax"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("qdot"),
+        col("qmax"), col("cmax"))
+      // dequantized reconstruction, evaluated strictly left to right
+      // (the oracle mirrors the association) so the doubles hash-match
+      .withColumn("score",
+        col("qdot").cast("double") * (col("qmax") / lit(127.0)) *
+          (col("cmax") / lit(127.0)))
+  }
+
+  /** The q8/scored CTE pair shared by the s07 and s12 oracles —
+    * byte-identical SQL so the two gates can never quantize
+    * differently. */
+  private val QuantCtes =
+    s"""q8 AS (
       |  SELECT vec_id, m,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS qv
       |  FROM (SELECT vec_id, embedding, m,
@@ -683,7 +686,22 @@ object Similarity {
       |         list_reduce(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.qv[i]), (x,y)->x+y) AS qdot,
       |         q.m AS qmax, c.m AS cmax
       |  FROM q8 q JOIN q8 c ON q.vec_id <> c.vec_id
-      |  WHERE q.vec_id < $NumQueries)
+      |  WHERE q.vec_id < $NumQueries)""".stripMargin
+
+  val s07 = QueryDef(
+    "s07_quantized_ann",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      quantizedScored(quantizedCodes(s, d))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("neighbor_id"), col("qdot"),
+          col("score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH $QuantCtes
       |SELECT query_id, neighbor_id, qdot, score, rank FROM (
       |  SELECT query_id, neighbor_id, qdot,
       |         (CAST(qdot AS DOUBLE) * (qmax / 127.0)) * (cmax / 127.0) AS score,
@@ -692,6 +710,81 @@ object Similarity {
       |                    neighbor_id) AS rank
       |  FROM scored)
       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin))
+
+  /** Shortlist depth for the two-stage s12: deep enough that the exact
+    * top-3 survives the quantized cut on this corpus (measured overlap
+    * in OperatorsSpec: quantized top-5 vs float top-5 mean 0.98), wide
+    * enough to be a real cut (20 of N candidates). */
+  private val RerankShortlist = 20
+
+  /** Two-stage ANN: quantized candidate generation → exact re-rank —
+    * THE production retrieval shape at 100 TB. Stage 1 is s07's int8
+    * integer scan (4x-compressed codes, SIMD-friendly MACs — the
+    * memory-bound pass over the whole corpus) cut to a
+    * [[RerankShortlist]]-deep shortlist per query; stage 2 joins the
+    * RAW embeddings back for only those shortlist pairs and re-ranks by
+    * exact float cosine (s02's verify stage) to the final top-3. The
+    * expensive exact arithmetic touches O(queries × shortlist) rows
+    * instead of O(queries × N) — the whole point of quantization — and
+    * the join back to raw vectors is a hash join on (query, neighbor)
+    * ids against a shortlist that is tiny by construction.
+    *
+    * Hash-exact end to end: stage 1 is s07's proven-exact pipeline
+    * (integer qdot, left-to-right dequantized score, id tiebreaks),
+    * the cut keeps rank ≤ shortlist with the same total order, and
+    * stage 2's cosines are the sequential-fold dot both engines
+    * compute bit-identically — so unlike most production two-stage
+    * stacks this one is exactly oracle-checkable, with a STATIC oracle
+    * (no index state — late binding unnecessary). */
+  val s12 = QueryDef(
+    "s12_ann_rerank",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wCut = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      val shortlist = quantizedScored(quantizedCodes(s, d))
+        .withColumn("qrank", row_number().over(wCut))
+        .filter(col("qrank") <= RerankShortlist)
+        .select(col("query_id"), col("neighbor_id"))
+      val e = withNorm(s, d)
+      val wRe = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      shortlist
+        .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn")), Seq("query_id"))
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+          col("nrm").as("nn")), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
+        .withColumn("rank", row_number().over(wRe))
+        .filter(col("rank") <= 3)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH $QuantCtes,
+      |shortlist AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |           ROW_NUMBER() OVER (PARTITION BY query_id
+      |             ORDER BY (CAST(qdot AS DOUBLE) * (qmax / 127.0)) * (cmax / 127.0) DESC,
+      |                      neighbor_id) AS qrank
+      |    FROM scored)
+      |  WHERE qrank <= $RerankShortlist),
+      |e AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt(${duckDot("embedding", "embedding")}) AS nrm
+      |  FROM embeddings)
+      |SELECT query_id, neighbor_id, cos, rank FROM (
+      |  SELECT s.query_id, s.neighbor_id,
+      |         CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN NULL
+      |              ELSE ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) END AS cos,
+      |         ROW_NUMBER() OVER (PARTITION BY s.query_id
+      |           ORDER BY CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN NULL
+      |                         ELSE ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) END
+      |                    DESC NULLS LAST, s.neighbor_id) AS rank
+      |  FROM shortlist s
+      |  JOIN e q ON s.query_id = q.vec_id
+      |  JOIN e c ON s.neighbor_id = c.vec_id)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
 
   /** Incrementally-maintained IVF index — the maintenance path a 100 TB
     * deployment actually runs. [[IvfIndex]] rebuilds from scratch when
@@ -1439,5 +1532,5 @@ object Similarity {
     })
 
   val catalog: Seq[QueryDef] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12)
 }

@@ -72,6 +72,26 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall $recall%.2f")
   }
 
+  test("s12 two-stage re-rank: stage-2 cosines exact, high recall vs the float top-3") {
+    val brute = Similarity.s02.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3)))
+    val bruteCos = brute.map { case (k, (c, _)) => k -> c }.toMap
+    val bruteTop3 = brute.filter(_._2._2 <= 3).map(_._1).toSet
+    val rr = Similarity.s12.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(rr.nonEmpty)
+    // stage 2 is the EXACT cosine: any pair also in the brute top-5
+    // must carry the identical double
+    rr.foreach { case (k, c) =>
+      bruteCos.get(k).foreach(b => assert(b == c, s"stage-2 cosine drift on $k"))
+    }
+    // the quantized shortlist must keep (almost all of) the true top-3:
+    // the two-stage answer's whole value is exactness-at-scan-savings
+    val recall = (rr.map(_._1).toSet & bruteTop3).size.toDouble / bruteTop3.size
+    info(f"two-stage top-3 recall vs exact: $recall%.2f")
+    assert(recall >= 0.8, f"shortlist lost the true top-3: recall $recall%.2f")
+  }
+
   test("IVF ANN returns correctly-ranked exact cosines from probed cells") {
     val brute = Similarity.s02.fn(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
