@@ -823,6 +823,25 @@ object TextDedup {
       .select(col("doc_id"), col("dom").isNull.as("keep"))
   }
 
+  /** Library façade: atomically PUBLISH a pair frame as a resident
+    * state — the promotion step of the maintenance ring over ANY frame,
+    * completing the API family: [[dedupNearPairs]] (build) →
+    * [[dedupNearPairsDelta]] (grow) → publishPairs (promote) →
+    * [[dedupKeepMask]] (probe). Rename + completeness-marker
+    * publication ([[IndexStore.ensure]]): a crash mid-promotion leaves
+    * the previous state serving, concurrent publishers converge on one
+    * winner, and an already-published dir is NOT rewritten (promotion
+    * is once per state — pass a new dir per night, the
+    * [[PromotedPairIndex]] convention). Returns the PUBLISHED frame (a
+    * parquet read), which is what the next night must build on. */
+  def publishPairs(pairs: DataFrame, dir: String): DataFrame = {
+    val s = pairs.sparkSession
+    IndexStore.ensure(dir, "pairs/_SUCCESS") { tmp =>
+      pairs.write.mode("overwrite").parquet(s"$tmp/pairs")
+    }
+    s.read.parquet(s"$dir/pairs")
+  }
+
   /** t25's probe core over an EXPLICIT pair frame: [[dedupKeepMask]]
     * instantiated on the fixture's daily-slice convention
     * (doc_id % 10 == 7, shared with t34/s08). Factored so the

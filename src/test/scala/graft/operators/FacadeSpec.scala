@@ -179,6 +179,37 @@ class FacadeSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("isNew must be non-null")), e.toString)
   }
 
+  test("publishPairs closes the facade ring: build → grow → promote → probe on a second table") {
+    // the WHOLE maintenance loop through the public APIs alone, over
+    // part-table text the pipeline was never tuned on: night 0 builds
+    // and promotes the resident pairs; night 1 grows with the twin
+    // slice's delta, promotes the union, and probes the twins
+    import org.apache.spark.sql.functions.col
+    val part = graft.Tables.part(spark, sf)
+      .select(col("p_partkey").as("id"),
+        concat_ws(" ", col("p_name"), col("p_type"), col("p_brand")).as("nm"))
+    val all = part.unionByName(
+      part.select((col("id") + 100000L).as("id"), col("nm")))
+    val root = java.nio.file.Files.createTempDirectory("ring_api").toFile
+    val night0 = TextDedup.publishPairs(
+      TextDedup.dedupNearPairs(part, "id", "nm"), s"$root/n0")
+    val delta = TextDedup.dedupNearPairsDelta(all, "id", "nm", col("id") >= 100000L)
+    val night1 = TextDedup.publishPairs(night0.unionByName(delta), s"$root/n1")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the promoted state equals the from-scratch full build
+    assert(pairs(night1) == pairs(TextDedup.dedupNearPairs(all, "id", "nm")))
+    // publish-once: re-promoting different rows into the SAME dir is a
+    // no-op — the published state wins (a crashed retry can't clobber)
+    val again = TextDedup.publishPairs(night0, s"$root/n1")
+    assert(pairs(again) == pairs(night1), "re-publication clobbered the state")
+    // and the probe over the promoted state drops every twin
+    val twins = part.select((col("id") + 100000L).as("doc_id"))
+    val mask = TextDedup.dedupKeepMask(night1, twins)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(mask.nonEmpty && mask.values.forall(_ == false))
+  }
+
   test("snapshotDiff classifies a hand-built customer snapshot pair exactly") {
     val a = graft.Tables.customer(spark, sf)
     val removed = a.filter(pmod(col("c_custkey"), lit(10)) === 0)
