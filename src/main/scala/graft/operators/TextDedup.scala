@@ -98,8 +98,22 @@ object TextDedup {
     // kernel is also immune to the old filter-pushdown substitution trap,
     // but a `size(sh) > 0` filter stays redundant: shingle-less docs
     // never appear in candidates.)
+    // SHUFFLE_HASH, suppressing a stats-based planner broadcast: the
+    // sets side is CORPUS-SIZED by definition (one shingle-set row per
+    // doc, text-derived arrays), but a doc_id-modulo filter upstream
+    // (the ring's presentAt) stacks selectivity estimates until the
+    // planner broadcasts it — OBSERVED in night 0's plan at 125k docs:
+    // BOTH sets sides planned as 100k-row text-payload broadcast
+    // relations (r15, tools.Night0Diag). That is the SpillSmoke r13
+    // class — Catalyst estimates from compressed file size, and at a
+    // starved heap or real scale the build is an OOM, not a slowdown.
+    // (Wall-clock at gate/depth scale is hint-neutral once warm —
+    // night0 re-measured 8.3 s either way; the hint buys the memory-
+    // safety bound, the small-facade cases pay one cheap exchange.)
     val s1 = sets.select(col("doc_id").as("doc1"), col("sh").as("sh1"))
+      .hint("SHUFFLE_HASH")
     val s2 = sets.select(col("doc_id").as("doc2"), col("sh").as("sh2"))
+      .hint("SHUFFLE_HASH")
     cand.join(s1, "doc1").join(s2, "doc2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard",
@@ -1657,6 +1671,12 @@ object TextDedup {
     * convention): the state a nightly maintenance job starts from. c04
     * grows it with [[pairDelta]] and gates that resident ∪ delta equals
     * the full rebuild. Same [[IndexStore]] contract as [[PairIndex]]. */
+  /** The resident-style build body (docs UNfiltered on the verify side,
+    * bands filtered) — the diagnosis baseline for tools.Night0Diag. */
+  private[graft] def residentPlan(s: SparkSession, d: String): DataFrame =
+    lshPairsFromBands(docs(s, d),
+      corpusBands(s, d).filter(col("doc_id") % 10 =!= 7))
+
   object ResidentPairIndex {
     private[graft] def indexDirFor(d: String): String =
       s"${sys.props("java.io.tmpdir")}/graft_pairs_res_l1_${IndexStore.corpusFingerprint(d, "documents")}"
@@ -1712,30 +1732,52 @@ object TextDedup {
       SliceRems.drop(night).foldLeft(lit(true))(
         (acc, r) => acc && col("doc_id") % 10 =!= r)
 
+    // _l2: layout-version salt bump — a night's dir used to hold the
+    // FULL promoted state; it now holds only that night's SEGMENT (the
+    // IVF delta-segment model applied to the text ring), and a warm l1
+    // dir must not be served under the new meaning
     private[graft] def stateDirFor(d: String, night: Int): String =
-      s"${sys.props("java.io.tmpdir")}/graft_pairs_ring_l1_${IndexStore.corpusFingerprint(d, "documents")}_n$night"
+      s"${sys.props("java.io.tmpdir")}/graft_pairs_ring_l2_${IndexStore.corpusFingerprint(d, "documents")}_n$night"
 
-    /** The promoted pair-index state after `night` nights, recursively
-      * building and publishing every missing predecessor first (a warm
-      * ring reads one parquet dir). Unordered — consumers sort. */
+    /** Night 0's build body without the publication write — exposed for
+      * plan diagnosis (tools.Night0Diag). */
+    private[graft] def night0Plan(s: SparkSession, d: String): DataFrame =
+      lshPairsFromBands(docs(s, d).filter(presentAt(0)),
+        corpusBands(s, d).filter(presentAt(0)))
+
+    /** Publish night `night`'s SEGMENT if missing: night 0 is the
+      * from-scratch resident build, night k the slice-k band delta —
+      * each an immutable publish-once dir whose write cost is ∝ its own
+      * content. */
+    private def ensureSegment(s: SparkSession, d: String, night: Int): String =
+      IndexStore.ensure(stateDirFor(d, night), "pairs/_SUCCESS") { tmp =>
+        val seg =
+          if (night == 0) night0Plan(s, d)
+          else {
+            val bands = corpusBands(s, d).filter(presentAt(night))
+            bandDelta(docs(s, d).filter(presentAt(night)),
+              bands, bands.filter(col("doc_id") % 10 === SliceRems(night - 1)))
+          }
+        seg.write.mode("overwrite").parquet(s"$tmp/pairs")
+      }
+
+    /** The promoted pair-index state after `night` nights — the union
+      * of the published segments 0..night, building any missing one
+      * first. SEGMENTED promotion (the [[Similarity.IvfIncIndex]]
+      * model applied to the text ring): a night publishes ONLY its
+      * delta segment, so the nightly write is ∝ the slice's pairs —
+      * rewriting the whole grown state every night was measured ∝
+      * STATE (12 s vs a 3-4 s delta at 125k docs, PLANS.md RING-LOOP),
+      * which at a year of nights is the same tail the IVF compaction
+      * bounds. When the segment count grows, fold with
+      * [[publishPairs]](ensure(...), dir) — the same ratio-gated rebase
+      * calculus as [[Similarity.IvfIncIndex.ensureCompacted]].
+      * Unordered — consumers sort. */
     def ensure(s: SparkSession, d: String, night: Int): DataFrame = {
       require(night >= 0 && night <= SliceRems.size,
         s"ring has ${SliceRems.size} nights; got $night")
-      val dir = IndexStore.ensure(stateDirFor(d, night), "pairs/_SUCCESS") { tmp =>
-        val pairs =
-          if (night == 0)
-            lshPairsFromBands(docs(s, d).filter(presentAt(0)),
-              corpusBands(s, d).filter(presentAt(0)))
-          else {
-            val prev = ensure(s, d, night - 1)
-            val bands = corpusBands(s, d).filter(presentAt(night))
-            val delta = bandDelta(docs(s, d).filter(presentAt(night)),
-              bands, bands.filter(col("doc_id") % 10 === SliceRems(night - 1)))
-            prev.unionByName(delta)
-          }
-        pairs.write.mode("overwrite").parquet(s"$tmp/pairs")
-      }
-      s.read.parquet(s"$dir/pairs")
+      (0 to night).map(k => s.read.parquet(s"${ensureSegment(s, d, k)}/pairs"))
+        .reduce(_ unionByName _)
     }
   }
 

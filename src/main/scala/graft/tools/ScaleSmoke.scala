@@ -686,6 +686,14 @@ object ScaleSmoke {
       (0 to nights).foreach(n => graft.Lifecycle.deleteRecursively(
         new java.io.File(TextDedup.PromotedPairIndex.stateDirFor(dir, n))))
       spark.conf.set("spark.graft.bands.mode", "persisted")
+      // warmup: the same pipeline shape at sf0.1 — without it the
+      // first timed night absorbs JVM/codegen/JIT and the COLD file
+      // cache of the deep corpus, and was measured at 67-180 s for an
+      // 8 s computation (r15 Night0Diag: composed night0 67.4 s cold,
+      // 8.3 s warm in one JVM) — the protocol lesson, not a plan bug
+      TextDedup.t07.fn(spark, "/root/testdata/sf0.1").count()
+      TextDedup.corpusBands(spark, dir).count() // warm the deep band scan
+      graft.Lifecycle.release(spark)
       val counts = (0 to nights).map { n =>
         val (tN, nPairs) = time(
           TextDedup.PromotedPairIndex.ensure(spark, dir, n).count())

@@ -76,13 +76,13 @@ class PairIndexDeltaSpec extends SparkSpec {
     assert(full.nonEmpty, "fixture must exercise the ring")
   }
 
-  test("a promoted state is READ by the next night, not recomputed") {
-    // corrupt-the-cache probe: publish night 0, overwrite its pair rows
-    // with a sentinel, and check the sentinel propagates through night
-    // 1's promotion — proof the ring starts from the PROMOTED state (a
-    // recompute would silently mask a broken promotion; detecting the
-    // sentinel shows the read path is real). Scratch corpus so the
-    // shared fixture ring stays clean.
+  test("a promoted segment is SERVED to the next night's view, not recomputed") {
+    // corrupt-the-cache probe: publish night 0's segment, overwrite its
+    // pair rows with a sentinel, and check the sentinel propagates into
+    // night 1's reader view — proof the ring serves the PUBLISHED
+    // segments (a silent recompute would mask a broken publication;
+    // detecting the sentinel shows the read path is real). Scratch
+    // corpus so the shared fixture ring stays clean.
     import org.apache.spark.sql.functions.{col, lit}
     val scratch = java.nio.file.Files.createTempDirectory("ring_read").toFile
     spark.read.parquet(s"$sf/documents.parquet")
