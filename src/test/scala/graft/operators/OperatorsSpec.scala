@@ -231,15 +231,23 @@ class OperatorsSpec extends SparkSpec {
     assert(n1 > n2 && n2 == 100L * 8)
   }
 
-  test("signature kernels keep t07/t08 at ONE hash exchange (the band/chunk join)") {
+  test("signature kernels keep t07/t08 free of the per-doc aggregate shuffle") {
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
     def hx(df: org.apache.spark.sql.DataFrame): Int =
-      "hashpartitioning".r.findAllIn(df.queryExecution.executedPlan.toString).length
-    // the per-row kernels replaced the 64-min / 60-vote aggregates; a
-    // second hashpartitioning here means the aggregate shuffle came back.
-    // t07's shape contract moved to its index BUILD pipeline (lshPairs) —
-    // the query itself is now a read of the persisted pair index and must
-    // have NO hash exchange at all.
-    assert(hx(TextDedup.lshPairs(spark, sf)) == 1)
+      "hashpartitioning".r.findAllIn(plan(df)).length
+    // the per-row kernels replaced the 64-min / 60-vote aggregates whose
+    // shuffle partitioned on the bare doc_id; that exchange must never
+    // come back. lshPairs' remaining exchanges are the candidate
+    // distinct + the verify join's SHUFFLE_HASH sides (doc1/doc2) — the
+    // r15 guard that pins the corpus-sized shingle-set sides out of a
+    // stats-underestimated broadcast (count pinned so a new exchange is
+    // noticed). t07 itself is a read of the persisted pair index: NO
+    // hash exchange at all.
+    val lp = plan(TextDedup.lshPairs(spark, sf))
+    assert(!lp.contains("hashpartitioning(doc_id"),
+      "the per-doc signature-aggregate shuffle came back")
+    assert("hashpartitioning".r.findAllIn(lp).length == 5, s"plan:\n$lp")
     assert(hx(TextDedup.t07.fn(spark, sf)) == 0)
     assert(hx(TextDedup.t08.fn(spark, sf)) == 1)
   }
