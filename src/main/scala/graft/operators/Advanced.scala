@@ -1589,9 +1589,12 @@ object Advanced {
     *
     * Delta precision: a DECIMAL value column (on EITHER side — a schema
     * migration can widen just the newer snapshot) keeps the max scale
-    * and max integer digits of the two sides plus 10 digits of headroom
-    * (capped at the decimal maximum of 38), so decimal inputs are exact
-    * by construction. Non-decimal numerics sum through DECIMAL(18,2) —
+    * and max integer digits of the two sides plus up to 10 digits of sum
+    * headroom — headroom shrinks first when the decimal maximum of 38
+    * would otherwise cost input digits, so decimal inputs are exact
+    * whenever intDigits + scale ≤ 38; past that no decimal can hold both
+    * sides and the cast overflows loudly under ANSI (a documented
+    * loud-overflow limit, never a silent round). Non-decimal numerics sum through DECIMAL(18,2) —
     * exact up to 16 integer digits and 2 fractional digits; a wider
     * float-borne value overflows loudly under ANSI (never silently
     * rounds the integer part), and finer-than-cent fractions round at
@@ -1613,8 +1616,16 @@ object Advanced {
       case _ => (16, 2)
     }
     val scale = contrib.map(_._2).max
-    val dec = DecimalType(
-      math.min(38, contrib.map(_._1).max + scale + 10), scale)
+    val intDigits = contrib.map(_._1).max
+    // headroom yields FIRST (r15 ADVICE): a wide-integer side (e.g.
+    // DECIMAL(38,0)) paired with a higher-scale side must keep every
+    // integer digit both inputs can carry — the sum headroom shrinks
+    // from 10 toward 0 before any input digit is sacrificed. Only when
+    // intDigits + scale alone exceed 38 (inputs no decimal can hold
+    // side by side) does the cap bite input digits, and then the ANSI
+    // cast overflows LOUDLY — never a silent round.
+    val headroom = math.max(0, math.min(10, 38 - intDigits - scale))
+    val dec = DecimalType(math.min(38, intDigits + scale + headroom), scale)
     // presence markers, not value-null tests: a NULLABLE value column
     // must not flip a both-sides row into added/removed, and a
     // null-vs-value transition is a CHANGE (null-safe <=>); the q34

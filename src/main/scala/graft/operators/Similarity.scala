@@ -862,8 +862,14 @@ object Similarity {
           dot(col("center"), col("center")) - lit(2.0) * dot(col("embedding"), col("center")))
         .withColumn("arank", row_number().over(w))
         .filter(col("arank") === 1)
+        // clamp: the rebased ‖x−c‖² is ≥ 0 mathematically but the
+        // ‖c‖²−2xc+‖x‖² float chain can cancel to a tiny negative for
+        // vectors sitting ON a centroid; an unclamped negative base mean
+        // would flip driftRatio's degenerate-base branch on FP noise
+        // alone (r15 ADVICE)
         .select(col("vec_id"), col("embedding"), col("cell"),
-          (col("score") + dot(col("embedding"), col("embedding"))).as("sqdist"))
+          greatest(lit(0.0),
+            col("score") + dot(col("embedding"), col("embedding"))).as("sqdist"))
     }
 
     /** Base segment: KMeans fit on the base snapshot (the expensive,
@@ -1091,10 +1097,17 @@ object Similarity {
         .collect()
         .flatMap(r => if (r.isNullAt(1)) None else Some(r.getBoolean(0) -> r.getDouble(1)))
         .toMap
+      // the infinite-drift branch (degenerate base, real delta) requires
+      // the delta mean to clear an absolute noise floor, not just > 0:
+      // per-row sqdist is clamped to ≥ 0 in assignWithDist, but residual
+      // FP noise of the ‖c‖²−2xc+‖x‖² chain is ~‖x‖²·2⁻⁵² (≪ 1e-9 at any
+      // unit-ish embedding scale), and a spurious full recluster is the
+      // failure this guards (r15 ADVICE). A genuine shift clears the
+      // floor by many orders of magnitude (planted +0.75σ/dim ≈ 36).
       (means.get(false), means.get(true)) match {
-        case (Some(base), Some(delta)) if base > 0  => delta / base
-        case (Some(_), Some(delta)) if delta > 0    => Double.PositiveInfinity
-        case _                                      => 1.0
+        case (Some(base), Some(delta)) if base > 0     => delta / base
+        case (Some(_), Some(delta)) if delta > 1e-9    => Double.PositiveInfinity
+        case _                                         => 1.0
       }
     }
 
@@ -1330,7 +1343,8 @@ object Similarity {
     * query load). */
   private[graft] def ivfProbeN(assignedRaw: DataFrame, centersDf: DataFrame,
       numQueries: Int): DataFrame =
-    ivfProbeOn(assignedRaw, centersDf, _.filter(col("vec_id") < numQueries))
+    ivfProbeOn(assignedRaw, centersDf, _.filter(col("vec_id") < numQueries),
+      estQueries = numQueries.toLong)
 
   /** The (query_id, qe, qn, cell) nprobe cell cut for an explicit query
     * selector over the normed index view — the ONE scoring/ranking body
@@ -1368,9 +1382,12 @@ object Similarity {
   }
 
   /** Full probe with an explicit query selector: [[probedCells]] cut,
-    * broadcast candidate join, exact cosine, top-3 per query. */
+    * size-gated broadcast candidate join, exact cosine, top-3 per query.
+    * `estQueries` is the caller's bound on the query-set size — it
+    * prices the broadcast gate without an extra counting job. */
   private[graft] def ivfProbeOn(assignedRaw: DataFrame, centersDf: DataFrame,
-      selectQueries: DataFrame => DataFrame): DataFrame = {
+      selectQueries: DataFrame => DataFrame,
+      estQueries: Long = NumQueries.toLong): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = assignedRaw
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
@@ -1382,10 +1399,17 @@ object Similarity {
     // a crossJoin, so the planner cannot see that and (measured at 384k
     // vectors, ScaleSmoke hotcell) plans a shuffle join on cell instead:
     // every hot-cell row lands on ONE task (maxTask 15.3 s vs p50
-    // 1.2 s). The explicit broadcast pins the join the construction
-    // guarantees is safe; the fan-out then parallelizes over the
-    // index scan's own splits.
-    broadcast(probed)
+    // 1.2 s). The pin is SIZE-GATED, not unconditional (r15 ADVICE):
+    // each probed row carries the full query embedding, so a service
+    // batching a large query set would turn a blind broadcast into a
+    // driver/executor OOM — past the session threshold the join falls
+    // back to SHUFFLE_HASH (AQE's skew split then handles a hot cell,
+    // and probed is still the smaller build side).
+    val dim = centersDf.select(size(col("center"))).head().getInt(0)
+    val probedRows = estQueries * NProbe
+    val est = IndexStore.estimateBytes(probedRows, probedRows * (8L * dim + 16L))
+    IndexStore.broadcastIfFitsPre(assignedRaw.sparkSession, probed, est)(
+        _.hint("SHUFFLE_HASH"))
       .join(assigned.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("ne"), col("nrm").as("nn"), col("cell")), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

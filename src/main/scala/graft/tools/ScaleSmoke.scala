@@ -789,7 +789,8 @@ object ScaleSmoke {
         val cen = spark.read.parquet(s"$cenDir/centroids")
         val assigned = graft.operators.Similarity.IvfIncIndex.assign(all, cen)
         val got = graft.operators.Similarity.ivfProbeOn(assigned, cen,
-            _.join(queries.select(col("vec_id")), Seq("vec_id")))
+            _.join(queries.select(col("vec_id")), Seq("vec_id")),
+            estQueries = 20L)
           .select(col("query_id"), col("neighbor_id")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         (truth & got).size.toDouble / truth.size

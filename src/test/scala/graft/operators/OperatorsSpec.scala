@@ -247,7 +247,10 @@ class OperatorsSpec extends SparkSpec {
     val lp = plan(TextDedup.lshPairs(spark, sf))
     assert(!lp.contains("hashpartitioning(doc_id"),
       "the per-doc signature-aggregate shuffle came back")
-    assert("hashpartitioning".r.findAllIn(lp).length == 5, s"plan:\n$lp")
+    // upper bound, not an exact pin (r15 ADVICE): the real invariant is
+    // the absence of the per-doc aggregate exchange (asserted above by
+    // name); a benign planner/AQE exchange-count change must not fail it
+    assert("hashpartitioning".r.findAllIn(lp).length <= 5, s"plan:\n$lp")
     assert(hx(TextDedup.t07.fn(spark, sf)) == 0)
     assert(hx(TextDedup.t08.fn(spark, sf)) == 1)
   }
