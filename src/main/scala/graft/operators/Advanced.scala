@@ -1144,6 +1144,123 @@ object Advanced {
            |        FROM words WHERE len(w) >= 2))
            |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin))
 
+  /** Merge rounds for [[v05]] — small by design: each round costs one
+    * aggregation pass over the VOCABULARY (not the corpus), and real
+    * BPE trainers run the same driver loop with k in the tens of
+    * thousands; 6 rounds pin the full loop mechanics (count → argmax →
+    * apply → recount) without turning the gate into a trainer run. */
+  private val BpeIters = 6
+
+  /** Iterative BPE training — the LOOP v04 deliberately stopped short
+    * of (r15 VERDICT slate #6): k rounds of (count adjacent symbol
+    * pairs, weighted by word frequency) → (pick the most frequent
+    * pair, ties to the lexicographically smaller) → (merge every
+    * left-to-right non-overlapping occurrence into one symbol), then
+    * the learned merges APPLIED: the 20 most frequent words emitted
+    * with their final symbol segmentation.
+    *
+    * The cross-engine merge-application trick: a word is represented as
+    * its symbols joined by TWO spaces with a single-space pad
+    * (" a  b  c "), so applying merge (a,b) is the plain string
+    * replace of " a  b " with " ab " — boundary-exact (a symbol's
+    * neighbors each keep one space of their own), and both engines'
+    * `replace` scans left-to-right without overlap, which is exactly
+    * BPE's greedy application order (the only overlap case, a run of
+    * identical symbols, resolves leftmost-first in both). No regex, no
+    * UDF, no per-row loop.
+    *
+    * Scale: the corpus collapses to its vocabulary ONCE (v04's
+    * reduction — one shuffle with map-side combine); every round then
+    * aggregates O(Σ|word symbols|) over vocab entries and collects
+    * exactly ONE row (the argmax pair — driver-bounded by
+    * construction), and the merge apply is a narrow per-row pass.
+    * The k-round lineage is cut with localCheckpoint per round, the
+    * [[Similarity.ivfDelta]] convention for driver-iterated state.
+    * The oracle unrolls the same k rounds as DuckDB CTE stages —
+    * byte-equal counting, ranking, and replace semantics. */
+  val v05 = QueryDef(
+    "v05_bpe_train",
+    (s, d) => {
+      import graft.functions.TextFunctions._
+      import s.implicits._
+      val vocab = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      var seqs = vocab.select(col("w"), col("freq"),
+        concat(lit(" "), array_join(expr(
+          "transform(sequence(0, length(w) - 1), i -> substring(w, i + 1, 1))"),
+          "  "), lit(" ")).as("seq"))
+        .localCheckpoint()
+      val merges = Seq.newBuilder[(Int, String, Long)]
+      for (step <- 1 to BpeIters) {
+        // one row: the argmax merge of this round (bounded collect)
+        val top = seqs
+          .withColumn("syms", split(trim(col("seq")), "  "))
+          .filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(0, size(syms) - 2)," +
+              " i -> concat(element_at(syms, i + 1), ' ', element_at(syms, i + 2)))"))
+            .as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+        require(top.nonEmpty, s"BPE: no adjacent pairs left at round $step")
+        val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
+        merges += ((step, pair, cnt))
+        val Array(l, r) = pair.split(" ", 2)
+        // literal (non-regex) replace — both engines scan left-to-right
+        // without overlap, BPE's greedy order; no metachar quoting needed
+        seqs = seqs.withColumn("seq",
+            replace(col("seq"), lit(s" $l  $r "), lit(s" $l$r ")))
+          .localCheckpoint()
+      }
+      val mergeRows = merges.result().toDF("step", "item", "cnt")
+        .select(lit("merge").as("stage"), col("step"), col("item"), col("cnt"))
+      val encoded = seqs.orderBy(col("freq").desc, col("w")).limit(20)
+        .select(lit("word").as("stage"), lit(0).as("step"),
+          concat(col("w"), lit(" -> "), trim(col("seq"))).as("item"),
+          col("freq").as("cnt"))
+      mergeRows.unionByName(encoded)
+        .orderBy(col("stage"), col("step"), col("item"))
+    },
+    Some {
+      val rounds = (1 to BpeIters).map { k =>
+        s"""p$k AS (
+           |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, syms[i+1] || ' ' || syms[i+2] AS pair
+           |    FROM (SELECT freq, str_split(trim(seq), '  ') AS syms,
+           |                 unnest(range(len(str_split(trim(seq), '  ')) - 1)) AS i
+           |          FROM seq${k - 1}))
+           |  GROUP BY pair),
+           |m$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+           |seq$k AS (
+           |  SELECT w, freq, replace(seq,
+           |    ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
+           |    ' ' || replace(pair, ' ', '') || ' ') AS seq
+           |  FROM seq${k - 1} CROSS JOIN m$k)""".stripMargin
+      }
+      val mergeSelects = (1 to BpeIters).map(k =>
+        s"SELECT 'merge' AS stage, CAST($k AS INTEGER) AS step, pair AS item, cnt FROM m$k")
+      s"""WITH tok AS (
+         |  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+         |  FROM documents
+         |),
+         |words AS (
+         |  SELECT w, COUNT(*) AS freq
+         |  FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w
+         |),
+         |seq0 AS (
+         |  SELECT w, freq,
+         |         ' ' || array_to_string(list_transform(range(len(w)), i -> w[i+1]), '  ') || ' ' AS seq
+         |  FROM words),
+         |${rounds.mkString(",\n")}
+         |SELECT stage, step, item, cnt FROM (
+         |  ${mergeSelects.mkString("\n  UNION ALL\n  ")}
+         |  UNION ALL
+         |  SELECT 'word', CAST(0 AS INTEGER), w || ' -> ' || trim(seq) AS item, freq AS cnt
+         |  FROM (SELECT w, freq, seq FROM seq$BpeIters ORDER BY freq DESC, w LIMIT 20))
+         |ORDER BY stage, step, item""".stripMargin
+    })
+
   /** Model weights for [[c02]] — feature name -> integer weight. A real
     * deployment loads these from a model artifact table; the POINT is
     * that they arrive as DATA (a broadcast-joined table), so retraining
@@ -1453,6 +1570,54 @@ object Advanced {
          |ORDER BY night, doc1, doc2""".stripMargin
     })
 
+  /** Ring FOLD gate — the s10 of the pair ring (r15 VERDICT slate #1).
+    * c05 proves every night's PROMOTION; what it cannot see is the
+    * segment-tail FOLD: [[TextDedup.PromotedPairIndex.maintained]]
+    * serves the ratio-gated folded layout (one size-targeted segment
+    * replacing the night-0 + delta tail) once
+    * [[TextDedup.PromotedPairIndex.foldDue]] trips — which the
+    * fixture's delta tail does at every SF — and this gate probes THAT
+    * layout: the served pair set, plus the t25 keep-mask probe run over
+    * it (the consumer a fold could silently corrupt), both hash-checked
+    * against the same from-scratch DuckDB rebuild c05's final night
+    * uses. A pair dropped or duplicated by the fold, a torn folded
+    * publish, or probe divergence over the folded layout all break the
+    * hash; arm equality and the policy edges (degraded listings never
+    * due, fold-once idempotence) are pinned in CompactionSpec.
+    *
+    * Scale: the fold is the LSM rebase a segment-per-night pair ring
+    * needs — without it a year of nights is ~365 small segments and
+    * every probe pays the scan tail; with the ratio gate each fold is
+    * ∝ pair-set bytes and the segment count stays O(1). Reference
+    * anchor: the daily cron shape, `README.md:9`,
+    * `tabjolt_email.py:345-394`. */
+  val c06 = QueryDef(
+    "c06_ring_fold",
+    (s, d) => {
+      val pairs = TextDedup.PromotedPairIndex.maintained(s, d)
+      val keep = TextDedup.probeKeep(s, d, pairs)
+      val nullId2 = lit(null).cast("long")
+      pairs.select(lit("pairs").as("stage"), col("doc1").as("id"),
+          col("doc2").as("id2"), col("jaccard").as("val"))
+        .unionByName(keep.select(lit("keep").as("stage"),
+          col("doc_id").as("id"), nullId2.as("id2"),
+          when(col("keep"), 1.0).otherwise(0.0).as("val")))
+        .orderBy(col("stage"), col("id"), col("id2"))
+    },
+    Some(s"""WITH jp AS (${TextDedup.JaccardPairsSql}),
+       |batch AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+       |und AS (SELECT doc1 AS b, doc2 AS partner FROM jp
+       |        UNION ALL SELECT doc2 AS b, doc1 AS partner FROM jp),
+       |dom AS (
+       |  SELECT DISTINCT b AS doc_id FROM und JOIN batch ON und.b = batch.doc_id
+       |  WHERE partner % 10 <> 7 OR partner < b)
+       |SELECT 'pairs' AS stage, doc1 AS id, doc2 AS id2, jaccard AS val FROM jp
+       |UNION ALL
+       |SELECT 'keep', b.doc_id, CAST(NULL AS BIGINT),
+       |       CASE WHEN dom.doc_id IS NULL THEN 1.0 ELSE 0.0 END
+       |FROM batch b LEFT JOIN dom ON b.doc_id = dom.doc_id
+       |ORDER BY stage, id, id2""".stripMargin))
+
   /** SCD2 dimension build — turn the events change log into
     * slowly-changing-dimension rows with validity intervals: per user,
     * consecutive same-status events collapse (lag filter), and each
@@ -1687,6 +1852,6 @@ object Advanced {
 
   val catalog: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, q16, q17, t09, c01, c02, c03,
-      c04, c05, tj01, tj02, tj03, v01, v02, v03, v04, j01, q18, t10, q19, q20, q21,
+      c04, c05, c06, tj01, tj02, tj03, v01, v02, v03, v04, v05, j01, q18, t10, q19, q20, q21,
       q24, q25, q32, q33, q34)
 }

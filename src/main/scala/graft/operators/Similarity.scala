@@ -669,10 +669,9 @@ object Similarity {
           (col("cmax") / lit(127.0)))
   }
 
-  /** The q8/scored CTE pair shared by the s07 and s12 oracles —
-    * byte-identical SQL so the two gates can never quantize
-    * differently. */
-  private val QuantCtes =
+  /** The int8-codes CTE shared by the s07/s12/s14 oracles —
+    * byte-identical SQL so no two gates can quantize differently. */
+  private val Q8Cte =
     s"""q8 AS (
       |  SELECT vec_id, m,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS qv
@@ -680,7 +679,12 @@ object Similarity {
       |               CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale
       |        FROM (SELECT vec_id, embedding,
       |              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
-      |              FROM embeddings))),
+      |              FROM embeddings)))""".stripMargin
+
+  /** [[Q8Cte]] plus the full-corpus scored pairs shared by the s07 and
+    * s12 oracles. */
+  private val QuantCtes =
+    s"""$Q8Cte,
       |scored AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |         list_reduce(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.qv[i]), (x,y)->x+y) AS qdot,
@@ -1090,8 +1094,16 @@ object Similarity {
       * finding); zero over zero is genuinely no-signal, quiet. */
     def driftRatio(s: SparkSession, d: String): Double = {
       val bd = ensureBase(s, d)
-      val centroids = s.read.parquet(s"$bd/centroids")
-      val means = assignWithDist(embDouble(s, d), centroids)
+      driftRatioOf(embDouble(s, d), s.read.parquet(s"$bd/centroids"))
+    }
+
+    /** [[driftRatio]] over an explicit (vec_id, embedding) frame and
+      * frozen centroid set — ONE body shared by the ring's monitor and
+      * the generation-serving policy ([[servedGeneration]], s13), so a
+      * serving decision can never measure different geometry than the
+      * monitor (the r15 diverged-instrument lesson). */
+    private[graft] def driftRatioOf(emb: DataFrame, centroids: DataFrame): Double = {
+      val means = assignWithDist(emb, centroids)
         .groupBy((col("vec_id") % NewSliceMod === NewSliceRem).as("is_new"))
         .agg(avg(col("sqdist")).as("m"))
         .collect()
@@ -1128,18 +1140,52 @@ object Similarity {
       * generations at the publication marker, exactly the [[IndexStore]]
       * contract every segment rides. */
     def recluster(s: SparkSession, d: String): String =
-      IndexStore.ensure(gen2DirFor(d), "assigned/_SUCCESS") { tmp =>
+      reclusterOf(embDouble(s, d), gen2DirFor(d))
+
+    /** [[recluster]] generalized to an explicit corpus frame and
+      * publication dir — the generation-2 body the serving policy
+      * ([[servedGeneration]]) reuses for DERIVED corpora (s13's
+      * planted-shift slice), so the fired arm always publishes with
+      * the exact mechanics the ring's own recluster uses. */
+    private[graft] def reclusterOf(emb: DataFrame, dir: String): String =
+      IndexStore.ensure(dir, "assigned/_SUCCESS") { tmp =>
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
-        val all = embDouble(s, d)
-        val feat = all.withColumn("features", array_to_vector(col("embedding")))
+        val s = emb.sparkSession
+        val feat = emb.withColumn("features", array_to_vector(col("embedding")))
         val model = new KMeans().setK(IvfIndex.K).setSeed(43L).setMaxIter(10).fit(feat)
         import s.implicits._
         val centroids = model.clusterCenters.zipWithIndex
           .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("cell", "center")
         centroids.write.mode("overwrite").parquet(s"$tmp/centroids")
-        assign(all, centroids).write.mode("overwrite").parquet(s"$tmp/assigned")
+        assign(emb, centroids).write.mode("overwrite").parquet(s"$tmp/assigned")
       }
+
+    /** The generation-serving POLICY as one function — which index a
+      * reader actually gets: the frozen gen-1 family (the maintained
+      * segment view under the base centroids) while the drift monitor
+      * is quiet, or an atomically-published generation-2 recluster of
+      * the whole corpus once [[driftRatioOf]] crosses
+      * [[ReclusterRatio]]. `embOpt` is the corpus as the monitor
+      * should see it (None = the ring's own corpus); a DERIVED corpus
+      * (s13's planted shift) gets its gen-2 at a `genSalt`-salted dir
+      * so generations of different derivations can never serve each
+      * other. Returns (assigned, centroids). Quiet arm: the ring
+      * corpus serves the maintained PHYSICAL index; a derived corpus —
+      * which has no published index — is assigned on the fly against
+      * the gen-1 centroids (identical rows to a published gen-1 of
+      * that derivation, by the s08 determinism contract). */
+    private[graft] def servedGeneration(s: SparkSession, d: String,
+        embOpt: Option[DataFrame], genSalt: String): (DataFrame, DataFrame) = {
+      val bd = ensureBase(s, d)
+      val cen1 = s.read.parquet(s"$bd/centroids")
+      val emb = embOpt.getOrElse(embDouble(s, d))
+      if (driftRatioOf(emb, cen1) >= ReclusterRatio) {
+        val g2 = reclusterOf(emb, s"${gen2DirFor(d)}_$genSalt")
+        (s.read.parquet(s"$g2/assigned"), s.read.parquet(s"$g2/centroids"))
+      } else
+        (embOpt.fold(maintained(s, d))(e => assign(e, cen1)), cen1)
+    }
 
     /** The vector-side NIGHTLY entry point — what a scheduled job calls
       * once per crawl slice, composing the whole maintenance family the
@@ -1187,17 +1233,22 @@ object Similarity {
   private[operators] def ivfAssignCtes(sfDir: String): String =
     ivfAssignCtesFrom(IvfIncIndex.baseDirFor(sfDir))
 
-  /** [[ivfAssignCtes]] against an explicit published centroid dir. */
-  private def ivfAssignCtesFrom(dir: String): String = {
-    s"""cen AS (SELECT cell, center FROM read_parquet('$dir/centroids/*.parquet')),
-       |scored AS (
-       |  SELECT e.vec_id, cen.cell,
-       |         ${duckDot("cen.center", "cen.center")} - 2.0 * ${duckDot("e.embedding", "cen.center")} AS score
-       |  FROM embeddings e CROSS JOIN cen),
-       |ranked AS (
+  /** [[ivfAssignCtes]] against an explicit published centroid dir.
+    * `pfx` prefixes every CTE name so two assignment chains can coexist
+    * in one statement (the s13 two-generation oracle); `embRel` swaps
+    * the corpus relation (a derived CTE such as s13's planted-shift
+    * slice). Defaults reproduce the historical single-chain form. */
+  private def ivfAssignCtesFrom(dir: String, pfx: String = "",
+      embRel: String = "embeddings"): String = {
+    s"""${pfx}cen AS (SELECT cell, center FROM read_parquet('$dir/centroids/*.parquet')),
+       |${pfx}scored AS (
+       |  SELECT e.vec_id, cn.cell,
+       |         ${duckDot("cn.center", "cn.center")} - 2.0 * ${duckDot("e.embedding", "cn.center")} AS score
+       |  FROM $embRel e CROSS JOIN ${pfx}cen cn),
+       |${pfx}ranked AS (
        |  SELECT vec_id, cell,
        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS arank
-       |  FROM scored)""".stripMargin
+       |  FROM ${pfx}scored)""".stripMargin
   }
 
   val s08 = QueryDef(
@@ -1441,42 +1492,55 @@ object Similarity {
   private def segmentedProbeOracle(sfDir: String): String =
     probeOracleFrom(IvfIncIndex.baseDirFor(sfDir))
 
+  /** The probe counterfactual's CTE chain against an EXPLICIT published
+    * centroid dir — prefix/relation parameterized like
+    * [[ivfAssignCtesFrom]] so two full probe derivations can coexist in
+    * one statement (s13 serves two index generations side by side). */
+  private def probeCtes(cenRoot: String, pfx: String = "",
+      embRel: String = "embeddings"): String =
+    s"""${ivfAssignCtesFrom(cenRoot, pfx, embRel)},
+       |${pfx}a AS (
+       |  SELECT e.vec_id, e.embedding,
+       |         sqrt(${duckDot("e.embedding", "e.embedding")}) AS nrm, r.cell
+       |  FROM $embRel e
+       |  JOIN (SELECT vec_id, cell FROM ${pfx}ranked WHERE arank = 1) r
+       |    ON e.vec_id = r.vec_id),
+       |${pfx}q AS (SELECT vec_id AS query_id, embedding AS qe, qn FROM (
+       |        SELECT vec_id, embedding, nrm AS qn FROM ${pfx}a)
+       |      WHERE vec_id < $NumQueries),
+       |${pfx}probed AS (
+       |  SELECT query_id, qe, qn, cell FROM (
+       |    SELECT q.query_id, q.qe, q.qn, cn.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${duckDot("cn.center", "cn.center")}
+       |                      - 2.0 * ${duckDot("q.qe", "cn.center")},
+       |                      cn.cell) AS crank
+       |    FROM ${pfx}q q CROSS JOIN ${pfx}cen cn)
+       |  WHERE crank <= $NProbe),
+       |${pfx}cand AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |         CASE WHEN p.qn = 0 OR c.nrm = 0 THEN NULL
+       |              ELSE ${duckDot("p.qe", "c.embedding")} / (p.qn * c.nrm) END AS cos
+       |  FROM ${pfx}probed p JOIN ${pfx}a c
+       |    ON p.cell = c.cell AND p.query_id <> c.vec_id)""".stripMargin
+
+  /** The final top-3 SELECT over a [[probeCtes]] chain (no ORDER BY —
+    * the caller owns the statement's total order). */
+  private def probeFinal(pfx: String = ""): String =
+    s"""SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC NULLS LAST, neighbor_id) AS rank
+       |  FROM ${pfx}cand)
+       |WHERE rank <= 3""".stripMargin
+
   /** The probe counterfactual against an EXPLICIT published centroid
     * dir — [[segmentedProbeOracle]] generalized so the refined-index
     * gate (s11) re-derives assignment + norms + probe from the REFINED
     * centroids it shipped, with the identical SQL mechanics. */
   private def probeOracleFrom(cenRoot: String): String =
-    s"""WITH ${ivfAssignCtesFrom(cenRoot)},
-       |a AS (
-       |  SELECT e.vec_id, e.embedding,
-       |         sqrt(${duckDot("e.embedding", "e.embedding")}) AS nrm, r.cell
-       |  FROM embeddings e
-       |  JOIN (SELECT vec_id, cell FROM ranked WHERE arank = 1) r
-       |    ON e.vec_id = r.vec_id),
-       |q AS (SELECT vec_id AS query_id, embedding AS qe, qn FROM (
-       |        SELECT vec_id, embedding, nrm AS qn FROM a)
-       |      WHERE vec_id < $NumQueries),
-       |probed AS (
-       |  SELECT query_id, qe, qn, cell FROM (
-       |    SELECT q.query_id, q.qe, q.qn, cen.cell,
-       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
-       |             ORDER BY ${duckDot("cen.center", "cen.center")}
-       |                      - 2.0 * ${duckDot("q.qe", "cen.center")},
-       |                      cen.cell) AS crank
-       |    FROM q CROSS JOIN cen)
-       |  WHERE crank <= $NProbe),
-       |cand AS (
-       |  SELECT probed.query_id, c.vec_id AS neighbor_id,
-       |         CASE WHEN probed.qn = 0 OR c.nrm = 0 THEN NULL
-       |              ELSE ${duckDot("probed.qe", "c.embedding")} / (probed.qn * c.nrm) END AS cos
-       |  FROM probed JOIN a c
-       |    ON probed.cell = c.cell AND probed.query_id <> c.vec_id)
-       |SELECT query_id, neighbor_id, cos, rank FROM (
-       |  SELECT query_id, neighbor_id, cos,
-       |         ROW_NUMBER() OVER (PARTITION BY query_id
-       |           ORDER BY cos DESC NULLS LAST, neighbor_id) AS rank
-       |  FROM cand)
-       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    s"""WITH ${probeCtes(cenRoot)}
+       |${probeFinal()} ORDER BY query_id, rank""".stripMargin
 
   /** The probe over the MAINTAINED reader view — the compacted single
     * segment when [[IvfIncIndex.compactionDue]] says the delta has
@@ -1555,6 +1619,211 @@ object Similarity {
       probeOracleFrom(IvfIncIndex.refinedDirFor(sfDir, RefineBudget))
     })
 
+  /** The planted-shift derivation of the r15 drift stress as a GATE
+    * input: the new-crawl slice (the s08 convention, vec_id % 5 == 4)
+    * translated by +0.75 in every dimension, resident rows carried as
+    * plain double casts — a DETERMINISTIC derivation of the driver's
+    * parquet that genuinely fires the drift monitor at every SF, and
+    * is exactly expressible in DuckDB (`list_transform(embedding,
+    * x -> CAST(x AS DOUBLE) + 0.75)` — bit-identical IEEE adds), so
+    * the fired recluster arm can be hash-gated instead of only
+    * spec-pinned. */
+  private[graft] def shiftedEmb(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"),
+        when(col("vec_id") % IvfIncIndex.NewSliceMod === IvfIncIndex.NewSliceRem,
+          transform(col("embedding"), x => x.cast("double") + lit(0.75)))
+          .otherwise(transform(col("embedding"), x => x.cast("double")))
+          .as("embedding"))
+  }
+
+  /** Generation-2 SERVING gate — the last lifecycle arm outside the
+    * hash gate (r15 VERDICT slate #2). The drift-triggered recluster
+    * publishes generation 2 atomically and IvfIncSpec pins its recall;
+    * this entry serves BOTH policy arms of
+    * [[IvfIncIndex.servedGeneration]] side by side:
+    *
+    *  - `quiet`: the ring's own corpus — the monitor reads ~1.0, the
+    *    policy keeps generation 1, and the probe runs over the
+    *    maintained physical index under the frozen base centroids;
+    *  - `drift`: the [[shiftedEmb]] derivation — the monitor fires
+    *    (planted +0.75/dim ≫ [[IvfIncIndex.ReclusterRatio]]), the
+    *    policy publishes a generation-2 recluster of the WHOLE shifted
+    *    corpus at the s13-salted dir, and the probe serves THAT index.
+    *
+    * The late oracle is arm-blind in s11's sense: each arm's answer is
+    * re-derived from scratch in DuckDB from the centroids that arm's
+    * published dir actually ships (gen-1 base for quiet, the s13 gen-2
+    * for drift) — whole-corpus argmin assignment, norms from raw (or
+    * shifted) embeddings, the identical probe. A policy flip (quiet
+    * corpus reclustering, shifted corpus served stale), a torn gen-2
+    * publish, or assignment/probe drift against either generation all
+    * break the hash — the drift arm's oracle reads a dir that only
+    * exists if the policy actually fired.
+    *
+    * Scale: the monitor is one narrow assignment pass per arm; the
+    * gen-2 fit is the once-per-distribution-shift scheduled job
+    * (∝ corpus, amortized by [[IndexStore]] publication); both probes
+    * keep the s09 cost shape. */
+  val s13 = QueryDef(
+    "s13_ann_gen2_probe",
+    (s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      val (qa, qc) = IvfIncIndex.servedGeneration(s, d, None, "s13")
+      val (da, dc) = IvfIncIndex.servedGeneration(s, d, Some(shiftedEmb(s, d)), "s13")
+      ivfProbe(qa, qc).select(lit("quiet").as("arm"), col("*"))
+        .unionByName(ivfProbe(da, dc).select(lit("drift").as("arm"), col("*")))
+        .orderBy(col("arm"), col("query_id"), col("rank"))
+    },
+    None,
+    oracleLate = Some { sfDir =>
+      val g2 = s"${IvfIncIndex.gen2DirFor(sfDir)}_s13"
+      s"""WITH emb2 AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % ${IvfIncIndex.NewSliceMod} = ${IvfIncIndex.NewSliceRem}
+         |              THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.75)
+         |              ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS embedding
+         |  FROM embeddings),
+         |${probeCtes(IvfIncIndex.baseDirFor(sfDir), "g1", "embeddings")},
+         |${probeCtes(g2, "g2", "emb2")}
+         |SELECT 'quiet' AS arm, * FROM (${probeFinal("g1")})
+         |UNION ALL
+         |SELECT 'drift' AS arm, * FROM (${probeFinal("g2")})
+         |ORDER BY arm, query_id, rank""".stripMargin
+    })
+
+  /** Three-stage retrieval — the COMPOSED 100 TB serving shape (r15
+    * VERDICT slate #3), chaining the three individually-gated pieces:
+    * (1) IVF candidate generation over the maintained index — the
+    * [[probedCells]] nprobe cell cut bounds the candidate set to
+    * O(queries × nprobe × cell) rows instead of the corpus (the piece
+    * s12's flat quantized scan deliberately lacked); (2) s07's int8
+    * quantized scoring over ONLY those candidates, cut to the
+    * [[RerankShortlist]]-deep shortlist — at scale this stage reads
+    * 4x-compressed codes stored with the index segments; (3) s12's
+    * exact float re-rank of the shortlist to the final top-3 —
+    * O(queries × shortlist) exact cosines.
+    *
+    * Hash-exact end to end, and the late oracle re-derives EVERY stage
+    * from scratch in DuckDB starting from the persisted frozen
+    * centroids: whole-corpus argmin assignment, the same nprobe cell
+    * cut, the same integer qdot over candidates, the same shortlist
+    * tiebreaks, the same sequential-fold cosines — so drift in any
+    * stage, or in how the stages compose, breaks the hash.
+    *
+    * Scale: stage 1 joins a size-gated broadcast of the (query, cell)
+    * cut against the index's cell-partitioned scan; stage 2's code
+    * join touches candidate rows only; stage 3 is a hash join of a
+    * shortlist that is tiny by construction back to raw embeddings.
+    * No stage scans the corpus more than once, and nothing pairwise
+    * ever leaves the probed cells. */
+  val s14 = QueryDef(
+    "s14_ann_ivf_rerank",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorExpressions.register(s)
+      val assigned = IvfIncIndex.maintained(s, d)
+        .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      val cen = s.read.parquet(s"${IvfIncIndex.baseDirFor(d)}/centroids")
+      val probed = probedCells(assigned, cen, _.filter(col("vec_id") < NumQueries))
+        .select(col("query_id"), col("cell"))
+      // candidate ids only — embeddings re-join at the stages that
+      // need them; the same size-gated broadcast pricing as ivfProbeOn
+      val probedRows = NumQueries.toLong * NProbe
+      val cand = IndexStore.broadcastIfFitsPre(s, probed,
+          IndexStore.estimateBytes(probedRows, probedRows * 16L))(
+          _.hint("SHUFFLE_HASH"))
+        .join(assigned.select(col("vec_id").as("neighbor_id"), col("cell")),
+          Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"))
+      val q8 = quantizedCodes(s, d)
+      val scored = cand
+        .join(q8.select(col("vec_id").as("query_id"), col("qv").as("qq"),
+          col("maxabs").as("qmax")), Seq("query_id"))
+        .join(q8.select(col("vec_id").as("neighbor_id"), col("qv").as("cq"),
+          col("maxabs").as("cmax")), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("qdot"),
+          col("qmax"), col("cmax"))
+        .withColumn("score",
+          col("qdot").cast("double") * (col("qmax") / lit(127.0)) *
+            (col("cmax") / lit(127.0)))
+      val wCut = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      val shortlist = scored.withColumn("qrank", row_number().over(wCut))
+        .filter(col("qrank") <= RerankShortlist)
+        .select(col("query_id"), col("neighbor_id"))
+      val e = withNorm(s, d)
+      val wRe = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      shortlist
+        .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn")), Seq("query_id"))
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+          col("nrm").as("nn")), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
+        .withColumn("rank", row_number().over(wRe))
+        .filter(col("rank") <= 3)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None,
+    oracleLate = Some { sfDir =>
+      s"""WITH ${ivfAssignCtesFrom(IvfIncIndex.baseDirFor(sfDir))},
+         |a AS (
+         |  SELECT e.vec_id, e.embedding,
+         |         sqrt(${duckDot("e.embedding", "e.embedding")}) AS nrm, r.cell
+         |  FROM embeddings e
+         |  JOIN (SELECT vec_id, cell FROM ranked WHERE arank = 1) r
+         |    ON e.vec_id = r.vec_id),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM a
+         |      WHERE vec_id < $NumQueries),
+         |probed AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.query_id, cn.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${duckDot("cn.center", "cn.center")}
+         |                      - 2.0 * ${duckDot("q.qe", "cn.center")},
+         |                      cn.cell) AS crank
+         |    FROM q CROSS JOIN cen cn)
+         |  WHERE crank <= $NProbe),
+         |cand AS (
+         |  SELECT p.query_id, c.vec_id AS neighbor_id
+         |  FROM probed p JOIN a c
+         |    ON p.cell = c.cell AND p.query_id <> c.vec_id),
+         |$Q8Cte,
+         |qscored AS (
+         |  SELECT cd.query_id, cd.neighbor_id,
+         |         list_reduce(list_transform(range(1, len(qq.qv)+1), i -> qq.qv[i]*cq.qv[i]), (x,y)->x+y) AS qdot,
+         |         qq.m AS qmax, cq.m AS cmax
+         |  FROM cand cd JOIN q8 qq ON cd.query_id = qq.vec_id
+         |               JOIN q8 cq ON cd.neighbor_id = cq.vec_id),
+         |shortlist AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY (CAST(qdot AS DOUBLE) * (qmax / 127.0)) * (cmax / 127.0) DESC,
+         |                      neighbor_id) AS qrank
+         |    FROM qscored)
+         |  WHERE qrank <= $RerankShortlist)
+         |SELECT query_id, neighbor_id, cos, rank FROM (
+         |  SELECT sl.query_id, sl.neighbor_id,
+         |         CASE WHEN qe.nrm = 0 OR ce.nrm = 0 THEN NULL
+         |              ELSE ${duckDot("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm) END AS cos,
+         |         ROW_NUMBER() OVER (PARTITION BY sl.query_id
+         |           ORDER BY CASE WHEN qe.nrm = 0 OR ce.nrm = 0 THEN NULL
+         |                         ELSE ${duckDot("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm) END
+         |                    DESC NULLS LAST, sl.neighbor_id) AS rank
+         |  FROM shortlist sl
+         |  JOIN a qe ON sl.query_id = qe.vec_id
+         |  JOIN a ce ON sl.neighbor_id = ce.vec_id)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    })
+
   val catalog: Seq[QueryDef] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14)
 }

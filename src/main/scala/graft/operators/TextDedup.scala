@@ -110,10 +110,14 @@ object TextDedup {
     // (Wall-clock at gate/depth scale is hint-neutral once warm —
     // night0 re-measured 8.3 s either way; the hint buys the memory-
     // safety bound, the small-facade cases pay one cheap exchange.)
-    val s1 = sets.select(col("doc_id").as("doc1"), col("sh").as("sh1"))
-      .hint("SHUFFLE_HASH")
-    val s2 = sets.select(col("doc_id").as("doc2"), col("sh").as("sh2"))
-      .hint("SHUFFLE_HASH")
+    // conf-switchable ONLY for the SpillSmoke/Night0Diag counterfactual
+    // (=off reverts to bare planner stats so the starved-heap A/B can
+    // measure the broadcast plan this hint exists to suppress); the
+    // shipped default stays pinned — the bands.mode convention
+    val hinted = s.conf.get("spark.graft.verifyjoin.hint", "shuffle_hash") != "off"
+    def pin(df: DataFrame): DataFrame = if (hinted) df.hint("SHUFFLE_HASH") else df
+    val s1 = pin(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1")))
+    val s2 = pin(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2")))
     cand.join(s1, "doc1").join(s2, "doc2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard",
@@ -1778,6 +1782,71 @@ object TextDedup {
         s"ring has ${SliceRems.size} nights; got $night")
       (0 to night).map(k => s.read.parquet(s"${ensureSegment(s, d, k)}/pairs"))
         .reduce(_ unionByName _)
+    }
+
+    // ------------------------------------------------- segment-tail fold
+    //
+    // Segmented promotion bounds the WRITE (a night publishes only its
+    // delta segment) but re-opens the READ tail the IVF side already
+    // closed (r15 VERDICT slate #1): after a year of nights a reader
+    // unions ~365 pair segments unless an operator remembers to call
+    // publishPairs by hand. The fold below is IvfIncIndex's LSM rebase
+    // applied to the pair ring — the SAME ratio calculus decides WHEN
+    // (delta-tail bytes ≥ CompactRatio × resident segment), the fold
+    // rewrites the union as ONE size-targeted segment, publication is
+    // the same atomic rename+marker, and the segmented union stays the
+    // always-correct fallback reader. Pairs are copied rows, never
+    // recomputed, so the folded layout is row-identical by construction
+    // — which is exactly what the c06 gate hash-checks (c05's oracle
+    // restricted to the final night) and CompactionSpec pins directly.
+
+    private[graft] def foldedDirFor(d: String): String =
+      s"${sys.props("java.io.tmpdir")}/graft_pairs_ring_f1_${IndexStore.corpusFingerprint(d, "documents")}"
+
+    /** The ratio policy, shared constant with the vector ring
+      * ([[Similarity.IvfIncIndex.CompactRatio]]): fold when the delta
+      * segments' combined bytes reach that fraction of the night-0
+      * resident segment. Degraded listings (-1) are never due —
+      * folding is an optimization; the segment union is always
+      * correct. */
+    private[graft] def foldDue(d: String): Boolean = {
+      val bb = IndexStore.dirBytes(s"${stateDirFor(d, 0)}/pairs")
+      val tail = (1 to SliceRems.size)
+        .map(k => IndexStore.dirBytes(s"${stateDirFor(d, k)}/pairs"))
+      bb > 0 && tail.forall(_ >= 0) &&
+        tail.sum.toDouble >= Similarity.IvfIncIndex.CompactRatio * bb
+    }
+
+    /** Fold the whole segment tail into ONE published resident segment —
+      * cost ∝ pair-set bytes (the compressed artifact, never
+      * corpus-sized), a scheduled job at scale. Output file count is
+      * size-targeted (~128 MB) and floored at the parallelism, the
+      * [[Similarity.IvfIncIndex.ensureCompacted]] convention, so a year
+      * of small nightly files collapses without costing the probe its
+      * scan splits. */
+    def ensureFolded(s: SparkSession, d: String): String =
+      IndexStore.ensure(foldedDirFor(d), "pairs/_SUCCESS") { tmp =>
+        val total = (0 to SliceRems.size)
+          .map(k => math.max(IndexStore.dirBytes(s"${stateDirFor(d, k)}/pairs"), 0L))
+          .sum
+        val nFiles = math.max(s.sparkContext.defaultParallelism,
+          math.ceil(total / (128.0 * 1024 * 1024)).toInt)
+        ensure(s, d, SliceRems.size).repartition(nFiles)
+          .write.mode("overwrite").parquet(s"$tmp/pairs")
+      }
+
+    /** The maintained reader view of the ring's final state: the folded
+      * single segment once the ratio policy says the rebase has paid for
+      * itself, the segment union otherwise. Segments are ensured BEFORE
+      * the policy reads their sizes (the r15 call-order finding — a cold
+      * corpus would otherwise never fold in a one-shot job). Both arms
+      * are row-identical by construction; c06 gates the served arm
+      * against the from-scratch oracle, CompactionSpec pins arm
+      * equality and the policy edges directly. */
+    def maintained(s: SparkSession, d: String): DataFrame = {
+      val segmented = ensure(s, d, SliceRems.size)
+      if (foldDue(d)) s.read.parquet(s"${ensureFolded(s, d)}/pairs")
+      else segmented
     }
   }
 

@@ -102,4 +102,27 @@ class AdvancedSpec extends SparkSpec {
       .select("stage").distinct().collect().map(_.getString(0)).toSet
     assert(stages == Set("pairs", "dedup", "ivf"))
   }
+
+  test("v05 BPE loop: monotone merge counts, no pair merged twice, lossless segmentation") {
+    val out = Advanced.v05.fn(spark, "/root/testdata/sf0.001").collect()
+    val merges = out.filter(_.getString(0) == "merge").sortBy(_.getInt(1))
+    assert(merges.length == 6, s"expected 6 merge rounds, got ${merges.length}")
+    // any pair existing at round k+1 has frequency bounded by round k's
+    // argmax (a new pair (x, ab)'s occurrences are a subset of (x, a)'s)
+    // — so the merge-count sequence must be non-increasing
+    val cnts = merges.map(_.getLong(3))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      s"pair frequencies must be non-increasing across rounds: ${cnts.mkString(",")}")
+    // merging removes every occurrence of a pair and later merges only
+    // concatenate — a repeated winning pair means the apply step missed
+    // occurrences
+    assert(merges.map(_.getString(2)).distinct.length == 6, "a pair was merged twice")
+    val words = out.filter(_.getString(0) == "word")
+    assert(words.length == 20)
+    words.foreach { r =>
+      val Array(w, enc) = r.getString(2).split(" -> ", 2)
+      assert(enc.replace(" ", "") == w,
+        s"segmentation of '$w' is not lossless: '$enc'")
+    }
+  }
 }

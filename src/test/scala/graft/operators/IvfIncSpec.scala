@@ -354,4 +354,38 @@ class IvfIncSpec extends SparkSpec {
     assert(neigh.exists(_ % 5 == 4), "no delta-segment neighbor surfaced")
     assert(neigh.exists(_ % 5 != 4), "no base-segment neighbor surfaced")
   }
+
+  test("generation serving: quiet corpus keeps gen-1; planted shift publishes and serves gen-2") {
+    graft.functions.VectorExpressions.register(spark)
+    import Similarity.IvfIncIndex
+    def cenMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    def cellMap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // quiet arm: the ring's own corpus reads ~1.0 drift — the policy
+    // must serve the frozen gen-1 centroids over the maintained index
+    val (qa, qc) = IvfIncIndex.servedGeneration(spark, d, None, "spec")
+    val baseCen = cenMap(spark.read.parquet(
+      s"${IvfIncIndex.baseDirFor(d)}/centroids"))
+    assert(cenMap(qc) == baseCen, "quiet arm must serve the frozen gen-1 centroids")
+    assert(cellMap(qa) == cellMap(IvfIncIndex.maintained(spark, d)),
+      "quiet arm must serve the maintained index rows")
+    // fired arm: the planted-shift derivation crosses the trigger — the
+    // policy must publish the SALTED gen-2 dir and serve an index that
+    // is SELF-CONSISTENT (every row's cell is the argmin over the
+    // centroid table it ships with — the invariant own-cell-first
+    // probing rests on) and genuinely refit (centroids differ from
+    // gen-1's)
+    val (da, dc) = IvfIncIndex.servedGeneration(
+      spark, d, Some(Similarity.shiftedEmb(spark, d)), "spec")
+    assert(new java.io.File(
+      s"${IvfIncIndex.gen2DirFor(d)}_spec/assigned/_SUCCESS").exists(),
+      "fired arm must publish the salted gen-2 dir")
+    assert(cenMap(dc) != baseCen, "gen-2 centroids must be a fresh fit, not gen-1's")
+    val reassigned = cellMap(IvfIncIndex.assign(
+      da.select(col("vec_id"), col("embedding")), dc))
+    assert(cellMap(da) == reassigned,
+      "served gen-2 index is not self-consistent with its own centroids")
+  }
 }

@@ -55,4 +55,43 @@ class SimilarityRecallSpec extends SparkSpec {
     // (candidates are exact-verified after the bucket join)
     assert((lsh -- exact).isEmpty, s"LSH invented ${(lsh -- exact).size} pairs")
   }
+
+  test("three-stage retrieval (s14): faithful to the IVF probe; finds planted twins") {
+    // s14 composes three approximations (nprobe cell cut, quantized
+    // shortlist, exact re-rank) — its hash gate proves the composition
+    // matches its own DuckDB re-execution, not that the stack still
+    // FINDS the true neighbors (the s11 probe-geometry lesson). Two
+    // pins, because the real corpus is near-random (cosine top-3 live
+    // at cos ≈ 0.3, scattered across L2 cells — the nprobe cut itself
+    // measures 0.57 vs brute force there, for s09 and s14 IDENTICALLY;
+    // an absolute bound on that corpus would pin noise):
+    //  1. composition faithfulness — the quantized shortlist stage must
+    //     not lose what the cell cut found: s14's top-3 ≈ s09's top-3
+    //     over the SAME maintained index (measured 1.00; bound 0.9
+    //     absorbs a quantization tie flip);
+    //  2. absolute recall where neighbors are real — on the replica
+    //     fixture every query's near-twin (cos ≈ 1) must surface at
+    //     rank 1 through the full three-stage stack.
+    val d = "/root/testdata/sf0.001"
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probe = pairs(Similarity.s09.fn(spark, d))
+    val staged = pairs(Similarity.s14.fn(spark, d))
+    assert(probe.size == 30, s"probe truth incomplete: ${probe.size}")
+    val faithful = (probe & staged).size.toDouble / probe.size
+    info(f"probe=${probe.size} staged=${staged.size} faithfulness=$faithful%.4f")
+    assert(faithful >= 0.9,
+      f"s14 lost ${1 - faithful}%.2f of the probe's top-3 — shortlist stage mis-tuned")
+    // replica fixture: original vec_id < 10 must retrieve vec_id + 1e6
+    // at rank 1 (the drift-stress construction, cos ≈ 1 twins)
+    val top1 = Similarity.s14.fn(spark, fixtureDir)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Lifecycle.release(spark)
+    (0L until 10L).foreach { q =>
+      assert(top1.get(q).contains(q + 1000000L),
+        s"query $q: expected twin ${q + 1000000L} at rank 1, got ${top1.get(q)}")
+    }
+  }
 }
