@@ -1178,42 +1178,90 @@ object Advanced {
     * [[Similarity.ivfDelta]] convention for driver-iterated state.
     * The oracle unrolls the same k rounds as DuckDB CTE stages —
     * byte-equal counting, ranking, and replace semantics. */
+  /** The v05 training loop factored to ONE body shared by the training
+    * gate ([[v05]]) and the corpus encoder ([[v06]]) — the two entries
+    * can never learn different merge tables. Returns the merge table
+    * (step, pair, corpus-weighted count) and the final vocabulary
+    * segmentation frame (w, freq, seq — seq in the double-space symbol
+    * encoding). Each round collects exactly ONE row (the argmax pair);
+    * the vocab-sized state's k-round lineage is cut with
+    * localCheckpoint per round. */
+  private[graft] def bpeTrain(s: SparkSession, d: String): (Seq[(Int, String, Long)], DataFrame) = {
+    import graft.functions.TextFunctions._
+    val vocab = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var seqs = vocab.select(col("w"), col("freq"),
+      concat(lit(" "), array_join(expr(
+        "transform(sequence(0, length(w) - 1), i -> substring(w, i + 1, 1))"),
+        "  "), lit(" ")).as("seq"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    for (step <- 1 to BpeIters) {
+      // one row: the argmax merge of this round (bounded collect)
+      val top = seqs
+        .withColumn("syms", split(trim(col("seq")), "  "))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2)," +
+            " i -> concat(element_at(syms, i + 1), ' ', element_at(syms, i + 2)))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+      require(top.nonEmpty, s"BPE: no adjacent pairs left at round $step")
+      val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
+      merges += ((step, pair, cnt))
+      val Array(l, r) = pair.split(" ", 2)
+      // literal (non-regex) replace — both engines scan left-to-right
+      // without overlap, BPE's greedy order; no metachar quoting needed
+      seqs = seqs.withColumn("seq",
+          replace(col("seq"), lit(s" $l  $r "), lit(s" $l$r ")))
+        .localCheckpoint()
+    }
+    (merges.result(), seqs)
+  }
+
+  /** The shared DuckDB CTE chain of the BPE loop — tok → words → seq0 →
+    * (p_k, m_k, seq_k) per round — byte-identical text in the [[v05]]
+    * and [[v06]] oracles so the engines' merge tables cannot diverge
+    * between the two gates. Ends at `seq$BpeIters`. */
+  private val BpeCtes: String = {
+    val rounds = (1 to BpeIters).map { k =>
+      s"""p$k AS (
+         |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, syms[i+1] || ' ' || syms[i+2] AS pair
+         |    FROM (SELECT freq, str_split(trim(seq), '  ') AS syms,
+         |                 unnest(range(len(str_split(trim(seq), '  ')) - 1)) AS i
+         |          FROM seq${k - 1}))
+         |  GROUP BY pair),
+         |m$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+         |seq$k AS (
+         |  SELECT w, freq, replace(seq,
+         |    ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
+         |    ' ' || replace(pair, ' ', '') || ' ') AS seq
+         |  FROM seq${k - 1} CROSS JOIN m$k)""".stripMargin
+    }
+    s"""tok AS (
+       |  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+       |  FROM documents
+       |),
+       |words AS (
+       |  SELECT w, COUNT(*) AS freq
+       |  FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w
+       |),
+       |seq0 AS (
+       |  SELECT w, freq,
+       |         ' ' || array_to_string(list_transform(range(len(w)), i -> w[i+1]), '  ') || ' ' AS seq
+       |  FROM words),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
   val v05 = QueryDef(
     "v05_bpe_train",
     (s, d) => {
-      import graft.functions.TextFunctions._
       import s.implicits._
-      val vocab = Tables.documents(s, d)
-        .select(explode(tokens(col("text"))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      var seqs = vocab.select(col("w"), col("freq"),
-        concat(lit(" "), array_join(expr(
-          "transform(sequence(0, length(w) - 1), i -> substring(w, i + 1, 1))"),
-          "  "), lit(" ")).as("seq"))
-        .localCheckpoint()
-      val merges = Seq.newBuilder[(Int, String, Long)]
-      for (step <- 1 to BpeIters) {
-        // one row: the argmax merge of this round (bounded collect)
-        val top = seqs
-          .withColumn("syms", split(trim(col("seq")), "  "))
-          .filter(size(col("syms")) >= 2)
-          .select(col("freq"), explode(expr(
-            "transform(sequence(0, size(syms) - 2)," +
-              " i -> concat(element_at(syms, i + 1), ' ', element_at(syms, i + 2)))"))
-            .as("pair"))
-          .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
-        require(top.nonEmpty, s"BPE: no adjacent pairs left at round $step")
-        val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
-        merges += ((step, pair, cnt))
-        val Array(l, r) = pair.split(" ", 2)
-        // literal (non-regex) replace — both engines scan left-to-right
-        // without overlap, BPE's greedy order; no metachar quoting needed
-        seqs = seqs.withColumn("seq",
-            replace(col("seq"), lit(s" $l  $r "), lit(s" $l$r ")))
-          .localCheckpoint()
-      }
-      val mergeRows = merges.result().toDF("step", "item", "cnt")
+      val (mergeList, seqs) = bpeTrain(s, d)
+      val mergeRows = mergeList.toDF("step", "item", "cnt")
         .select(lit("merge").as("stage"), col("step"), col("item"), col("cnt"))
       val encoded = seqs.orderBy(col("freq").desc, col("w")).limit(20)
         .select(lit("word").as("stage"), lit(0).as("step"),
@@ -1223,36 +1271,9 @@ object Advanced {
         .orderBy(col("stage"), col("step"), col("item"))
     },
     Some {
-      val rounds = (1 to BpeIters).map { k =>
-        s"""p$k AS (
-           |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-           |    SELECT freq, syms[i+1] || ' ' || syms[i+2] AS pair
-           |    FROM (SELECT freq, str_split(trim(seq), '  ') AS syms,
-           |                 unnest(range(len(str_split(trim(seq), '  ')) - 1)) AS i
-           |          FROM seq${k - 1}))
-           |  GROUP BY pair),
-           |m$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
-           |seq$k AS (
-           |  SELECT w, freq, replace(seq,
-           |    ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
-           |    ' ' || replace(pair, ' ', '') || ' ') AS seq
-           |  FROM seq${k - 1} CROSS JOIN m$k)""".stripMargin
-      }
       val mergeSelects = (1 to BpeIters).map(k =>
         s"SELECT 'merge' AS stage, CAST($k AS INTEGER) AS step, pair AS item, cnt FROM m$k")
-      s"""WITH tok AS (
-         |  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
-         |  FROM documents
-         |),
-         |words AS (
-         |  SELECT w, COUNT(*) AS freq
-         |  FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w
-         |),
-         |seq0 AS (
-         |  SELECT w, freq,
-         |         ' ' || array_to_string(list_transform(range(len(w)), i -> w[i+1]), '  ') || ' ' AS seq
-         |  FROM words),
-         |${rounds.mkString(",\n")}
+      s"""WITH $BpeCtes
          |SELECT stage, step, item, cnt FROM (
          |  ${mergeSelects.mkString("\n  UNION ALL\n  ")}
          |  UNION ALL
@@ -1260,6 +1281,62 @@ object Advanced {
          |  FROM (SELECT w, freq, seq FROM seq$BpeIters ORDER BY freq DESC, w LIMIT 20))
          |ORDER BY stage, step, item""".stripMargin
     })
+
+  /** Corpus-scale BPE ENCODING — the learned merges applied to every
+    * document (v05 trains the tokenizer and encodes 20 words; a
+    * training-data pipeline then tokenizes the WHOLE corpus to budget
+    * sequence packing, mixing quotas, and per-source token accounting).
+    * Per document: word occurrences, post-merge token count, and
+    * tokens-per-word (the compression the merge table bought on that
+    * doc).
+    *
+    * The scale shape is the v04 reduction run in reverse: the corpus
+    * collapses to its VOCABULARY once, the k-round merge loop runs over
+    * vocab entries ([[bpeTrain]] — one single-row collect per round),
+    * each vocab word's final symbol count is derived once, and the
+    * corpus-sized work is a single (doc_id, word)-grouped aggregate
+    * joined to that per-word count — a shuffle on the word key with
+    * map-side combine, never a per-document re-segmentation. At 100 TB
+    * the vocabulary is orders of magnitude smaller than the corpus, so
+    * the join's vocab side broadcasts or buckets; nothing quadratic
+    * exists anywhere.
+    *
+    * Both engines derive (doc, word) occurrence counts and the per-word
+    * symbol count independently, so a drifted merge table, a lossy
+    * segmentation, or an occurrence-count bug breaks the hash. */
+  val v06 = QueryDef(
+    "v06_bpe_encode",
+    (s, d) => {
+      import graft.functions.TextFunctions._
+      val (_, seqs) = bpeTrain(s, d)
+      val wordTok = seqs.select(col("w"),
+        size(split(trim(col("seq")), "  ")).as("n_sym"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+        .join(wordTok, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_words"),
+          sum(col("n") * col("n_sym")).as("n_tokens"))
+        .withColumn("tokens_per_word",
+          col("n_tokens").cast("double") / col("n_words").cast("double"))
+        .select(col("doc_id"), col("n_words"), col("n_tokens"),
+          col("tokens_per_word"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $BpeCtes,
+       |wt AS (SELECT w, len(str_split(trim(seq), '  ')) AS n_sym
+       |       FROM seq$BpeIters),
+       |dw AS (
+       |  SELECT doc_id, unnest(toks) AS w FROM (
+       |    SELECT doc_id,
+       |           list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+       |    FROM documents))
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |       CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(n_sym) AS DOUBLE) / COUNT(*) AS tokens_per_word
+       |FROM dw JOIN wt USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   /** Model weights for [[c02]] — feature name -> integer weight. A real
     * deployment loads these from a model artifact table; the POINT is
@@ -1852,6 +1929,6 @@ object Advanced {
 
   val catalog: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, q16, q17, t09, c01, c02, c03,
-      c04, c05, c06, tj01, tj02, tj03, v01, v02, v03, v04, v05, j01, q18, t10, q19, q20, q21,
+      c04, c05, c06, tj01, tj02, tj03, v01, v02, v03, v04, v05, v06, j01, q18, t10, q19, q20, q21,
       q24, q25, q32, q33, q34)
 }

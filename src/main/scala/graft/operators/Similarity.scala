@@ -1433,12 +1433,18 @@ object Similarity {
   }
 
   /** Full probe with an explicit query selector: [[probedCells]] cut,
-    * size-gated broadcast candidate join, exact cosine, top-3 per query.
-    * `estQueries` is the caller's bound on the query-set size — it
-    * prices the broadcast gate without an extra counting job. */
+    * size-gated broadcast candidate join, exact cosine, top-`topK` per
+    * query. `estQueries` is the caller's bound on the query-set size —
+    * it prices the broadcast gate without an extra counting job.
+    * `candFilter` screens scored candidates BEFORE ranking (the s15
+    * hard-negative band); the default keeps every candidate, so the
+    * gate probes (s09–s11, s13) run the historical body unchanged —
+    * ONE scoring/ranking implementation for every probe consumer. */
   private[graft] def ivfProbeOn(assignedRaw: DataFrame, centersDf: DataFrame,
       selectQueries: DataFrame => DataFrame,
-      estQueries: Long = NumQueries.toLong): DataFrame = {
+      estQueries: Long = NumQueries.toLong,
+      topK: Int = 3,
+      candFilter: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = assignedRaw
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
@@ -1466,8 +1472,9 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
+      .filter(candFilter)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= topK)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1824,6 +1831,55 @@ object Similarity {
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     })
 
+  /** Near-dup ceiling for hard-negative mining ([[s15]]): a candidate
+    * at or above this cosine is a duplicate/positive of the query (the
+    * t09/s06 dedup band), not a training negative. */
+  private val HardNegCeil = 0.95
+
+  /** Negatives mined per query ([[s15]]). */
+  private val HardNegK = 5
+
+  /** Hard-negative mining — the contrastive-training companion of the
+    * retrieval stack: for each query, the [[HardNegK]] highest-cosine
+    * candidates from the probed IVF cells whose cosine stays BELOW
+    * [[HardNegCeil]]. Everything above the ceiling is a near-duplicate
+    * of the query (the embedding-dedup band t09/s06 remove) — feeding
+    * those to a contrastive loss as "negatives" poisons the model,
+    * while random negatives teach it nothing; the band in between is
+    * exactly the hard-negative set an embedding trainer mines offline.
+    *
+    * Runs the ONE shared probe body ([[ivfProbeOn]]) with the band
+    * filter applied between scoring and ranking, over the maintained
+    * incremental index — so mining inherits every scale guard the
+    * serving probe has (size-gated broadcast, own-cell-first L2 cell
+    * ranking, cell-bounded candidates). The late oracle re-derives
+    * assignment + norms + probe + band from the persisted frozen
+    * centroids, s09's exact mechanics plus the ceiling.
+    *
+    * Scale: identical cost shape to s09 — candidates never leave the
+    * probed cells, the filter is a narrow post-scoring predicate, and
+    * a null cosine (zero-norm vector) is excluded by both engines'
+    * `cos < ceil` semantics. */
+  val s15 = QueryDef(
+    "s15_hard_negatives",
+    (s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      val assigned = IvfIncIndex.maintained(s, d)
+      val centersDf = s.read.parquet(s"${IvfIncIndex.baseDirFor(d)}/centroids")
+      ivfProbeOn(assigned, centersDf, _.filter(col("vec_id") < NumQueries),
+        topK = HardNegK, candFilter = col("cos") < lit(HardNegCeil))
+    },
+    None,
+    oracleLate = Some { sfDir =>
+      s"""WITH ${probeCtes(IvfIncIndex.baseDirFor(sfDir))}
+         |SELECT query_id, neighbor_id, cos, rank FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC NULLS LAST, neighbor_id) AS rank
+         |  FROM cand WHERE cos < $HardNegCeil)
+         |WHERE rank <= $HardNegK ORDER BY query_id, rank""".stripMargin
+    })
+
   val catalog: Seq[QueryDef] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15)
 }

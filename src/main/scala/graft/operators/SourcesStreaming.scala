@@ -872,7 +872,64 @@ object SourcesStreaming {
            |WHERE event_type = 'purchase'
            |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
 
+  /** Streaming ingest × the maintenance ring — the two halves of the
+    * pipeline finally composed: today's crawl slice arrives as a STREAM
+    * and is admission-filtered against the promoted pair-ring's keep
+    * verdict ([[TextDedup.PromotedPairIndex.maintained]] →
+    * [[TextDedup.probeKeep]]) before it ever lands — duplicates of
+    * yesterday's corpus are dropped in flight, not discovered by the
+    * next nightly. The static side is the ring's PUBLISHED state (the
+    * fold-policy reader view), re-planned per micro-batch exactly like
+    * st07's dimension — so a nightly promotion between batches is
+    * picked up without restarting the stream.
+    *
+    * Scale: the stream side is stateless (filter + join — no
+    * watermark, no store); the keep-mask side is ∝ the daily slice
+    * (batch ids × their pair neighborhood, never corpus-sized) and at
+    * deployment scale would be snapshotted to a table per night rather
+    * than derived per batch — the derivation here IS that snapshot
+    * body. Oracle: the c06/t25 keep calculus restricted to keepers,
+    * joined back to the document metadata. */
+  val st08 = QueryDef(
+    "st08_stream_ring_filter",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      val docSchema = StructType(Seq(
+        StructField("doc_id", org.apache.spark.sql.types.LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", org.apache.spark.sql.types.LongType)))
+      val (_, t) = graft.streaming.Drain.toTable(
+        s, "graft_stream_ring_filter", OutputMode.Append) { s2 =>
+        val keep = TextDedup.probeKeep(s2, d,
+            TextDedup.PromotedPairIndex.maintained(s2, d))
+          .filter(col("keep")).select(col("doc_id"))
+        s2.readStream
+          .schema(docSchema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(d)
+          .filter(col("doc_id") % 10 === 7)
+          .join(keep, Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+      }
+      t.orderBy(col("doc_id"))
+    },
+    Some(s"""WITH jp AS (${TextDedup.JaccardPairsSql}),
+       |batch AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+       |und AS (SELECT doc1 AS b, doc2 AS partner FROM jp
+       |        UNION ALL SELECT doc2 AS b, doc1 AS partner FROM jp),
+       |dom AS (
+       |  SELECT DISTINCT b AS doc_id FROM und JOIN batch ON und.b = batch.doc_id
+       |  WHERE partner % 10 <> 7 OR partner < b)
+       |SELECT d.doc_id, d.lang, d.n_chars
+       |FROM documents d
+       |JOIN batch b ON d.doc_id = b.doc_id
+       |LEFT JOIN dom ON d.doc_id = dom.doc_id
+       |WHERE dom.doc_id IS NULL
+       |ORDER BY d.doc_id""".stripMargin))
+
   val catalog: Seq[QueryDef] =
     Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09, r10, r11,
-      st01, st02, st03, st04, st05, st06, st07)
+      st01, st02, st03, st04, st05, st06, st07, st08)
 }

@@ -125,4 +125,28 @@ class AdvancedSpec extends SparkSpec {
         s"segmentation of '$w' is not lossless: '$enc'")
     }
   }
+
+  test("v06 corpus encode: per-doc counts bounded and consistent with the trained vocabulary") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = Advanced.v06.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every word encodes to >= 1 symbol, so tokens >= words per doc;
+    // merges only shrink, so tokens <= the doc's total word characters
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"doc ${r.getLong(0)}: fewer tokens than words")
+      assert(math.abs(r.getDouble(3) -
+        r.getLong(2).toDouble / r.getLong(1).toDouble) < 1e-12)
+    }
+    // conservation: corpus token total == freq-weighted symbol count of
+    // the trainer's own final vocabulary segmentation (encoding must be
+    // the same reduction, just grouped by doc instead of word)
+    val (_, seqs) = Advanced.bpeTrain(spark, sf)
+    val vocabTotal = seqs
+      .select(sum(col("freq") * size(split(trim(col("seq")), "  "))))
+      .head().getLong(0)
+    assert(out.map(_.getLong(2)).sum == vocabTotal,
+      "per-doc token totals diverge from the vocabulary's own accounting")
+  }
 }

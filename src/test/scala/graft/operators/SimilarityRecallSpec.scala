@@ -94,4 +94,23 @@ class SimilarityRecallSpec extends SparkSpec {
         s"query $q: expected twin ${q + 1000000L} at rank 1, got ${top1.get(q)}")
     }
   }
+
+  test("hard-negative mining (s15): near-dup twins excluded, band respected") {
+    // on the replica fixture every query's twin sits at cos ≈ 1 — the
+    // serving probe (s09/s14) must surface it at rank 1, and the miner
+    // must NOT: a twin fed to a contrastive loss as a "negative" is the
+    // exact poisoning the HardNegCeil band exists to prevent
+    val neg = Similarity.s15.fn(spark, fixtureDir).collect()
+    graft.Lifecycle.release(spark)
+    assert(neg.nonEmpty, "no negatives mined on the fixture")
+    neg.foreach { r =>
+      assert(!r.isNullAt(2) && r.getDouble(2) < 0.95,
+        s"mined pair (${r.getLong(0)}, ${r.getLong(1)}) at cos ${r.get(2)} breaches the ceiling")
+    }
+    val negPairs = neg.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 10L).foreach { q =>
+      assert(!negPairs.contains((q, q + 1000000L)),
+        s"query $q: its near-dup twin was mined as a negative")
+    }
+  }
 }

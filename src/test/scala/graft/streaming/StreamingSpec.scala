@@ -203,6 +203,25 @@ class StreamingSpec extends SparkSpec {
     assert(r3(9L) == ((1L, 1.0)), "state not restored: untouched key vanished")
   }
 
+  test("streaming ring filter admits exactly the batch keep-mask's keepers") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{SourcesStreaming, TextDedup}
+    val sf = "/root/testdata/sf0.001"
+    val streamed = SourcesStreaming.st08.fn(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    val batchKeep = TextDedup.probeKeep(spark, sf,
+        TextDedup.PromotedPairIndex.maintained(spark, sf))
+      .filter(col("keep")).collect().map(_.getLong(0)).sorted.toSeq
+    graft.Lifecycle.release(spark)
+    assert(streamed == batchKeep,
+      "stream admission diverged from the batch keep-mask")
+    // the gate is only meaningful if admission REJECTS something: the
+    // sf0.001 slice has 4 known duplicates of the resident corpus
+    val slice = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 7).count()
+    assert(streamed.size < slice, "ring filter dropped nothing — fixture degenerate")
+  }
+
   test("streaming hourly agg equals the batch groupBy on the same data") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
