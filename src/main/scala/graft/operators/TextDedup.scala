@@ -87,7 +87,8 @@ object TextDedup {
     * [[dedupNearPairs]] façade. Joins the per-doc shingle sets (one row
     * per doc — broadcastable at moderate doc counts; at extreme scale
     * replace with a semi-join back into the index). */
-  private[graft] def verifyJaccardOf(src: DataFrame, cand: DataFrame): DataFrame = {
+  private[graft] def verifyJaccardOf(src: DataFrame, cand: DataFrame,
+      estSetsBytes: Long = -1L): DataFrame = {
     val s = src.sparkSession
     graft.functions.TextExpressions.register(s)
     val sets = src
@@ -98,24 +99,71 @@ object TextDedup {
     // kernel is also immune to the old filter-pushdown substitution trap,
     // but a `size(sh) > 0` filter stays redundant: shingle-less docs
     // never appear in candidates.)
-    // SHUFFLE_HASH, suppressing a stats-based planner broadcast: the
-    // sets side is CORPUS-SIZED by definition (one shingle-set row per
-    // doc, text-derived arrays), but a doc_id-modulo filter upstream
-    // (the ring's presentAt) stacks selectivity estimates until the
-    // planner broadcasts it — OBSERVED in night 0's plan at 125k docs:
-    // BOTH sets sides planned as 100k-row text-payload broadcast
-    // relations (r15, tools.Night0Diag). That is the SpillSmoke r13
-    // class — Catalyst estimates from compressed file size, and at a
-    // starved heap or real scale the build is an OOM, not a slowdown.
-    // (Wall-clock at gate/depth scale is hint-neutral once warm —
-    // night0 re-measured 8.3 s either way; the hint buys the memory-
-    // safety bound, the small-facade cases pay one cheap exchange.)
-    // conf-switchable ONLY for the SpillSmoke/Night0Diag counterfactual
-    // (=off reverts to bare planner stats so the starved-heap A/B can
-    // measure the broadcast plan this hint exists to suppress); the
-    // shipped default stays pinned — the bands.mode convention
-    val hinted = s.conf.get("spark.graft.verifyjoin.hint", "shuffle_hash") != "off"
-    def pin(df: DataFrame): DataFrame = if (hinted) df.hint("SHUFFLE_HASH") else df
+    // The planner must NEVER size this join from its own stats: the
+    // sets side is CORPUS-SIZED in the worst case (one shingle-set row
+    // per doc, text-derived arrays), and a doc_id-modulo filter
+    // upstream (the ring's presentAt) stacks selectivity estimates
+    // until Catalyst broadcasts it — OBSERVED in night 0's plan at
+    // 125k docs: BOTH sets sides planned as 100k-row text-payload
+    // broadcast relations (r15, tools.Night0Diag). That is the
+    // SpillSmoke r13 class — at a starved heap or real scale the build
+    // is an OOM, not a slowdown. The pin is SIZE-GATED like every other
+    // graft broadcast (r15 slate #4): a caller that can price the sets
+    // side from the corpus's MEASURED bytes passes `estSetsBytes`, and
+    // below the session broadcast cap the join is an explicit
+    // broadcast (the r16 HintAB A/B: unconditional SHUFFLE_HASH cost
+    // t34 1.34 s vs 0.97 s, c04 1.48 s vs 1.08 s at sf0.1, interleaved
+    // same-window); past the cap — or when the caller cannot bound the
+    // frame (the façades' -1) — SHUFFLE_HASH, memory-safe by
+    // construction, never a stats gamble.
+    // conf=off ONLY for the RingSpill/Night0Diag counterfactual
+    // (reverts to bare planner stats so the starved-heap A/B can
+    // measure the broadcast plan this gate exists to suppress).
+    val mode = s.conf.get("spark.graft.verifyjoin.hint", "auto")
+    def pin(df: DataFrame): DataFrame = mode match {
+      case "off"          => df
+      case "shuffle_hash" => df.hint("SHUFFLE_HASH")
+      case "merge"        => df.hint("MERGE")
+      case _ =>
+        if (estSetsBytes < 0) df.hint("MERGE")
+        else IndexStore.broadcastIfFitsPre(s, df, estSetsBytes) { big =>
+          // SHUFFLE_HASH's build side CANNOT spill — a per-partition
+          // hash relation that outgrows its task's execution-memory
+          // share is a hard `Can't acquire ... to build hash relation`
+          // failure, measured in RingSpill r16 at a 2 GB heap where the
+          // OLD unconditional pin died and both other arms completed.
+          // So the middle tier is double-gated with MEASURED bytes:
+          // Spark's own SHJ-eligibility calculus (cap × partitions)
+          // AND the per-partition build (with hash-map overhead) fitting
+          // half a task's share of the execution pool. Past either,
+          // sort-merge: both sides sort-spill — the only
+          // unconditionally memory-safe shape, and the arm that
+          // survived every RingSpill heap above the global scan floor.
+          val parts = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+          val raw = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+          val cap = scala.util.Try(raw.trim.toLong).getOrElse(
+            org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
+          // executor memory × fraction / slots ≈ one task's execution
+          // share (local mode: the driver JVM heap; cluster mode: the
+          // executor conf when set)
+          val execMem = s.conf.getOption("spark.executor.memory")
+            .filter(_ => s.sparkContext.master.startsWith("spark") ||
+              s.sparkContext.master.startsWith("yarn") ||
+              s.sparkContext.master.startsWith("k8s"))
+            .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+            .getOrElse(Runtime.getRuntime.maxMemory())
+          val fraction = s.conf.get("spark.memory.fraction", "0.6").toDouble
+          val slots = math.max(s.sparkContext.defaultParallelism, 1)
+          val taskShare = (execMem * fraction / slots).toLong
+          // BytesToBytesMap overhead over raw array payload, measured at
+          // the 2 GB failure point (~8 MB acquire for a ~2 MB est slice)
+          val buildOverhead = 4L
+          val perPartBuild = estSetsBytes / math.max(parts, 1) * buildOverhead
+          if (cap > 0 && estSetsBytes <= cap * parts &&
+              perPartBuild <= taskShare / 2) big.hint("SHUFFLE_HASH")
+          else big.hint("MERGE")
+        }
+    }
     val s1 = pin(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1")))
     val s2 = pin(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2")))
     cand.join(s1, "doc1").join(s2, "doc2")
@@ -130,8 +178,25 @@ object TextDedup {
     // wasted work for every index write.
   }
 
+  /** In-memory expansion of a doc's shingle-set row over its share of
+    * the compressed parquet text: long-array shingles ≈ 8 B/token vs
+    * ~5 B/token snappy text, plus row/array overhead — ×4 upper-bounds
+    * it comfortably (sf0.1: 0.6 MB parquet → ~2.4 MB est vs ~2 MB
+    * actual broadcast). Overestimating is the SAFE direction: it can
+    * only push the join toward SHUFFLE_HASH. */
+  private val SetsExpandFactor = 4L
+
+  /** [[verifyJaccardOf]]'s sets-side price for a corpus at `d` — the
+    * table's MEASURED bytes, never planner stats. The full table even
+    * when the caller verifies a filtered slice (presentAt, the delta's
+    * candidate neighborhood): an upper bound stays memory-safe. */
+  private def setsBytesFor(d: String): Long = {
+    val b = IndexStore.corpusBytes(d, "documents")
+    if (b < 0) -1L else b * SetsExpandFactor
+  }
+
   private[graft] def verifyJaccard(s: SparkSession, d: String, cand: DataFrame): DataFrame =
-    verifyJaccardOf(docs(s, d), cand)
+    verifyJaccardOf(docs(s, d), cand, setsBytesFor(d))
 
   // ---------------------------------------------------------------- catalog
 
@@ -654,14 +719,15 @@ object TextDedup {
     * explicit band frame — the ONE pairing body shared by the full build
     * ([[lshPairs]]) and the resident-only build
     * ([[ResidentPairIndex]]). */
-  private def lshPairsFromBands(src: DataFrame, bands: DataFrame): DataFrame = {
+  private def lshPairsFromBands(src: DataFrame, bands: DataFrame,
+      estSetsBytes: Long = -1L): DataFrame = {
     val x = bands.select(col("doc_id").as("doc1"), col("band_idx"), col("band_hash"))
     val y = bands.select(col("doc_id").as("doc2"), col("band_idx").as("bi2"), col("band_hash").as("bh2"))
     val cand = x.join(y,
         x("band_idx") === y("bi2") && x("band_hash") === y("bh2") &&
           col("doc1") < col("doc2"))
       .select(col("doc1"), col("doc2")).distinct()
-    verifyJaccardOf(src, cand)
+    verifyJaccardOf(src, cand, estSetsBytes)
   }
 
   /** The LSH near-dup pipeline itself: band self-join candidates,
@@ -671,7 +737,7 @@ object TextDedup {
     * the persisted signature table instead of re-running the kernel
     * the [[BandIndex]] already paid for (r14 review finding). */
   private[graft] def lshPairs(s: SparkSession, d: String): DataFrame =
-    lshPairsFromBands(docs(s, d), corpusBands(s, d))
+    lshPairsFromBands(docs(s, d), corpusBands(s, d), setsBytesFor(d))
 
   /** Library façade: exact-verified MinHash/LSH near-dup pairs over ANY
     * DataFrame — `(doc1, doc2, jaccard)` for every pair with 3-token-
@@ -694,7 +760,8 @@ object TextDedup {
     * and the [[dedupNearPairsDelta]] façade: `freshBands`' bands probe
     * the full `bands`, candidates with ≥1 fresh endpoint are
     * exact-verified against only their own shingle sets. */
-  private def bandDelta(src: DataFrame, bands: DataFrame, freshBands: DataFrame): DataFrame = {
+  private def bandDelta(src: DataFrame, bands: DataFrame, freshBands: DataFrame,
+      estSetsBytes: Long = -1L): DataFrame = {
     val fresh = freshBands
       .select(col("doc_id").as("da"), col("band_idx").as("bi"),
         col("band_hash").as("bh"))
@@ -715,7 +782,7 @@ object TextDedup {
     // docs are examined.
     val ids = cand.select(col("doc1").as("doc_id"))
       .unionByName(cand.select(col("doc2").as("doc_id"))).distinct()
-    verifyJaccardOf(src.join(ids, Seq("doc_id"), "left_semi"), cand)
+    verifyJaccardOf(src.join(ids, Seq("doc_id"), "left_semi"), cand, estSetsBytes)
   }
 
   /** Library façade: INCREMENTAL near-dup pairs over ANY frame — exactly
@@ -1667,7 +1734,8 @@ object TextDedup {
     * corpora where the kernel pass beats the round-trip. */
   private[graft] def pairDelta(s: SparkSession, d: String): DataFrame = {
     val bands = corpusBands(s, d)
-    bandDelta(docs(s, d), bands, bands.filter(col("doc_id") % 10 === 7))
+    bandDelta(docs(s, d), bands, bands.filter(col("doc_id") % 10 === 7),
+      setsBytesFor(d))
   }
 
   /** Corpus-fingerprinted persisted pair index over the RESIDENT corpus
@@ -1679,7 +1747,7 @@ object TextDedup {
     * bands filtered) — the diagnosis baseline for tools.Night0Diag. */
   private[graft] def residentPlan(s: SparkSession, d: String): DataFrame =
     lshPairsFromBands(docs(s, d),
-      corpusBands(s, d).filter(col("doc_id") % 10 =!= 7))
+      corpusBands(s, d).filter(col("doc_id") % 10 =!= 7), setsBytesFor(d))
 
   object ResidentPairIndex {
     private[graft] def indexDirFor(d: String): String =
@@ -1688,7 +1756,8 @@ object TextDedup {
     def ensure(s: SparkSession, d: String): DataFrame = {
       val dir = IndexStore.ensure(indexDirFor(d), "pairs/_SUCCESS") { tmp =>
         lshPairsFromBands(docs(s, d),
-            corpusBands(s, d).filter(col("doc_id") % 10 =!= 7))
+            corpusBands(s, d).filter(col("doc_id") % 10 =!= 7),
+            setsBytesFor(d))
           .write.mode("overwrite").parquet(s"$tmp/pairs")
       }
       s.read.parquet(s"$dir/pairs")
@@ -1747,7 +1816,7 @@ object TextDedup {
       * plan diagnosis (tools.Night0Diag). */
     private[graft] def night0Plan(s: SparkSession, d: String): DataFrame =
       lshPairsFromBands(docs(s, d).filter(presentAt(0)),
-        corpusBands(s, d).filter(presentAt(0)))
+        corpusBands(s, d).filter(presentAt(0)), setsBytesFor(d))
 
     /** Publish night `night`'s SEGMENT if missing: night 0 is the
       * from-scratch resident build, night k the slice-k band delta —
@@ -1760,7 +1829,8 @@ object TextDedup {
           else {
             val bands = corpusBands(s, d).filter(presentAt(night))
             bandDelta(docs(s, d).filter(presentAt(night)),
-              bands, bands.filter(col("doc_id") % 10 === SliceRems(night - 1)))
+              bands, bands.filter(col("doc_id") % 10 === SliceRems(night - 1)),
+              setsBytesFor(d))
           }
         seg.write.mode("overwrite").parquet(s"$tmp/pairs")
       }

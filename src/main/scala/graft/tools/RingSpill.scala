@@ -40,15 +40,24 @@ object RingSpill {
     spark.conf.set("spark.graft.verifyjoin.hint", hint)
     spark.conf.set("spark.graft.bands.mode", "persisted")
 
-    // the ScaleSmoke replica corpus (ensureDocsReplicas convention)
-    val dir = s"/tmp/graft_scale_${k}x"
+    // DECORRELATED replica corpus: every token carries a per-replica
+    // suffix, so shingle sets are DISJOINT across replicas — zero
+    // cross-replica band candidates, and the verify workload grows ∝ k
+    // while the sets side (the broadcast/build pressure this instrument
+    // exists to starve) grows ∝ k too. The old `text + " replicaN"`
+    // corpus band-collided all k replicas of a doc into one near-dup
+    // clique, exploding candidates ∝ k² — at k=100 EVERY plan drowned
+    // in the 25M-pair verify volume and the A/B measured the workload,
+    // not the join strategy (r16 finding).
+    val dir = s"/tmp/graft_scale_v2_${k}x"
     if (!new java.io.File(s"$dir/documents.parquet").isDirectory) {
       val base = graft.Tables.documents(spark, "/root/testdata/sf0.1")
       (0 until k).map { i =>
         if (i == 0) base
         else base.select(
           (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
-          concat(col("text"), lit(s" replica$i")).as("text"),
+          expr(s"array_join(transform(split(text, ' '), t -> concat(t, '_$i')), ' ')")
+            .as("text"),
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionAll _).write.mode("overwrite")
         .parquet(s"$dir/documents.parquet")

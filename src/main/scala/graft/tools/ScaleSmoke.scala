@@ -867,6 +867,41 @@ object ScaleSmoke {
         f"probe512=${tR}%6.1fs ($nR rows) maxTask=${maxR}ms p50Task=${p50R}ms")
     }
 
+    // ---- composed retrieval at depth (r16, slate #3 done-criterion) ----
+    // s14's IVF-bounded three-stage stack vs s12's flat quantized scan
+    // at 384k vectors: the flat shape's stage 1 scores q × N integer
+    // dots (the documented memory-bound scan); the composed shape
+    // scores only the q × nprobe × cell candidate rows the probe cut
+    // admits. Both end in the identical exact re-rank, so wall + task
+    // spread isolates the candidate-generation shape. Top-3 overlap is
+    // reported as a recall datum (they are DIFFERENT approximations —
+    // the flat scan sees every cell, the probe only nprobe of them;
+    // RecallProbe pins both against exact at gate scale).
+    if (want("rerank")) {
+      import graft.operators.Similarity
+      import graft.operators.Similarity.IvfIncIndex
+      val k = 192
+      val dir = ensureEmbIncReplicas(k)
+      // serving precondition both arms ride outside the timing: the
+      // published IVF index (s14's stage 1; s12 pays no index at all)
+      IvfIncIndex.ensure(spark, dir)
+      graft.Lifecycle.release(spark)
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select(col("query_id"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      var flat = Set.empty[(Long, Long)]
+      val (tFlat, _, maxF, p50F) = spreadOf(spark) {
+        flat = pairs(Similarity.s12.fn(spark, dir)); flat.size.toLong
+      }
+      var comp = Set.empty[(Long, Long)]
+      val (tComp, _, maxC, p50C) = spreadOf(spark) {
+        comp = pairs(Similarity.s14.fn(spark, dir)); comp.size.toLong
+      }
+      println(f"RERANK vecs=${e0 * k}%7d flat_s12=${tFlat}%6.1fs " +
+        f"(maxTask=${maxF}ms p50=${p50F}ms) composed_s14=${tComp}%6.1fs " +
+        f"(maxTask=${maxC}ms p50=${p50C}ms) top3_overlap=${(flat & comp).size}/${flat.size}")
+    }
+
     // ---- deep skew stress (r14 slate #4) ----
     // A deliberately skewed corpus at scale: every doc's text is made
     // replica-disjoint by PREFIXING each token with the replica id

@@ -70,6 +70,48 @@ class BroadcastGateSpec extends SparkSpec {
     assert(!plans.exists(_.isInstanceOf[BroadcastExchangeLike]))
   }
 
+  test("verify join tiers by measured bytes: broadcast, then SHUFFLE_HASH, then MERGE") {
+    // the r16 slate-#4 gate on verifyJaccardOf's sets sides, tiered by
+    // the corpus's MEASURED bytes (never planner stats — the r15
+    // Night0Diag class broadcast corpus-sized text-payload sides off
+    // stacked selectivity estimates): explicit broadcast below the
+    // session cap (the r16 HintAB win); SHUFFLE_HASH while the
+    // per-partition build provably fits (Spark's cap × partitions
+    // calculus AND a task-share bound — SHJ builds cannot spill, the
+    // RingSpill 2 GB failure); sort-merge past that, the only
+    // unconditionally spill-safe shape. Threshold manipulated over ONE
+    // corpus, so each flip is PROVABLY the gate, not data size.
+    val sf = "/root/testdata/sf0.001"
+    def verifyPlans(threshold: String): Seq[SparkPlan] = {
+      val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        val cand = graft.Tables.documents(spark, sf).limit(20)
+          .select((col("doc_id")).as("doc1"), (col("doc_id") + 1).as("doc2"))
+        val df = TextDedup.verifyJaccard(spark, sf, cand)
+        df.collect()
+        collectPlans(df.queryExecution.executedPlan)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    }
+    // sf0.001 sets estimate ≈ 65 KB parquet × 4 ≈ 260 KB
+    val bigCap = verifyPlans("64MB") // est ≤ cap: broadcast
+    assert(bigCap.exists(_.isInstanceOf[BroadcastExchangeLike]),
+      "under the cap the sets sides should broadcast (the HintAB win)")
+    val midCap = verifyPlans("64KB") // cap < est ≤ cap × parts, build fits
+    assert(midCap.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      "mid tier should pin SHUFFLE_HASH")
+    assert(!midCap.exists(_.isInstanceOf[BroadcastExchangeLike]),
+      "a broadcast leaked past the verify-join size gate")
+    val smallCap = verifyPlans("1KB") // est > cap × parts: no safe build
+    assert(smallCap.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "past the SHJ bound the sets sides must sort-merge")
+    assert(!smallCap.exists(p => p.isInstanceOf[BroadcastExchangeLike] ||
+      p.isInstanceOf[ShuffledHashJoinExec]),
+      "an unspillable join leaked past the MERGE tier")
+    graft.Lifecycle.release(spark)
+  }
+
   test("empty set broadcasts (estimate 0)") {
     import spark.implicits._
     val empty = Seq.empty[String].toDF("shingle")
