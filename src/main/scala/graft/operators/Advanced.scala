@@ -1695,6 +1695,60 @@ object Advanced {
        |FROM batch b LEFT JOIN dom ON b.doc_id = dom.doc_id
        |ORDER BY stage, id, id2""".stripMargin))
 
+  /** Ring RETRACTION gate — the DELETE arm of the pair ring (the one
+    * lifecycle direction c05/c06 never exercise): a tombstone set
+    * (takedowns/opt-outs, fixture: doc_id % 17 == 3 — deliberately
+    * UNALIGNED with the night slices so tombstones straddle resident
+    * and delta segments) is retracted from the served state
+    * ([[TextDedup.retractPairs]] over
+    * [[TextDedup.PromotedPairIndex.maintained]]), and the t25 keep-mask
+    * probe runs over the retracted frame with the tombstoned batch ids
+    * gone. The oracle re-derives EVERYTHING from scratch over the
+    * reduced corpus — tokenize → shingle → pair → keep calculus, all
+    * over `live` — so it never mirrors the engine's filter shape: the
+    * gate proves the retraction IDENTITY (filtered published state ≡
+    * from-scratch build of the reduced corpus) and that the probe over
+    * it REINSTATES docs whose only dominators died (RetractionSpec
+    * plants that case explicitly).
+    *
+    * Scale: the served state is never rebuilt — two anti-joins against
+    * a metadata-sized tombstone table; the probe keeps t25's
+    * neighborhood-bounded cost; physical reclamation rides the next
+    * ratio-gated fold. */
+  val c07 = QueryDef(
+    "c07_ring_retract",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tombs = docs.filter(col("doc_id") % 17 === 3).select(col("doc_id"))
+      val pairs = TextDedup.retractPairs(
+        TextDedup.PromotedPairIndex.maintained(s, d), tombs)
+      val batch = docs
+        .filter(col("doc_id") % 10 === 7 && col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"))
+      val keep = TextDedup.dedupKeepMask(pairs, batch)
+      val nullId2 = lit(null).cast("long")
+      pairs.select(lit("pairs").as("stage"), col("doc1").as("id"),
+          col("doc2").as("id2"), col("jaccard").as("val"))
+        .unionByName(keep.select(lit("keep").as("stage"),
+          col("doc_id").as("id"), nullId2.as("id2"),
+          when(col("keep"), 1.0).otherwise(0.0).as("val")))
+        .orderBy(col("stage"), col("id"), col("id2"))
+    },
+    Some(s"""WITH live AS (SELECT * FROM documents WHERE doc_id % 17 <> 3),
+       |jp AS (${TextDedup.jaccardPairsSqlFrom("live")}),
+       |batch AS (SELECT doc_id FROM live WHERE doc_id % 10 = 7),
+       |und AS (SELECT doc1 AS b, doc2 AS partner FROM jp
+       |        UNION ALL SELECT doc2 AS b, doc1 AS partner FROM jp),
+       |dom AS (
+       |  SELECT DISTINCT b AS doc_id FROM und JOIN batch ON und.b = batch.doc_id
+       |  WHERE partner % 10 <> 7 OR partner < b)
+       |SELECT 'pairs' AS stage, doc1 AS id, doc2 AS id2, jaccard AS val FROM jp
+       |UNION ALL
+       |SELECT 'keep', b.doc_id, CAST(NULL AS BIGINT),
+       |       CASE WHEN dom.doc_id IS NULL THEN 1.0 ELSE 0.0 END
+       |FROM batch b LEFT JOIN dom ON b.doc_id = dom.doc_id
+       |ORDER BY stage, id, id2""".stripMargin))
+
   /** SCD2 dimension build — turn the events change log into
     * slowly-changing-dimension rows with validity intervals: per user,
     * consecutive same-status events collapse (lag filter), and each
@@ -1929,6 +1983,6 @@ object Advanced {
 
   val catalog: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, q16, q17, t09, c01, c02, c03,
-      c04, c05, c06, tj01, tj02, tj03, v01, v02, v03, v04, v05, v06, j01, q18, t10, q19, q20, q21,
+      c04, c05, c06, c07, tj01, tj02, tj03, v01, v02, v03, v04, v05, v06, j01, q18, t10, q19, q20, q21,
       q24, q25, q32, q33, q34)
 }

@@ -1377,6 +1377,25 @@ object Similarity {
     (assigned, centroids)
   }
 
+  /** Library façade: RETRACT vectors from a published index view — the
+    * DELETE arm of the vector ring, twin of [[TextDedup.retractPairs]]
+    * (takedowns/opt-outs at serving time). Assignment is per-vector
+    * (argmin against frozen centroids), so dropping tombstoned rows
+    * from the assigned view yields EXACTLY the index a from-scratch
+    * build of the reduced corpus under the same centroids would
+    * produce — no refit, no reassignment (s16 hash-checks the probe
+    * over that identity; RetractionSpec pins rank-1 replacement when a
+    * query's nearest neighbor is tombstoned). Queries that are
+    * themselves tombstoned vanish with their rows.
+    *
+    * Scale: one anti-join of the index scan against a metadata-sized
+    * tombstone set (broadcast from its true size) — cost ∝ index scan,
+    * never a rebuild; physical reclamation rides the next ratio-gated
+    * compaction of the retracted view. */
+  def annRetract(index: DataFrame, tombstoneIds: DataFrame,
+      idCol: String = "vec_id"): DataFrame =
+    index.join(tombstoneIds.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+
   /** The s09/s10 probe body over an EXPLICIT (vec_id, embedding, cell)
     * inverted file and centroid set: norms derived in one narrow pass
     * (segments persist no norms — a norm-definition change can never
@@ -1880,6 +1899,42 @@ object Similarity {
          |WHERE rank <= $HardNegK ORDER BY query_id, rank""".stripMargin
     })
 
+  /** Tombstone-probe gate — the DELETE arm of the vector ring under
+    * the hash gate (the lifecycle direction s08–s14 never exercise):
+    * a tombstone set (fixture: vec_id % 23 == 5 — unaligned with the
+    * s08 delta slice, and it includes query ids, so query removal is
+    * exercised too) is retracted from the maintained index view
+    * ([[annRetract]]) and the s09 probe serves the survivors. The late
+    * oracle re-derives EVERYTHING from the REDUCED corpus from scratch
+    * — assignment against the persisted frozen centroids, norms,
+    * cell cut, candidates — so the gate proves the retraction identity
+    * (filtered index ≡ from-scratch index of the reduced corpus under
+    * the same centroids) through the full probe, including the rank
+    * shifts where a tombstoned neighbor's slot is re-filled.
+    *
+    * Scale: the tombstone anti-join is metadata-sized against the
+    * index scan; the probe keeps s09's nprobe-bounded candidate cost;
+    * no refit, no reassignment, physical reclamation at the next
+    * fold. */
+  val s16 = QueryDef(
+    "s16_ann_tombstone_probe",
+    (s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      val tombs = Tables.embeddings(s, d)
+        .filter(col("vec_id") % 23 === 5).select(col("vec_id"))
+      val assigned = annRetract(IvfIncIndex.maintained(s, d), tombs)
+      val cen = s.read.parquet(s"${IvfIncIndex.baseDirFor(d)}/centroids")
+      ivfProbeOn(assigned, cen, _.filter(col("vec_id") < NumQueries))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None,
+    oracleLate = Some { sfDir =>
+      s"""WITH embt AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 23 <> 5),
+         |${probeCtes(IvfIncIndex.baseDirFor(sfDir), "", "embt")}
+         |${probeFinal()} ORDER BY query_id, rank""".stripMargin
+    })
+
   val catalog: Seq[QueryDef] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14, s15)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
+      s15, s16)
 }

@@ -28,28 +28,34 @@ object TextDedup {
 
   /** Shared DuckDB CTE: tokenized documents (mirror of
     * [[graft.functions.TextFunctions.tokens]]). */
-  private[operators] val TokCte =
-    """WITH tok AS (
+  private[operators] def tokCteFrom(rel: String): String =
+    s"""WITH tok AS (
       |  SELECT doc_id, lang, text, n_chars,
-      |         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
-      |  FROM documents
+      |         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+      |  FROM $rel
       |)""".stripMargin
+  private[operators] val TokCte = tokCteFrom("documents")
 
-  /** DuckDB CTE for distinct 3-token shingles + per-doc shingle counts. */
-  private[operators] val ShingleCte =
-    TokCte + """,
+  /** DuckDB CTE for distinct 3-token shingles + per-doc shingle counts.
+    * `rel` swaps the corpus relation (an outer CTE such as c07's
+    * live-after-retraction set), so retraction oracles re-derive the
+    * whole shingle chain from scratch over the reduced corpus instead
+    * of mirroring the engine's pair filter. */
+  private[operators] def shingleCteFrom(rel: String): String =
+    tokCteFrom(rel) + """,
       |sh AS (
       |  SELECT DISTINCT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
       |  FROM (SELECT doc_id, toks, unnest(range(len(toks)-2)) AS i FROM tok WHERE len(toks) >= 3)
       |),
       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+  private[operators] val ShingleCte = shingleCteFrom("documents")
 
   /** Exact-verified Jaccard pairs SQL (used as the oracle for BOTH the
     * inverted-index query t06 and the MinHash+LSH query t07 — the LSH
     * banding parameters are chosen so recall at the 0.6 threshold is
     * exhaustive; see minHashBands). */
-  private[operators] val JaccardPairsSql =
-    ShingleCte + s""",
+  private[operators] def jaccardPairsSqlFrom(rel: String): String =
+    shingleCteFrom(rel) + s""",
       |pairs AS (
       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -59,6 +65,7 @@ object TextDedup {
       |FROM pairs JOIN sz x ON x.doc_id = doc1 JOIN sz y ON y.doc_id = doc2
       |WHERE inter * 1.0 / (x.n + y.n - inter) >= $JaccardThreshold
       |ORDER BY doc1, doc2""".stripMargin
+  private[operators] val JaccardPairsSql = jaccardPairsSqlFrom("documents")
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
@@ -925,6 +932,35 @@ object TextDedup {
       pairs.write.mode("overwrite").parquet(s"$tmp/pairs")
     }
     s.read.parquet(s"$dir/pairs")
+  }
+
+  /** Library façade: RETRACT documents from a published pair state —
+    * the DELETE arm of the maintenance ring (takedowns, opt-outs, TTL
+    * expiry: the one lifecycle direction build → grow → promote → fold
+    * never covers). Near-dup pairs are pairwise-independent, so
+    * dropping every pair with a tombstoned endpoint yields EXACTLY the
+    * pair set a from-scratch build over the reduced corpus would
+    * produce — no recompute, no rebuild (the c07 gate hash-checks that
+    * equivalence end to end, RetractionSpec pins it directly). A doc
+    * whose only dominators were tombstoned is REINSTATED by the next
+    * [[dedupKeepMask]] probe over the retracted frame.
+    *
+    * Scale: retraction is a metadata-sized operation — two anti-joins
+    * of the pair state against a tombstone set that is tiny relative
+    * to the corpus (broadcast by the planner from its true size), cost
+    * ∝ pair-state scan, never corpus-shaped. Physical reclamation
+    * happens for free at the next ratio-gated fold: fold the RETRACTED
+    * frame ([[publishPairs]] of `retractPairs(maintained, tombs)`) and
+    * the dropped rows leave the layout. */
+  def retractPairs(pairFrame: DataFrame, tombstoneIds: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val t = tombstoneIds.select(col(idCol)).distinct()
+    pairFrame
+      .join(t.select(col(idCol).as("doc1")), Seq("doc1"), "left_anti")
+      .join(t.select(col(idCol).as("doc2")), Seq("doc2"), "left_anti")
+      // a using-column join floats its key to the front — restore the
+      // caller's column order (a façade must not silently reorder)
+      .select(pairFrame.columns.map(col).toIndexedSeq: _*)
   }
 
   /** t25's probe core over an EXPLICIT pair frame: [[dedupKeepMask]]

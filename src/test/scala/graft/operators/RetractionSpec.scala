@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The DELETE arm of both maintenance rings (r16): retraction must be
+  * the exact identity its façades claim — filtering tombstoned
+  * endpoints out of a PUBLISHED state equals a from-scratch build over
+  * the reduced corpus — and the consumers over the retracted view must
+  * show the semantic consequences (keep-mask reinstatement, probe
+  * rank re-fill). The c07/s16 gates hash-check the identities against
+  * DuckDB at three SFs; these tests pin the planted edge cases the
+  * fixtures cannot guarantee. */
+class RetractionSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def partText = graft.Tables.part(spark, sf)
+    .select(col("p_partkey").as("id"),
+      concat_ws(" ", col("p_name"), col("p_type"), col("p_brand")).as("nm"))
+
+  test("retractPairs equals a from-scratch build over the reduced corpus") {
+    val part = partText
+    val all = part.unionByName(
+      part.select((col("id") + 100000L).as("id"), col("nm")))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // tombstone an id-slice that hits originals AND twins
+    val tombs = all.filter(col("id") % 7 === 1).select(col("id"))
+    val full = TextDedup.dedupNearPairs(all, "id", "nm")
+    val retracted = pairs(TextDedup.retractPairs(full, tombs, "id"))
+    val reduced = pairs(TextDedup.dedupNearPairs(
+      all.filter(col("id") % 7 =!= 1), "id", "nm"))
+    assert(retracted == reduced)
+    assert(retracted.nonEmpty, "fixture degenerated: no surviving pairs")
+    assert(retracted.keys.forall { case (a, b) => a % 7 != 1 && b % 7 != 1 })
+    // and the retraction genuinely dropped something
+    assert(pairs(full).size > retracted.size)
+  }
+
+  test("keep-mask over the retracted frame reinstates a doc whose only dominator died") {
+    val part = partText
+    val twins = part.select((col("id") + 100000L).as("id"), col("nm"))
+    val all = part.unionByName(twins)
+    val pairFrame = TextDedup.dedupNearPairs(all, "id", "nm")
+    val batch = twins.select(col("id"))
+    def keepOf(pf: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      TextDedup.dedupKeepMask(pf, batch, "id")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // before retraction: every twin is dominated by its non-batch
+    // original (jaccard 1.0) — keep = false
+    val before = keepOf(pairFrame)
+    val someTwin = before.keys.min
+    assert(!before(someTwin), "fixture broken: twin not dominated by its original")
+    // tombstone ONLY that twin's original: its sole dominator dies,
+    // the probe must reinstate it — and leave every other twin dropped
+    val tombs = spark.range(1).select(lit(someTwin - 100000L).as("id"))
+    val after = keepOf(TextDedup.retractPairs(pairFrame, tombs, "id"))
+    assert(after(someTwin), "retraction did not reinstate the orphaned twin")
+    assert(after.filterNot(_._1 == someTwin) == before.filterNot(_._1 == someTwin),
+      "retraction perturbed keep verdicts beyond the tombstoned neighborhood")
+  }
+
+  test("annRetract: tombstoning the rank-1 twin re-fills the slot; survivors keep their order") {
+    graft.functions.VectorExpressions.register(spark)
+    import graft.operators.Similarity.IvfIncIndex
+    val bd = IvfIncIndex.ensureBase(spark, sf)
+    val cen = spark.read.parquet(s"$bd/centroids")
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    // plant an identical twin of query 0 at a tombstone-slice id
+    // (≡ 5 mod 23): it must be the unretracted rank-1 (cos = 1), and
+    // retraction must promote the previous live neighbors by one rank
+    val twinId = 23L * 100000L + 5L
+    val all = emb.unionByName(
+      emb.filter(col("vec_id") === 0L)
+        .select(lit(twinId).as("vec_id"), col("embedding")))
+    val assigned = IvfIncIndex.assign(all, cen)
+    def top(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Similarity.ivfProbeOn(df, cen, _.filter(col("vec_id") === 0L))
+        .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    val before = top(assigned)
+    assert(before.head == twinId, s"planted twin not rank-1: $before")
+    val tombs = all.filter(col("vec_id") % 23 === 5).select(col("vec_id"))
+    val after = top(Similarity.annRetract(assigned, tombs))
+    assert(!after.contains(twinId), "tombstoned id served from the retracted index")
+    assert(after.forall(_ % 23 != 5))
+    // the surviving prefix of the unretracted ranking leads the
+    // retracted one — retraction re-fills, never re-orders
+    val survivors = before.filter(_ % 23 != 5)
+    assert(after.startsWith(survivors),
+      s"retracted ranking $after does not extend surviving order $survivors")
+    assert(after.size == 3, "probe did not re-fill the freed slots")
+  }
+}
