@@ -902,6 +902,44 @@ object ScaleSmoke {
         f"(maxTask=${maxC}ms p50=${p50C}ms) top3_overlap=${(flat & comp).size}/${flat.size}")
     }
 
+    // ---- retraction at depth (r16: the delete arm's scale claim) ----
+    // c07's Scaladoc claims retraction is metadata-sized: an anti-join
+    // of the published pair state against a tombstone set, never a
+    // re-pairing. Measure it against the counterfactual a
+    // retraction-less deployment pays — re-building the pair index
+    // over the reduced corpus from scratch — at the 125k-doc replica
+    // depth (the RING-LOOP corpus). Warm both arms' inputs (band index
+    // + published resident pairs) outside the timing, the deployment
+    // shape.
+    if (want("retract")) {
+      import graft.operators.TextDedup
+      val k = 25
+      val dir = s"/tmp/graft_scale_v2_${k}x"
+      if (!new java.io.File(s"$dir/documents.parquet").isDirectory) {
+        println("RETRACT: build the v2 corpus first (tools.RingSpill 25 auto)")
+      } else {
+        spark.conf.set("spark.graft.bands.mode", "persisted")
+        val pairs = TextDedup.ResidentPairIndex.ensure(spark, dir)
+        pairs.count() // publish + file-cache warm, outside the timing
+        graft.Lifecycle.release(spark)
+        val docs = graft.Tables.documents(spark, dir)
+        val tombs = docs.filter(col("doc_id") % 17 === 3).select(col("doc_id"))
+        val (tRetract, nLive) = timeReleasing(
+          TextDedup.retractPairs(pairs, tombs).count())
+        // counterfactual: re-pair the SAME reduced corpus from scratch
+        // (band build + LSH + verify — what a deployment without the
+        // retraction identity re-pays per takedown batch). Resident
+        // slice on both arms, so equal pair counts also re-check the
+        // retraction identity at depth.
+        val live = docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 17 =!= 3)
+        val (tRebuild, nRebuilt) = timeReleasing(
+          TextDedup.dedupNearPairs(live, "doc_id", "text").count())
+        println(f"RETRACT docs=${docs.count()}%7d retract=${tRetract}%6.1fs " +
+          f"($nLive pairs) rebuild=${tRebuild}%6.1fs ($nRebuilt pairs) " +
+          f"identity=${nLive == nRebuilt} ratio=${tRebuild / tRetract}%.1fx")
+      }
+    }
+
     // ---- deep skew stress (r14 slate #4) ----
     // A deliberately skewed corpus at scale: every doc's text is made
     // replica-disjoint by PREFIXING each token with the replica id
