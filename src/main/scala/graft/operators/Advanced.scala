@@ -1197,7 +1197,8 @@ object Advanced {
         "  "), lit(" ")).as("seq"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, Long)]
-    for (step <- 1 to BpeIters) {
+    var exhausted = false
+    for (step <- 1 to BpeIters if !exhausted) {
       // one row: the argmax merge of this round (bounded collect)
       val top = seqs
         .withColumn("syms", split(trim(col("seq")), "  "))
@@ -1208,7 +1209,15 @@ object Advanced {
           .as("pair"))
         .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
-      require(top.nonEmpty, s"BPE: no adjacent pairs left at round $step")
+      // a vocabulary can exhaust its mergeable pairs before BpeIters
+      // (every word a single symbol): stop with the merges learned so
+      // far — the oracle's LEFT JOIN arm carries seq_k forward
+      // unchanged and its empty m_k rounds emit no merge rows, so both
+      // engines produce the same truncated table (r16 review: the old
+      // require here crashed while the oracle's CROSS JOIN silently
+      // annihilated the vocabulary — loud vs wrong, diverging).
+      if (top.isEmpty) exhausted = true
+      else {
       val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
       merges += ((step, pair, cnt))
       val Array(l, r) = pair.split(" ", 2)
@@ -1217,6 +1226,7 @@ object Advanced {
       seqs = seqs.withColumn("seq",
           replace(col("seq"), lit(s" $l  $r "), lit(s" $l$r ")))
         .localCheckpoint()
+      }
     }
     (merges.result(), seqs)
   }
@@ -1236,10 +1246,11 @@ object Advanced {
          |  GROUP BY pair),
          |m$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
          |seq$k AS (
-         |  SELECT w, freq, replace(seq,
-         |    ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
-         |    ' ' || replace(pair, ' ', '') || ' ') AS seq
-         |  FROM seq${k - 1} CROSS JOIN m$k)""".stripMargin
+         |  SELECT w, freq,
+         |    CASE WHEN pair IS NULL THEN seq ELSE replace(seq,
+         |      ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
+         |      ' ' || replace(pair, ' ', '') || ' ') END AS seq
+         |  FROM seq${k - 1} LEFT JOIN m$k ON TRUE)""".stripMargin
     }
     s"""tok AS (
        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
@@ -1589,11 +1600,7 @@ object Advanced {
     oracleLate = Some { sfDir =>
       s"""WITH jp AS (${TextDedup.JaccardPairsSql}),
          |batch AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
-         |und AS (SELECT doc1 AS b, doc2 AS partner FROM jp
-         |        UNION ALL SELECT doc2 AS b, doc1 AS partner FROM jp),
-         |dom AS (
-         |  SELECT DISTINCT b AS doc_id FROM und JOIN batch ON und.b = batch.doc_id
-         |  WHERE partner % 10 <> 7 OR partner < b),
+         |${TextDedup.KeepDomCtes},
          |${Similarity.ivfAssignCtes(sfDir)}
          |SELECT 'pairs' AS stage, doc1 AS id, doc2 AS id2, jaccard AS val FROM jp
          |UNION ALL
@@ -1683,11 +1690,7 @@ object Advanced {
     },
     Some(s"""WITH jp AS (${TextDedup.JaccardPairsSql}),
        |batch AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
-       |und AS (SELECT doc1 AS b, doc2 AS partner FROM jp
-       |        UNION ALL SELECT doc2 AS b, doc1 AS partner FROM jp),
-       |dom AS (
-       |  SELECT DISTINCT b AS doc_id FROM und JOIN batch ON und.b = batch.doc_id
-       |  WHERE partner % 10 <> 7 OR partner < b)
+       |${TextDedup.KeepDomCtes}
        |SELECT 'pairs' AS stage, doc1 AS id, doc2 AS id2, jaccard AS val FROM jp
        |UNION ALL
        |SELECT 'keep', b.doc_id, CAST(NULL AS BIGINT),
@@ -1737,11 +1740,7 @@ object Advanced {
     Some(s"""WITH live AS (SELECT * FROM documents WHERE doc_id % 17 <> 3),
        |jp AS (${TextDedup.jaccardPairsSqlFrom("live")}),
        |batch AS (SELECT doc_id FROM live WHERE doc_id % 10 = 7),
-       |und AS (SELECT doc1 AS b, doc2 AS partner FROM jp
-       |        UNION ALL SELECT doc2 AS b, doc1 AS partner FROM jp),
-       |dom AS (
-       |  SELECT DISTINCT b AS doc_id FROM und JOIN batch ON und.b = batch.doc_id
-       |  WHERE partner % 10 <> 7 OR partner < b)
+       |${TextDedup.KeepDomCtes}
        |SELECT 'pairs' AS stage, doc1 AS id, doc2 AS id2, jaccard AS val FROM jp
        |UNION ALL
        |SELECT 'keep', b.doc_id, CAST(NULL AS BIGINT),

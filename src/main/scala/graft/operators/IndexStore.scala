@@ -61,18 +61,25 @@ private[operators] object IndexStore {
   def estimateBytes(rows: Long, payloadBytes: Long): Long =
     (32L * rows + payloadBytes) * 2
 
+  /** The session broadcast threshold as BYTES — accepts the bare-long
+    * form ("-1" disables broadcast, the standard ops setting, which
+    * byteStringAsBytes rejects) and the size-string form ("10MB"). The
+    * ONE parser for every tier gate: a drifted duplicate would let the
+    * broadcast and SHUFFLE_HASH tiers of one join disagree about the
+    * cap (r16 review). */
+  def broadcastCapBytes(s: org.apache.spark.sql.SparkSession): Long = {
+    val raw = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    scala.util.Try(raw.trim.toLong).getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
+  }
+
   /** [[broadcastIfFits]] with a precomputed estimate — no aggregate run. */
   def broadcastIfFitsPre(s: org.apache.spark.sql.SparkSession,
       df: org.apache.spark.sql.DataFrame, est: Long)(
       fallback: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    // the threshold arrives as a bare long ("-1" disables broadcast —
-    // the standard ops setting, which byteStringAsBytes rejects) or a
-    // size string ("10MB")
-    val raw = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    val cap = scala.util.Try(raw.trim.toLong).getOrElse(
-      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
+    val cap = broadcastCapBytes(s)
     if (cap > 0 && est <= cap) broadcast(df) else fallback(df)
   }
 

@@ -657,8 +657,16 @@ object Similarity {
         col("maxabs").as("qmax"))
     val c = q8.select(col("vec_id").as("neighbor_id"), col("qv").as("cq"),
       col("maxabs").as("cmax"))
-    q.join(c, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
+    quantScoreCols(q.join(c, col("query_id") =!= col("neighbor_id")))
+  }
+
+  /** The integer qdot + dequantized score over joined
+    * (qq, qmax, cq, cmax) rows — the ONE quantized-scoring arithmetic
+    * for every consumer ([[quantizedScored]]'s full scan for s07/s12,
+    * [[quantizedScoredOn]]'s candidate scan for s14), so no two gates
+    * can score differently (r16 review: s14 had re-inlined this). */
+  private def quantScoreCols(joined: DataFrame): DataFrame =
+    joined.select(col("query_id"), col("neighbor_id"),
         aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x).as("qdot"),
         col("qmax"), col("cmax"))
@@ -667,7 +675,16 @@ object Similarity {
       .withColumn("score",
         col("qdot").cast("double") * (col("qmax") / lit(127.0)) *
           (col("cmax") / lit(127.0)))
-  }
+
+  /** [[quantizedScored]] over an EXPLICIT (query_id, neighbor_id)
+    * candidate frame — stage 2 of the composed retrieval (s14): the
+    * code join touches candidate rows only, never the corpus pairing. */
+  private def quantizedScoredOn(q8: DataFrame, cand: DataFrame): DataFrame =
+    quantScoreCols(cand
+      .join(q8.select(col("vec_id").as("query_id"), col("qv").as("qq"),
+        col("maxabs").as("qmax")), Seq("query_id"))
+      .join(q8.select(col("vec_id").as("neighbor_id"), col("qv").as("cq"),
+        col("maxabs").as("cmax")), Seq("neighbor_id")))
 
   /** The int8-codes CTE shared by the s07/s12/s14 oracles —
     * byte-identical SQL so no two gates can quantize differently. */
@@ -681,13 +698,20 @@ object Similarity {
       |              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
       |              FROM embeddings)))""".stripMargin
 
+  /** The exact integer qdot over two `q8`-shaped relations' code lists
+    * — ONE SQL body for every quantized oracle ([[QuantCtes]]' full
+    * scan, s14's candidate scan), the SQL twin of [[quantScoreCols]]'
+    * aggregate. */
+  private def duckQdot(q: String, c: String): String =
+    s"list_reduce(list_transform(range(1, len($q.qv)+1), i -> $q.qv[i]*$c.qv[i]), (x,y)->x+y)"
+
   /** [[Q8Cte]] plus the full-corpus scored pairs shared by the s07 and
     * s12 oracles. */
   private val QuantCtes =
     s"""$Q8Cte,
       |scored AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |         list_reduce(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.qv[i]), (x,y)->x+y) AS qdot,
+      |         ${duckQdot("q", "c")} AS qdot,
       |         q.m AS qmax, c.m AS cmax
       |  FROM q8 q JOIN q8 c ON q.vec_id <> c.vec_id
       |  WHERE q.vec_id < $NumQueries)""".stripMargin
@@ -721,6 +745,67 @@ object Similarity {
     * enough to be a real cut (20 of N candidates). */
   private val RerankShortlist = 20
 
+  /** Stage-1 → stage-2 handoff: cut a quantized-scored pair stream to
+    * the [[RerankShortlist]]-deep per-query shortlist (score desc, id
+    * tiebreak) — shared by s12 and s14 so the two-stage gates cannot
+    * cut differently. */
+  private def shortlistCut(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCut = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("qrank", row_number().over(wCut))
+      .filter(col("qrank") <= RerankShortlist)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Stage 2 proper: exact float re-rank of a (query_id, neighbor_id)
+    * shortlist against raw embeddings + norms — top-3 by the
+    * sequential-fold cosine, id tiebreak. O(queries × shortlist) exact
+    * arithmetic, a hash join of a tiny-by-construction shortlist back
+    * to the vectors. ONE body for s12 (flat stage 1) and s14
+    * (IVF-bounded stage 1). */
+  private def exactRerank(shortlist: DataFrame, e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        col("nrm").as("nn")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
+      .withColumn("rank", row_number().over(wRe))
+      .filter(col("rank") <= 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The shortlist CTE over a quantized-scored relation — the SQL twin
+    * of [[shortlistCut]], shared by the s12/s14 oracles. */
+  private def shortlistCteSql(scoredRel: String): String =
+    s"""shortlist AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |           ROW_NUMBER() OVER (PARTITION BY query_id
+      |             ORDER BY (CAST(qdot AS DOUBLE) * (qmax / 127.0)) * (cmax / 127.0) DESC,
+      |                      neighbor_id) AS qrank
+      |    FROM $scoredRel)
+      |  WHERE qrank <= $RerankShortlist)""".stripMargin
+
+  /** The re-rank candidate CTE (shortlist joined back to raw
+    * embeddings with the zero-norm-guarded cosine), named `${pfx}cand`
+    * so [[probeFinal]] ranks it — the SQL twin of [[exactRerank]],
+    * shared by the s12/s14 oracles. `embRel` must carry
+    * (vec_id, embedding, nrm). */
+  private def rerankCandSql(embRel: String, pfx: String = ""): String =
+    s"""${pfx}cand AS (
+      |  SELECT s.query_id, s.neighbor_id,
+      |         CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN NULL
+      |              ELSE ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) END AS cos
+      |  FROM shortlist s
+      |  JOIN $embRel q ON s.query_id = q.vec_id
+      |  JOIN $embRel c ON s.neighbor_id = c.vec_id)""".stripMargin
+
   /** Two-stage ANN: quantized candidate generation → exact re-rank —
     * THE production retrieval shape at 100 TB. Stage 1 is s07's int8
     * integer scan (4x-compressed codes, SIMD-friendly MACs — the
@@ -742,53 +827,16 @@ object Similarity {
     * (no index state — late binding unnecessary). */
   val s12 = QueryDef(
     "s12_ann_rerank",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val wCut = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("neighbor_id"))
-      val shortlist = quantizedScored(quantizedCodes(s, d))
-        .withColumn("qrank", row_number().over(wCut))
-        .filter(col("qrank") <= RerankShortlist)
-        .select(col("query_id"), col("neighbor_id"))
-      val e = withNorm(s, d)
-      val wRe = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      shortlist
-        .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("nrm").as("qn")), Seq("query_id"))
-        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
-          col("nrm").as("nn")), Seq("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          cosine(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
-        .withColumn("rank", row_number().over(wRe))
-        .filter(col("rank") <= 3)
-        .orderBy(col("query_id"), col("rank"))
-    },
+    (s, d) => exactRerank(
+      shortlistCut(quantizedScored(quantizedCodes(s, d))), withNorm(s, d)),
     Some(s"""WITH $QuantCtes,
-      |shortlist AS (
-      |  SELECT query_id, neighbor_id FROM (
-      |    SELECT query_id, neighbor_id,
-      |           ROW_NUMBER() OVER (PARTITION BY query_id
-      |             ORDER BY (CAST(qdot AS DOUBLE) * (qmax / 127.0)) * (cmax / 127.0) DESC,
-      |                      neighbor_id) AS qrank
-      |    FROM scored)
-      |  WHERE qrank <= $RerankShortlist),
+      |${shortlistCteSql("scored")},
       |e AS (
       |  SELECT vec_id, embedding,
       |         sqrt(${duckDot("embedding", "embedding")}) AS nrm
-      |  FROM embeddings)
-      |SELECT query_id, neighbor_id, cos, rank FROM (
-      |  SELECT s.query_id, s.neighbor_id,
-      |         CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN NULL
-      |              ELSE ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) END AS cos,
-      |         ROW_NUMBER() OVER (PARTITION BY s.query_id
-      |           ORDER BY CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN NULL
-      |                         ELSE ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) END
-      |                    DESC NULLS LAST, s.neighbor_id) AS rank
-      |  FROM shortlist s
-      |  JOIN e q ON s.query_id = q.vec_id
-      |  JOIN e c ON s.neighbor_id = c.vec_id)
-      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+      |  FROM embeddings),
+      |${rerankCandSql("e")}
+      |${probeFinal()} ORDER BY query_id, rank""".stripMargin))
 
   /** Incrementally-maintained IVF index — the maintenance path a 100 TB
     * deployment actually runs. [[IvfIndex]] rebuilds from scratch when
@@ -1168,9 +1216,12 @@ object Similarity {
       * the whole corpus once [[driftRatioOf]] crosses
       * [[ReclusterRatio]]. `embOpt` is the corpus as the monitor
       * should see it (None = the ring's own corpus); a DERIVED corpus
-      * (s13's planted shift) gets its gen-2 at a `genSalt`-salted dir
-      * so generations of different derivations can never serve each
-      * other. Returns (assigned, centroids). Quiet arm: the ring
+      * (s13's planted shift) gets its gen-2 at a `genSalt`-salted,
+      * arm-discriminated dir so generations of different derivations
+      * can never serve each other — the ring arm and a derived arm are
+      * disjoint even under one shared salt, and DISTINCT derivations
+      * must pass distinct salts. Returns (assigned, centroids). Quiet
+      * arm: the ring
       * corpus serves the maintained PHYSICAL index; a derived corpus —
       * which has no published index — is assigned on the fly against
       * the gen-1 centroids (identical rows to a published gen-1 of
@@ -1181,7 +1232,15 @@ object Similarity {
       val cen1 = s.read.parquet(s"$bd/centroids")
       val emb = embOpt.getOrElse(embDouble(s, d))
       if (driftRatioOf(emb, cen1) >= ReclusterRatio) {
-        val g2 = reclusterOf(emb, s"${gen2DirFor(d)}_$genSalt")
+        // the salt alone is NOT enough: one gate calls BOTH arms with
+        // its own salt (s13), and publish-once dirs mean whichever arm
+        // fires first would serve the other a wrong-derivation gen-2
+        // forever (r16 review). The arm discriminator keeps the ring
+        // corpus and a derived corpus in disjoint dir namespaces even
+        // under a shared salt; distinct DERIVED corpora remain the
+        // caller's contract (unique genSalt per derivation).
+        val arm = if (embOpt.isEmpty) "ring" else "drv"
+        val g2 = reclusterOf(emb, s"${gen2DirFor(d)}_${genSalt}_$arm")
         (s.read.parquet(s"$g2/assigned"), s.read.parquet(s"$g2/centroids"))
       } else
         (embOpt.fold(maintained(s, d))(e => assign(e, cen1)), cen1)
@@ -1481,7 +1540,13 @@ object Similarity {
     // driver/executor OOM — past the session threshold the join falls
     // back to SHUFFLE_HASH (AQE's skew split then handles a hot cell,
     // and probed is still the smaller build side).
-    val dim = centersDf.select(size(col("center"))).head().getInt(0)
+    // one-row driver read to price the broadcast — the cost of the
+    // measured-bytes gate. head(1), not head(): a degenerate published
+    // index with ZERO centroid rows must yield an empty probe (the
+    // same class as probedCells' NULLS LAST guard), not a driver
+    // NoSuchElementException before any plan exists (r16 review).
+    val dim = centersDf.select(size(col("center"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
     val probedRows = estQueries * NProbe
     val est = IndexStore.estimateBytes(probedRows, probedRows * (8L * dim + 16L))
     IndexStore.broadcastIfFitsPre(assignedRaw.sparkSession, probed, est)(
@@ -1705,7 +1770,7 @@ object Similarity {
     },
     None,
     oracleLate = Some { sfDir =>
-      val g2 = s"${IvfIncIndex.gen2DirFor(sfDir)}_s13"
+      val g2 = s"${IvfIncIndex.gen2DirFor(sfDir)}_s13_drv"
       s"""WITH emb2 AS (
          |  SELECT vec_id,
          |         CASE WHEN vec_id % ${IvfIncIndex.NewSliceMod} = ${IvfIncIndex.NewSliceRem}
@@ -1748,7 +1813,6 @@ object Similarity {
   val s14 = QueryDef(
     "s14_ann_ivf_rerank",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       graft.functions.VectorExpressions.register(s)
       val assigned = IvfIncIndex.maintained(s, d)
         .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
@@ -1765,37 +1829,12 @@ object Similarity {
           Seq("cell"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"))
-      val q8 = quantizedCodes(s, d)
-      val scored = cand
-        .join(q8.select(col("vec_id").as("query_id"), col("qv").as("qq"),
-          col("maxabs").as("qmax")), Seq("query_id"))
-        .join(q8.select(col("vec_id").as("neighbor_id"), col("qv").as("cq"),
-          col("maxabs").as("cmax")), Seq("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
-            lit(0L), (acc, x) => acc + x).as("qdot"),
-          col("qmax"), col("cmax"))
-        .withColumn("score",
-          col("qdot").cast("double") * (col("qmax") / lit(127.0)) *
-            (col("cmax") / lit(127.0)))
-      val wCut = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("neighbor_id"))
-      val shortlist = scored.withColumn("qrank", row_number().over(wCut))
-        .filter(col("qrank") <= RerankShortlist)
-        .select(col("query_id"), col("neighbor_id"))
-      val e = withNorm(s, d)
-      val wRe = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      shortlist
-        .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("nrm").as("qn")), Seq("query_id"))
-        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
-          col("nrm").as("nn")), Seq("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          cosine(dot(col("qe"), col("ne")), col("qn"), col("nn")).as("cos"))
-        .withColumn("rank", row_number().over(wRe))
-        .filter(col("rank") <= 3)
-        .orderBy(col("query_id"), col("rank"))
+      // stages 2-3 are the SHARED two-stage bodies (r16 review: s14 had
+      // re-inlined s07's scoring and s12's re-rank — a tiebreak fix
+      // applied to one gate would have desynchronized the others)
+      exactRerank(
+        shortlistCut(quantizedScoredOn(quantizedCodes(s, d), cand)),
+        withNorm(s, d))
     },
     None,
     oracleLate = Some { sfDir =>
@@ -1824,30 +1863,13 @@ object Similarity {
          |$Q8Cte,
          |qscored AS (
          |  SELECT cd.query_id, cd.neighbor_id,
-         |         list_reduce(list_transform(range(1, len(qq.qv)+1), i -> qq.qv[i]*cq.qv[i]), (x,y)->x+y) AS qdot,
+         |         ${duckQdot("qq", "cq")} AS qdot,
          |         qq.m AS qmax, cq.m AS cmax
          |  FROM cand cd JOIN q8 qq ON cd.query_id = qq.vec_id
          |               JOIN q8 cq ON cd.neighbor_id = cq.vec_id),
-         |shortlist AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |           ROW_NUMBER() OVER (PARTITION BY query_id
-         |             ORDER BY (CAST(qdot AS DOUBLE) * (qmax / 127.0)) * (cmax / 127.0) DESC,
-         |                      neighbor_id) AS qrank
-         |    FROM qscored)
-         |  WHERE qrank <= $RerankShortlist)
-         |SELECT query_id, neighbor_id, cos, rank FROM (
-         |  SELECT sl.query_id, sl.neighbor_id,
-         |         CASE WHEN qe.nrm = 0 OR ce.nrm = 0 THEN NULL
-         |              ELSE ${duckDot("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm) END AS cos,
-         |         ROW_NUMBER() OVER (PARTITION BY sl.query_id
-         |           ORDER BY CASE WHEN qe.nrm = 0 OR ce.nrm = 0 THEN NULL
-         |                         ELSE ${duckDot("qe.embedding", "ce.embedding")} / (qe.nrm * ce.nrm) END
-         |                    DESC NULLS LAST, sl.neighbor_id) AS rank
-         |  FROM shortlist sl
-         |  JOIN a qe ON sl.query_id = qe.vec_id
-         |  JOIN a ce ON sl.neighbor_id = ce.vec_id)
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+         |${shortlistCteSql("qscored")},
+         |${rerankCandSql("a", "rr")}
+         |${probeFinal("rr")} ORDER BY query_id, rank""".stripMargin
     })
 
   /** Near-dup ceiling for hard-negative mining ([[s15]]): a candidate

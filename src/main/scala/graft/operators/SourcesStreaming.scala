@@ -138,6 +138,16 @@ object SourcesStreaming {
     },
     Some("SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"))
 
+  /** The documents table's file-source stream schema — caller-asserted
+    * (file-source schemas are not validated against the footer), so ONE
+    * definition for every documents stream (st06/st07/st08): a width
+    * change fixed in two of three copies would silently null the third
+    * stream's mismatched column (r16 review). */
+  private[operators] val DocStreamSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
   /** Typed JSONL read schema: real types (not all-string like CSV — JSON
     * carries them), plus the PERMISSIVE corrupt-record column so a torn
     * or malformed line lands in the reject channel instead of killing
@@ -620,19 +630,13 @@ object SourcesStreaming {
     (s, d) => {
       import graft.functions.TextFunctions.fingerprint
       import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-      val docSchema = StructType(Seq(
-        StructField("doc_id", org.apache.spark.sql.types.LongType),
-        StructField("text", StringType),
-        StructField("lang", StringType),
-        StructField("source", StringType),
-        StructField("n_chars", org.apache.spark.sql.types.LongType)))
       // per-partition state-store commit overhead dominates a bounded
       // drain: the shared drain session scopes the stream to 4 stores
       // (see graft.streaming.Drain) without touching this session's conf
       val (_, t) = graft.streaming.Drain.toTable(
         s, "graft_stream_dedup", OutputMode.Complete) { s2 =>
         s2.readStream
-          .schema(docSchema)
+          .schema(DocStreamSchema)
           .option("pathGlobFilter", "documents.parquet")
           .parquet(d)
           // (a pre-agg repartition fan-out measured FLAT here, unlike
@@ -748,17 +752,11 @@ object SourcesStreaming {
     (s, d) => {
       import org.apache.spark.sql.streaming.{OutputMode, Trigger}
       graft.functions.TextExpressions.register(s)
-      val docSchema = StructType(Seq(
-        StructField("doc_id", org.apache.spark.sql.types.LongType),
-        StructField("text", StringType),
-        StructField("lang", StringType),
-        StructField("source", StringType),
-        StructField("n_chars", org.apache.spark.sql.types.LongType)))
       val (_, t) = graft.streaming.Drain.toTable(
         s, "graft_stream_cms", OutputMode.Complete) { s2 =>
         graft.functions.TextExpressions.register(s2)
         s2.readStream
-          .schema(docSchema)
+          .schema(DocStreamSchema)
           .option("pathGlobFilter", "documents.parquet")
           .parquet(d)
           // the file source hands each batch's file to ONE task; fan the
@@ -879,9 +877,16 @@ object SourcesStreaming {
     * [[TextDedup.probeKeep]]) before it ever lands — duplicates of
     * yesterday's corpus are dropped in flight, not discovered by the
     * next nightly. The static side is the ring's PUBLISHED state (the
-    * fold-policy reader view), re-planned per micro-batch exactly like
-    * st07's dimension — so a nightly promotion between batches is
-    * picked up without restarting the stream.
+    * fold-policy reader view) as resolved when the stream is DEFINED:
+    * the segment dirs, the fold-vs-union branch, and the parquet file
+    * listing are all fixed before the first batch, so a night promoted
+    * mid-stream is NOT picked up live (r16 review — the first draft of
+    * this doc claimed st07-style per-batch re-planning, which holds
+    * for the JOIN execution but not for the dir/listing resolution).
+    * The deployment shape: restart the stream after each nightly
+    * promotion — checkpoint recovery makes that a cheap offset replay
+    * (measured in StreamingSpec's restart test), and the nightly cron
+    * that publishes the state is the natural restart point.
     *
     * Scale: the stream side is stateless (filter + join — no
     * watermark, no store); the keep-mask side is ∝ the daily slice
@@ -894,19 +899,13 @@ object SourcesStreaming {
     "st08_stream_ring_filter",
     (s, d) => {
       import org.apache.spark.sql.streaming.OutputMode
-      val docSchema = StructType(Seq(
-        StructField("doc_id", org.apache.spark.sql.types.LongType),
-        StructField("text", StringType),
-        StructField("lang", StringType),
-        StructField("source", StringType),
-        StructField("n_chars", org.apache.spark.sql.types.LongType)))
       val (_, t) = graft.streaming.Drain.toTable(
         s, "graft_stream_ring_filter", OutputMode.Append) { s2 =>
         val keep = TextDedup.probeKeep(s2, d,
             TextDedup.PromotedPairIndex.maintained(s2, d))
           .filter(col("keep")).select(col("doc_id"))
         s2.readStream
-          .schema(docSchema)
+          .schema(DocStreamSchema)
           .option("pathGlobFilter", "documents.parquet")
           .parquet(d)
           .filter(col("doc_id") % 10 === 7)
@@ -917,11 +916,7 @@ object SourcesStreaming {
     },
     Some(s"""WITH jp AS (${TextDedup.JaccardPairsSql}),
        |batch AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
-       |und AS (SELECT doc1 AS b, doc2 AS partner FROM jp
-       |        UNION ALL SELECT doc2 AS b, doc1 AS partner FROM jp),
-       |dom AS (
-       |  SELECT DISTINCT b AS doc_id FROM und JOIN batch ON und.b = batch.doc_id
-       |  WHERE partner % 10 <> 7 OR partner < b)
+       |${TextDedup.KeepDomCtes}
        |SELECT d.doc_id, d.lang, d.n_chars
        |FROM documents d
        |JOIN batch b ON d.doc_id = b.doc_id

@@ -67,6 +67,20 @@ object TextDedup {
       |ORDER BY doc1, doc2""".stripMargin
   private[operators] val JaccardPairsSql = jaccardPairsSqlFrom("documents")
 
+  /** The keep-mask DOMINATOR calculus as DuckDB CTEs — `und`
+    * (symmetrized pair endpoints) + `dom` (batch docs dominated by a
+    * non-batch partner or an earlier batch id), over caller-provided
+    * `jp` and `batch` CTEs. The ONE oracle body for every
+    * [[dedupKeepMask]] consumer (t25, c04, c06, c07, st08) — five
+    * byte-identical copies would let a tiebreak fix desynchronize one
+    * gate's oracle from the shipped calculus (r16 review). */
+  private[operators] val KeepDomCtes: String =
+    """und AS (SELECT doc1 AS b, doc2 AS partner FROM jp
+      |        UNION ALL SELECT doc2 AS b, doc1 AS partner FROM jp),
+      |dom AS (
+      |  SELECT DISTINCT b AS doc_id FROM und JOIN batch ON und.b = batch.doc_id
+      |  WHERE partner % 10 <> 7 OR partner < b)""".stripMargin
+
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
   /** (doc_id, shingle) exploded distinct shingle index, via the native
@@ -120,9 +134,11 @@ object TextDedup {
     // below the session broadcast cap the join is an explicit
     // broadcast (the r16 HintAB A/B: unconditional SHUFFLE_HASH cost
     // t34 1.34 s vs 0.97 s, c04 1.48 s vs 1.08 s at sf0.1, interleaved
-    // same-window); past the cap — or when the caller cannot bound the
-    // frame (the façades' -1) — SHUFFLE_HASH, memory-safe by
-    // construction, never a stats gamble.
+    // same-window); past the cap, SHUFFLE_HASH only while the build
+    // PROVABLY fits (SHJ builds cannot spill — the RingSpill 2 GB
+    // failure, see below); past that bound — or when the caller cannot
+    // bound the frame at all (the façades' -1) — sort-merge, the only
+    // unconditionally spill-safe shape. Never a stats gamble.
     // conf=off ONLY for the RingSpill/Night0Diag counterfactual
     // (reverts to bare planner stats so the starved-heap A/B can
     // measure the broadcast plan this gate exists to suppress).
@@ -147,9 +163,7 @@ object TextDedup {
           // unconditionally memory-safe shape, and the arm that
           // survived every RingSpill heap above the global scan floor.
           val parts = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
-          val raw = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-          val cap = scala.util.Try(raw.trim.toLong).getOrElse(
-            org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
+          val cap = IndexStore.broadcastCapBytes(s)
           // executor memory × fraction / slots ≈ one task's execution
           // share (local mode: the driver JVM heap; cluster mode: the
           // executor conf when set)
@@ -978,11 +992,7 @@ object TextDedup {
     (s, d) => probeKeep(s, d, PairIndex.ensure(s, d)).orderBy(col("doc_id")),
     Some(s"""WITH jp AS ($JaccardPairsSql),
        |batch AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
-       |und AS (SELECT doc1 AS b, doc2 AS partner FROM jp
-       |        UNION ALL SELECT doc2 AS b, doc1 AS partner FROM jp),
-       |dom AS (
-       |  SELECT DISTINCT b AS doc_id FROM und JOIN batch ON und.b = batch.doc_id
-       |  WHERE partner % 10 <> 7 OR partner < b)
+       |${KeepDomCtes}
        |SELECT batch.doc_id, dom.doc_id IS NULL AS keep
        |FROM batch LEFT JOIN dom ON batch.doc_id = dom.doc_id
        |ORDER BY batch.doc_id""".stripMargin))

@@ -93,11 +93,15 @@ class BroadcastGateSpec extends SparkSpec {
         collectPlans(df.queryExecution.executedPlan)
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     }
-    // sf0.001 sets estimate ≈ 65 KB parquet × 4 ≈ 260 KB
+    // sf0.001 sets estimate ≈ 65 KB parquet × 4 ≈ 260 KB. The mid cap
+    // must sit with HEADROOM on both sides (cap < est AND
+    // est ≤ cap × parts): 128 KB gives ~2× margin each way, where the
+    // first attempt's 64 KB passed the upper bound by 84 bytes and any
+    // fixture regeneration would flip the test (r16 review).
     val bigCap = verifyPlans("64MB") // est ≤ cap: broadcast
     assert(bigCap.exists(_.isInstanceOf[BroadcastExchangeLike]),
       "under the cap the sets sides should broadcast (the HintAB win)")
-    val midCap = verifyPlans("64KB") // cap < est ≤ cap × parts, build fits
+    val midCap = verifyPlans("128KB") // cap < est ≤ cap × parts, build fits
     assert(midCap.exists(_.isInstanceOf[ShuffledHashJoinExec]),
       "mid tier should pin SHUFFLE_HASH")
     assert(!midCap.exists(_.isInstanceOf[BroadcastExchangeLike]),

@@ -380,8 +380,8 @@ class IvfIncSpec extends SparkSpec {
     val (da, dc) = IvfIncIndex.servedGeneration(
       spark, d, Some(Similarity.shiftedEmb(spark, d)), "spec")
     assert(new java.io.File(
-      s"${IvfIncIndex.gen2DirFor(d)}_spec/assigned/_SUCCESS").exists(),
-      "fired arm must publish the salted gen-2 dir")
+      s"${IvfIncIndex.gen2DirFor(d)}_spec_drv/assigned/_SUCCESS").exists(),
+      "fired arm must publish the salted, arm-discriminated gen-2 dir")
     assert(cenMap(dc) != baseCen, "gen-2 centroids must be a fresh fit, not gen-1's")
     val reassigned = cellMap(IvfIncIndex.assign(
       da.select(col("vec_id"), col("embedding")), dc))
