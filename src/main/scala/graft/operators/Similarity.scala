@@ -1956,7 +1956,57 @@ object Similarity {
          |${probeFinal()} ORDER BY query_id, rank""".stripMargin
     })
 
+  /** CROSS-RING composition gate — the text ring's dedup verdict
+    * DRIVING the vector ring's serving state, the capstone of both
+    * maintenance families: the promoted pair ring's keep-mask probe
+    * (c05/c06 → t25's calculus) decides which batch docs are
+    * duplicates, the dropped ids are retracted from the maintained IVF
+    * view ([[annRetract]], s16's arm), and the probe serves the
+    * survivors — so a doc the DEDUP pipeline drops stops being
+    * retrievable without anyone rebuilding the vector index. Four
+    * individually-gated pieces, one hash: the late oracle re-derives
+    * the ENTIRE chain from scratch in DuckDB — shingle pairs → keep
+    * calculus ([[TextDedup.KeepDomCtes]], the shipped dominator body)
+    * → the reduced corpus → assignment/norms/probe from the persisted
+    * frozen centroids.
+    *
+    * The fixture's doc_id = vec_id linkage stands in for the
+    * deployment's document→embedding mapping table (the synthetic
+    * corpus aligns them; a real pipeline broadcast-joins its mapping).
+    * The dropped slice is doc_id % 10 == 7 ∩ dominated — which can
+    * include probe QUERY ids (7), so query removal rides the same
+    * path as s16.
+    *
+    * Scale: the verdict is ∝ the batch's pair neighborhood (t25), the
+    * retraction is a metadata-sized anti-join (s16), the probe keeps
+    * s09's nprobe-bounded cost — the composition adds NO new
+    * corpus-shaped work. */
+  val s17 = QueryDef(
+    "s17_dedup_driven_probe",
+    (s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      val dropped = TextDedup.probeKeep(s, d,
+          TextDedup.PromotedPairIndex.maintained(s, d))
+        .filter(!col("keep")).select(col("doc_id").as("vec_id"))
+      val assigned = annRetract(IvfIncIndex.maintained(s, d), dropped)
+      val cen = s.read.parquet(s"${IvfIncIndex.baseDirFor(d)}/centroids")
+      ivfProbeOn(assigned, cen, _.filter(col("vec_id") < NumQueries))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None,
+    oracleLate = Some { sfDir =>
+      s"""WITH jp AS (${TextDedup.JaccardPairsSql}),
+         |batch AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+         |${TextDedup.KeepDomCtes},
+         |embt AS (
+         |  SELECT e.vec_id, e.embedding FROM embeddings e
+         |  LEFT JOIN dom ON e.vec_id = dom.doc_id
+         |  WHERE dom.doc_id IS NULL),
+         |${probeCtes(IvfIncIndex.baseDirFor(sfDir), "", "embt")}
+         |${probeFinal()} ORDER BY query_id, rank""".stripMargin
+    })
+
   val catalog: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16)
+      s15, s16, s17)
 }

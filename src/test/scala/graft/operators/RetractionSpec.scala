@@ -60,6 +60,26 @@ class RetractionSpec extends SparkSpec {
       "retraction perturbed keep verdicts beyond the tombstoned neighborhood")
   }
 
+  test("s17: a dedup-dropped doc is never served as a probe neighbor") {
+    // the cross-ring consequence the gate's hash implies but a reader
+    // can't see: every neighbor the composed probe serves survived the
+    // text ring's keep verdict
+    graft.functions.VectorExpressions.register(spark)
+    val dropped = TextDedup.probeKeep(spark, sf,
+        TextDedup.PromotedPairIndex.maintained(spark, sf))
+      .filter(!col("keep")).collect().map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "fixture degenerate: the dedup ring dropped nothing")
+    val rows = Similarity.s17.fn(spark, sf).collect()
+    graft.Lifecycle.release(spark)
+    assert(rows.nonEmpty)
+    val served = rows.map(_.getLong(1)).toSet
+    assert(served.intersect(dropped).isEmpty,
+      s"dedup-dropped docs served as neighbors: ${served.intersect(dropped)}")
+    val queries = rows.map(_.getLong(0)).toSet
+    assert(queries.intersect(dropped).isEmpty,
+      "a dedup-dropped doc still issued probe queries")
+  }
+
   test("annRetract: tombstoning the rank-1 twin re-fills the slot; survivors keep their order") {
     graft.functions.VectorExpressions.register(spark)
     import graft.operators.Similarity.IvfIncIndex
