@@ -127,9 +127,7 @@ object Corpus {
         .select(col("v").as("doc_id"), col("label").as("cluster_id"))
         .orderBy(col("doc_id"))
     },
-    Some((TextDedup.ShingleCte + CcCteSql + """
-      |SELECT doc_id, cluster_id FROM cc ORDER BY doc_id""".stripMargin)
-      .replaceFirst("^WITH ", "WITH RECURSIVE ")))
+    Some(ccOracleSql))
 
   /** The connected-components CTE chain appended after
     * [[TextDedup.ShingleCte]]: exact Jaccard edges at the t06/t07
@@ -158,6 +156,101 @@ object Corpus {
       |),
       |cc AS (SELECT v AS doc_id, MIN(label) AS cluster_id
       |       FROM reach GROUP BY v)""".stripMargin
+
+  /** The full from-scratch CC oracle (recursive closure + min-label
+    * over exact Jaccard edges) — ONE text for the batch gate (t11) and
+    * the incremental gate (t35): the two entries must answer the same
+    * question by different computations, and a drifted oracle copy
+    * would let them pass against different questions. */
+  private def ccOracleSql: String =
+    (TextDedup.ShingleCte + CcCteSql + """
+      |SELECT doc_id, cluster_id FROM cc ORDER BY doc_id""".stripMargin)
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")
+
+  /** Persisted resident CLUSTER LABELS — yesterday's label table, the
+    * state the incremental step (t35) maintains: connected components
+    * over the resident pair index, published once per corpus
+    * fingerprint (the [[TextDedup.ResidentPairIndex]] convention). */
+  private[operators] object LabelIndex {
+    private[graft] def indexDirFor(d: String): String =
+      s"${sys.props("java.io.tmpdir")}/graft_labels_l1_${IndexStore.corpusFingerprint(d, "documents")}"
+    def ensure(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+      val dir = IndexStore.ensure(indexDirFor(d), "labels/_SUCCESS") { tmp =>
+        val pairs = TextDedup.ResidentPairIndex.ensure(s, d)
+          .select(col("doc1"), col("doc2"))
+        val und = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+          .unionByName(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+        connectedComponents(und)
+          .select(col("v").as("doc_id"), col("label").as("cluster_id"))
+          .write.mode("overwrite").parquet(s"$tmp/labels")
+      }
+      s.read.parquet(s"$dir/labels")
+    }
+  }
+
+  /** INCREMENTAL cluster maintenance — the delta path for t11, the one
+    * pair-consumer that had none (dedup has t25/t34, the IVF index has
+    * s08): when the daily slice arrives, recompute connected components
+    * ONLY over the clusters the delta's pair neighborhood touches and
+    * splice the survivors' labels through unchanged.
+    *
+    *  1. yesterday's labels: the persisted [[LabelIndex]] (CC over the
+    *     resident pair index);
+    *  2. the delta's pairs ([[TextDedup.pairDelta]] — slice bands probe
+    *     the corpus index, t34's product);
+    *  3. AFFECTED clusters = resident clusters containing any delta-pair
+    *     endpoint. Every possible label change passes through a delta
+    *     pair (resident↔resident connectivity is already closed), so a
+    *     cluster with no delta endpoint cannot change — its rows splice
+    *     through byte-identical;
+    *  4. recompute CC over (affected clusters' resident pairs ∪ delta
+    *     pairs) — a resident pair's endpoints share a cluster by
+    *     construction, so membership tests one endpoint;
+    *  5. output = unaffected resident labels ∪ recomputed labels.
+    *
+    * The identity this rests on is the t34/c04 append invariant
+    * (resident ∪ delta == full pairs, FacadeSpec): CC over that union
+    * is exactly t11's answer, so the gate's oracle is t11's
+    * from-scratch recursive closure — the incremental path must
+    * reproduce it row for row.
+    *
+    * Scale: the iterative CC — many rounds of corpus-sized shuffles at
+    * 100 TB — runs only over the delta's cluster neighborhood (∝ the
+    * daily slice and its duplicates, not the corpus); everything else
+    * is one label-table anti-join splice. Measured honestly at 125k
+    * docs (ScaleSmoke ccdelta, PLANS.md r16): 1.2× over re-pair+full-CC
+    * on the DENSE replica corpus (1.3M pairs) and a LOSS (0.5×) on the
+    * sparse one, where full re-pairing from warm bands is trivially
+    * cheap — the step pays for itself in proportion to the
+    * corpus-to-slice ratio and the duplicate density; a corpus with
+    * near-zero dup structure should just re-cluster. */
+  val t35 = QueryDef(
+    "t35_cluster_delta",
+    (s, d) => {
+      val resident = LabelIndex.ensure(s, d)
+      val delta = TextDedup.pairDelta(s, d).select(col("doc1"), col("doc2"))
+      val endpoints = delta.select(col("doc1").as("doc_id"))
+        .unionByName(delta.select(col("doc2").as("doc_id"))).distinct()
+      val affected = resident.join(endpoints, Seq("doc_id"))
+        .select(col("cluster_id")).distinct()
+      val residentPairs = TextDedup.ResidentPairIndex.ensure(s, d)
+        .select(col("doc1"), col("doc2"))
+      val affectedPairs = residentPairs
+        .join(resident.select(col("doc_id").as("doc1"), col("cluster_id")),
+          Seq("doc1"))
+        .join(affected, Seq("cluster_id"), "left_semi")
+        .select(col("doc1"), col("doc2"))
+      val sub = affectedPairs.unionByName(delta)
+      val und = sub.select(col("doc1").as("src"), col("doc2").as("dst"))
+        .unionByName(sub.select(col("doc2").as("src"), col("doc1").as("dst")))
+      val recomputed = connectedComponents(und)
+        .select(col("v").as("doc_id"), col("label").as("cluster_id"))
+      val unaffected = resident
+        .join(affected, Seq("cluster_id"), "left_anti")
+        .select(col("doc_id"), col("cluster_id"))
+      unaffected.unionByName(recomputed).orderBy(col("doc_id"))
+    },
+    Some(ccOracleSql))
 
   // --------------------------------------------------- t12: stratified split
 
@@ -676,5 +769,5 @@ object Corpus {
            |WHERE rk <= 25 ORDER BY domain, rk""".stripMargin))
 
   val catalog: Seq[QueryDef] =
-    Seq(t11, t12, t13, t14, t17, t18, t19, t23, t24, t27, t28, t31)
+    Seq(t11, t12, t13, t14, t17, t18, t19, t23, t24, t27, t28, t31, t35)
 }

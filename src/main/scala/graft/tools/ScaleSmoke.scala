@@ -940,6 +940,58 @@ object ScaleSmoke {
       }
     }
 
+    // ---- incremental clustering at depth (r16: t35's scale claim) ----
+    // t35 recomputes connected components only over the delta's cluster
+    // neighborhood and splices the rest; t11 re-clusters the whole
+    // corpus. Warm both pair indexes (and the resident label table)
+    // with one untimed pass of each gate fn, then time the steady-state
+    // nightly shapes: the incremental pass still pays its LIVE work
+    // (delta band probe + verify + subgraph CC + splice), the batch
+    // pass reads the warm pair index and runs corpus-wide CC.
+    if (want("ccdelta")) for (dir <- Seq(
+        // BOTH replica shapes — they bracket the claim: the decorrelated
+        // v2 corpus (disjoint replicas, ~4.7k pairs — full re-pairing
+        // from warm bands is trivially cheap, the incremental arm's
+        // WORST case) and the correlated corpus (k-cliques, ~1.3M pairs
+        // — the dense dup structure where corpus-wide work bites)
+        "/tmp/graft_scale_v2_25x", "/tmp/graft_scale_25x")) {
+      if (!new java.io.File(s"$dir/documents.parquet").isDirectory) {
+        println(s"CCDELTA: corpus $dir missing (tools.RingSpill / growth build it)")
+      } else {
+        spark.conf.set("spark.graft.bands.mode", "persisted")
+        graft.operators.Corpus.t11.fn(spark, dir).count() // warm band/file caches
+        graft.Lifecycle.release(spark)
+        graft.operators.Corpus.t35.fn(spark, dir).count() // warm: labels + resident pairs
+        graft.Lifecycle.release(spark)
+        // the TRUE non-incremental nightly: the corpus changed, so the
+        // full pair index must REBUILD before corpus-wide CC can run —
+        // delete its publication so t11 pays both stages (an earlier
+        // draft timed CC over a WARM full index and the incremental arm
+        // "lost" 12.5s to 1.8s by skipping the 38s the batch arm didn't
+        // pay; that number was the instrument, not the operator)
+        // min-of-3 per arm (the PLANS deep-timing protocol: single-shot
+        // deep timings swing ~2-4x between windows on this host), arms
+        // interleaved so a spike charges both
+        var (tFull, tInc) = (Double.MaxValue, Double.MaxValue)
+        var (nFull, nInc) = (0L, 0L)
+        for (_ <- 1 to 3) {
+          graft.Lifecycle.deleteRecursively(new java.io.File(
+            graft.operators.TextDedup.PairIndex.indexDirFor(dir)))
+          val (tF, nF) = timeReleasing(
+            graft.operators.Corpus.t11.fn(spark, dir).count())
+          // the incremental nightly: LIVE delta band probe + verify +
+          // subgraph CC + label splice, over the warm published state
+          val (tI, nI) = timeReleasing(
+            graft.operators.Corpus.t35.fn(spark, dir).count())
+          tFull = math.min(tFull, tF); nFull = nF
+          tInc = math.min(tInc, tI); nInc = nI
+        }
+        println(f"CCDELTA dir=$dir repairAndCc=${tFull}%6.1fs ($nFull labeled) " +
+          f"incremental=${tInc}%6.1fs ($nInc labeled) " +
+          f"identity=${nFull == nInc} ratio=${tFull / tInc}%.1fx")
+      }
+    }
+
     // ---- deep skew stress (r14 slate #4) ----
     // A deliberately skewed corpus at scale: every doc's text is made
     // replica-disjoint by PREFIXING each token with the replica id

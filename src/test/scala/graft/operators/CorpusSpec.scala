@@ -35,6 +35,26 @@ class CorpusSpec extends SparkSpec {
     assert(labels.length == 12 && labels.forall(_._2 == 1L))
   }
 
+  test("t35 incremental labels equal the t11 from-scratch clustering") {
+    // the splice identity, engine vs engine (the gate proves it vs
+    // DuckDB): recompute-affected + splice-unaffected must reproduce
+    // the batch CC row for row, INCLUDING the cross-segment merges
+    val d = "/root/testdata/sf0.001"
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = labels(Corpus.t11.fn(spark, d))
+    val inc = labels(Corpus.t35.fn(spark, d))
+    graft.Lifecycle.release(spark)
+    assert(inc == full)
+    // the merge arm genuinely fired: at least one recomputed cluster
+    // spans the batch (doc_id % 10 == 7) and the resident segment —
+    // without it the test would pass on a splice that never merges
+    val byCluster = inc.groupBy(_._2).values
+    assert(byCluster.exists(m =>
+      m.exists(_._1 % 10 == 7) && m.exists(_._1 % 10 != 7)),
+      "no cluster spans batch and resident docs — the merge arm never ran")
+  }
+
   test("t23 keeps exactly the best-quality member of every cluster") {
     val d = "/root/testdata/sf0.001"
     val rows = Corpus.t23.fn(spark, d).collect()
