@@ -141,6 +141,28 @@ private[operators] object IndexStore {
   def corpusBytes(d: String, table: String): Long =
     dirBytes(s"$d/$table.parquet")
 
+  /** Total row count of `<d>/<table>.parquet` from the parquet FOOTERS —
+    * metadata-only (no Spark job, no data pages read), the same listing
+    * machinery as [[corpusBytes]]. Gives size-gate callers a measured
+    * bytes-per-row without scanning: the delta verify join prices its
+    * candidate neighborhood as ids × (corpusBytes / corpusRows) instead
+    * of the whole-table upper bound (r16 ADVICE). Degrades to -1 on any
+    * error — callers then keep the always-safe full-table bound. */
+  def corpusRows(d: String, table: String): Long =
+    try {
+      val path = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val fs = path.getFileSystem(conf)
+      fs.listStatus(path)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
   /** Total bytes directly under `dir` (non-recursive — index segments
     * are flat parquet dirs). NonFatal, not just IOException: a malformed
     * dir string throws IllegalArgumentException from Path/getFileSystem

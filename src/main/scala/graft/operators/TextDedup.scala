@@ -166,20 +166,39 @@ object TextDedup {
           val cap = IndexStore.broadcastCapBytes(s)
           // executor memory × fraction / slots ≈ one task's execution
           // share (local mode: the driver JVM heap; cluster mode: the
-          // executor conf when set)
-          val execMem = s.conf.getOption("spark.executor.memory")
-            .filter(_ => s.sparkContext.master.startsWith("spark") ||
-              s.sparkContext.master.startsWith("yarn") ||
-              s.sparkContext.master.startsWith("k8s"))
-            .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
-            .getOrElse(Runtime.getRuntime.maxMemory())
+          // executor conf when set — and when UNSET, Spark's own 1g
+          // executor default, never the driver's heap: a fat driver
+          // would overprice the executors' share and admit a build the
+          // 1g executors cannot hold — r16 ADVICE)
+          val isClusterMaster = s.sparkContext.master.startsWith("spark") ||
+            s.sparkContext.master.startsWith("yarn") ||
+            s.sparkContext.master.startsWith("k8s")
+          val execMem =
+            if (isClusterMaster)
+              org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                s.conf.get("spark.executor.memory", "1g"))
+            else Runtime.getRuntime.maxMemory()
           val fraction = s.conf.get("spark.memory.fraction", "0.6").toDouble
           val slots = math.max(s.sparkContext.defaultParallelism, 1)
           val taskShare = (execMem * fraction / slots).toLong
           // BytesToBytesMap overhead over raw array payload, measured at
           // the 2 GB failure point (~8 MB acquire for a ~2 MB est slice)
           val buildOverhead = 4L
-          val perPartBuild = estSetsBytes / math.max(parts, 1) * buildOverhead
+          // AQE partition coalescing folds several shuffle partitions
+          // into one task, so estSetsBytes/parts underprices the real
+          // per-task build: a coalesced task reads up to the advisory
+          // target (r16 ADVICE). Bound the per-task input by BOTH.
+          val aqeCoalesce =
+            s.conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
+              s.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true").toBoolean
+          val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            s.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"))
+          val perTaskInput =
+            if (aqeCoalesce)
+              math.max(estSetsBytes / math.max(parts, 1),
+                math.min(estSetsBytes, advisory))
+            else estSetsBytes / math.max(parts, 1)
+          val perPartBuild = perTaskInput * buildOverhead
           if (cap > 0 && estSetsBytes <= cap * parts &&
               perPartBuild <= taskShare / 2) big.hint("SHUFFLE_HASH")
           else big.hint("MERGE")
@@ -218,6 +237,15 @@ object TextDedup {
 
   private[graft] def verifyJaccard(s: SparkSession, d: String, cand: DataFrame): DataFrame =
     verifyJaccardOf(docs(s, d), cand, setsBytesFor(d))
+
+  /** Measured average bytes/doc for the corpus at `d` — listing bytes /
+    * parquet-footer rows, no Spark job. -1 when either listing degrades
+    * (callers then keep the full-table sets-side bound). */
+  private def avgDocBytesFor(d: String): Long = {
+    val b = IndexStore.corpusBytes(d, "documents")
+    val r = IndexStore.corpusRows(d, "documents")
+    if (b <= 0 || r <= 0) -1L else math.max(b / r, 1L)
+  }
 
   // ---------------------------------------------------------------- catalog
 
@@ -780,30 +808,52 @@ object TextDedup {
   /** The delta body shared by [[pairDelta]] (fixture slice convention)
     * and the [[dedupNearPairsDelta]] façade: `freshBands`' bands probe
     * the full `bands`, candidates with ≥1 fresh endpoint are
-    * exact-verified against only their own shingle sets. */
+    * exact-verified against only their own shingle sets.
+    *
+    * Sets-side pricing (r16 ADVICE): the verify join's sets side is
+    * semi-joined down to the candidate NEIGHBORHOOD, so pricing it at
+    * the whole-table bound forces the nightly path — the one that runs
+    * most often — to sort-merge a side that is actually tiny and
+    * broadcastable. When the caller supplies `avgDocBytes` (measured:
+    * corpus bytes / footer row count, [[IndexStore.corpusRows]]), the
+    * candidate set is checkpointed once (also deduplicating the band
+    * probe, which otherwise appears in the plan twice via the ids
+    * semi-join), its distinct endpoints counted — a metadata-cheap job
+    * over the checkpoint — and the estimate becomes
+    * ids × avgDocBytes × [[SetsExpandFactor]] × 2 (the ×2 guards
+    * doc-length skew: duplicated docs are often long templates, and
+    * an average-priced neighborhood of the corpus's longest docs
+    * would underprice). Capped by the full-table bound, which remains
+    * the always-safe ceiling. */
   private def bandDelta(src: DataFrame, bands: DataFrame, freshBands: DataFrame,
-      estSetsBytes: Long = -1L): DataFrame = {
+      estSetsBytes: Long = -1L, avgDocBytes: Long = -1L): DataFrame = {
     val fresh = freshBands
       .select(col("doc_id").as("da"), col("band_idx").as("bi"),
         col("band_hash").as("bh"))
     val corpus = bands
       .select(col("doc_id").as("db"), col("band_idx").as("bi2"),
         col("band_hash").as("bh2"))
-    val cand = fresh.join(corpus,
+    val cand0 = fresh.join(corpus,
         fresh("bi") === corpus("bi2") && fresh("bh") === corpus("bh2") &&
           col("da") =!= col("db"))
       .select(least(col("da"), col("db")).as("doc1"),
         greatest(col("da"), col("db")).as("doc2"))
       .distinct()
+    val priceNeighborhood = estSetsBytes >= 0 && avgDocBytes > 0
+    val cand = if (priceNeighborhood) cand0.localCheckpoint() else cand0
     // verification touches ONLY the candidate neighborhood: semi-join
     // the doc scan down to candidate endpoints BEFORE the shingle
     // kernel, so the delta's verify cost is ∝ candidates (without this
     // the verify step re-shingles the whole corpus — PLANS.md SIG).
     // Value-neutral: a doc's shingle set does not depend on which other
     // docs are examined.
-    val ids = cand.select(col("doc1").as("doc_id"))
+    val idsU = cand.select(col("doc1").as("doc_id"))
       .unionByName(cand.select(col("doc2").as("doc_id"))).distinct()
-    verifyJaccardOf(src.join(ids, Seq("doc_id"), "left_semi"), cand, estSetsBytes)
+    val est =
+      if (!priceNeighborhood) estSetsBytes
+      else math.min(estSetsBytes,
+        idsU.count() * avgDocBytes * SetsExpandFactor * 2)
+    verifyJaccardOf(src.join(idsU, Seq("doc_id"), "left_semi"), cand, est)
   }
 
   /** Library façade: INCREMENTAL near-dup pairs over ANY frame — exactly
@@ -1781,7 +1831,7 @@ object TextDedup {
   private[graft] def pairDelta(s: SparkSession, d: String): DataFrame = {
     val bands = corpusBands(s, d)
     bandDelta(docs(s, d), bands, bands.filter(col("doc_id") % 10 === 7),
-      setsBytesFor(d))
+      setsBytesFor(d), avgDocBytesFor(d))
   }
 
   /** Corpus-fingerprinted persisted pair index over the RESIDENT corpus
@@ -1876,7 +1926,7 @@ object TextDedup {
             val bands = corpusBands(s, d).filter(presentAt(night))
             bandDelta(docs(s, d).filter(presentAt(night)),
               bands, bands.filter(col("doc_id") % 10 === SliceRems(night - 1)),
-              setsBytesFor(d))
+              setsBytesFor(d), avgDocBytesFor(d))
           }
         seg.write.mode("overwrite").parquet(s"$tmp/pairs")
       }
