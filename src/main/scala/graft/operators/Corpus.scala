@@ -45,15 +45,44 @@ object Corpus {
     (out, pinned)
   }
 
-  /** Connected components by iterative hash-min label propagation:
-    * every vertex starts labeled with itself; each round pushes labels
-    * across edges and keeps the minimum; fixpoint = components.
+  /** Connected components by iterative hash-min label propagation WITH
+    * per-round pointer-jump shortcutting: every vertex starts labeled
+    * with itself; each round pushes labels across edges, keeps the
+    * minimum, then SHORTCUTS label(v) ← label(label(v)) — path halving,
+    * so labels reach the component minimum in O(log diameter) rounds
+    * instead of O(diameter). Plain propagation is fine on shallow
+    * near-dup clusters (diameter 2-3) but a CHAIN-shaped component —
+    * doc i near-dups doc i+1, the syndication-chain adversary — makes
+    * rounds ∝ component length: on a planted half-corpus component
+    * (62.5k docs as chained 20-doc cliques, 1.8M pairs, diameter
+    * ~3.1k) the shortcut converges in 12 rounds / 23.5s while plain
+    * propagation was still running at its 40-round abort cap —
+    * ScaleSmoke ccskew, PLANS.md r17 (the r16 VERDICT's skew
+    * bracket). The shortcut join is
+    * exact, not approximate: label values are vertex ids of the same
+    * component (propagation moves them only along edges, shortcutting
+    * only through label cells), every label value exists as a vertex
+    * row (labels start as self-ids and min() keeps one), labels stay
+    * monotone decreasing and bounded by the component min m (whose own
+    * label is pinned at m) — so the fixpoint is unchanged: min id per
+    * component, which is what the recursive-CTE oracles of every
+    * consumer (t11/t23/t35/c03/c08) hash-check.
+    *
     * Superseded label checkpoints (and the edge frame, after
     * convergence) are unpersisted as soon as nothing references them —
     * block-store residency stays at two label generations + edges,
     * independent of round count. The FINAL labels checkpoint backs the
     * returned frame and is released by Lifecycle.release sweep. */
-  private[operators] def connectedComponents(und: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(und: DataFrame): DataFrame = {
+    // measurement-only knobs (ScaleSmoke ccskew A/B): `off` reverts to
+    // plain hash-min propagation — the counterfactual the shortcut is
+    // measured against; maxRounds (0 = unlimited) aborts a run that
+    // would otherwise iterate ∝ diameter, so the plain arm can be
+    // timed on the chain adversary without running to completion.
+    // Production never sets either.
+    val sess = und.sparkSession
+    val shortcut = sess.conf.get("spark.graft.cc.shortcut", "on") != "off"
+    val maxRounds = sess.conf.get("spark.graft.cc.maxRounds", "0").toInt
     // und: (src, dst), already symmetrized. Materialize once — it feeds
     // every round's join AND the initial vertex set.
     val (edges, edgeBlocks) = checkpointPinned(und)
@@ -77,11 +106,26 @@ object Corpus {
     var rounds = 0
     while (!converged) {
       rounds += 1
+      if (maxRounds > 0 && rounds > maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents aborted: exceeded maxRounds=$maxRounds " +
+            "(spark.graft.cc.maxRounds is a measurement knob)")
       val prop = edges.join(labels, edges("src") === labels("v"))
         .select(edges("dst").as("v"), col("label"))
-      val (next, nextBlocks) = checkpointPinned(
-        labels.unionByName(prop)
-          .groupBy(col("v")).agg(min(col("label")).as("label"))) // cut lineage: iterative joins stack plans
+      val agg = labels.unionByName(prop)
+        .groupBy(col("v")).agg(min(col("label")).as("label"))
+      // pointer-jump shortcut: label(v) ← label(label(v)). Inner join is
+      // total (every label value is a vertex row, see docstring); the
+      // agg subplan appears on both sides but its inner exchange is
+      // deduped by ReuseExchange — the round pays the two join
+      // exchanges, and buys rounds ∝ log diameter.
+      val stepped =
+        if (!shortcut) agg
+        else agg.join(
+            agg.select(col("v").as("lv"), col("label").as("label2")),
+            col("label") === col("lv"))
+          .select(col("v"), col("label2").as("label"))
+      val (next, nextBlocks) = checkpointPinned(stepped) // cut lineage: iterative joins stack plans
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -228,7 +272,12 @@ object Corpus {
     "t35_cluster_delta",
     (s, d) => {
       val resident = LabelIndex.ensure(s, d)
-      val delta = TextDedup.pairDelta(s, d).select(col("doc1"), col("doc2"))
+      // the delta arrives from its PERSISTED product (t34's artifact,
+      // TextDedup.DeltaPairIndex) — the nightly split where the band
+      // probe runs once per slice and every consumer reads; the gate's
+      // live cost is the splice + the delta-bounded CC (r17)
+      val delta = TextDedup.DeltaPairIndex.ensure(s, d)
+        .select(col("doc1"), col("doc2"))
       val endpoints = delta.select(col("doc1").as("doc_id"))
         .unionByName(delta.select(col("doc2").as("doc_id"))).distinct()
       val affected = resident.join(endpoints, Seq("doc_id"))

@@ -1860,6 +1860,26 @@ object TextDedup {
     }
   }
 
+  /** The [[pairDelta]] product PERSISTED once per corpus fingerprint —
+    * the artifact split a nightly deployment actually runs: t34 gates
+    * the delta COMPUTATION (and stays live, it is the gate for exactly
+    * that), the delta's consumers read its written product. t35's
+    * incremental clustering consumes this instead of re-running the
+    * band probe per pass (r16 VERDICT slate #2a: the gate's live cost
+    * becomes the splice + bounded CC). Same [[IndexStore]] contract as
+    * every index. */
+  object DeltaPairIndex {
+    private[graft] def indexDirFor(d: String): String =
+      s"${sys.props("java.io.tmpdir")}/graft_pairs_dlt_l1_${IndexStore.corpusFingerprint(d, "documents")}"
+
+    def ensure(s: SparkSession, d: String): DataFrame = {
+      val dir = IndexStore.ensure(indexDirFor(d), "pairs/_SUCCESS") { tmp =>
+        pairDelta(s, d).write.mode("overwrite").parquet(s"$tmp/pairs")
+      }
+      s.read.parquet(s"$dir/pairs")
+    }
+  }
+
   /** N-night PROMOTION ring over the persisted pair index — the piece
     * that closes the maintenance LOOP (r14 VERDICT slate #1): c04
     * computes resident ∪ delta but never writes it back, so every night

@@ -992,6 +992,86 @@ object ScaleSmoke {
       }
     }
 
+    // ---- giant-dup-cluster adversary (r16 VERDICT slate #3) ----
+    // Half the corpus in ONE connected component, shaped as a chained
+    // clique-of-cliques: 20-doc groups of IDENTICAL docs (cliques),
+    // consecutive groups overlapping at Jaccard 0.647 (chain links) —
+    // 62.5k docs, ~1.8M pairs, diameter ~3.1k hops. Plain hash-min
+    // label propagation iterates ∝ diameter (3.1k rounds of
+    // corpus-label shuffles — measured here only to an aborted round
+    // cap); the pointer-jump shortcut converges ∝ log diameter. Also
+    // times the keep-mask dominator calculus over the giant
+    // component's pair neighborhood (the other consumer the VERDICT
+    // named). The other half of the corpus is pair-free singletons, so
+    // the component genuinely holds 50% of docs.
+    if (want("ccskew")) {
+      import graft.operators.{Corpus, TextDedup}
+      val dir = "/tmp/graft_scale_ccskew"
+      val half = 62500L
+      if (!new java.io.File(s"$dir/documents.parquet").isDirectory) {
+        val docs = spark.range(0, 2 * half).select(
+          col("id").as("doc_id"),
+          when(col("id") < half,
+            // group g = id/20 shares one 30-token window; stride 6
+            // between groups → adjacent-group Jaccard (28-6)/(28+6)
+            expr("array_join(transform(sequence(0, 29), " +
+              "j -> concat('c', (id div 20) * 6 + j)), ' ')"))
+            .otherwise(
+              expr("array_join(transform(sequence(0, 9), " +
+                "j -> concat('u', id, 'x', j)), ' ')"))
+            .as("text"),
+          lit("en").as("lang"), lit("synthetic").as("source"))
+        docs.withColumn("n_chars", length(col("text")).cast("long"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      }
+      // the pair artifact is the precondition both CC arms read — build
+      // and time it once, outside the arm timings (the nightly split)
+      val (tPairs, nPairs) = timeReleasing(
+        TextDedup.PairIndex.ensure(spark, dir).count())
+      def und() = {
+        val p = TextDedup.PairIndex.ensure(spark, dir)
+          .select(col("doc1"), col("doc2"))
+        p.select(col("doc1").as("src"), col("doc2").as("dst"))
+          .unionByName(p.select(col("doc2").as("src"), col("doc1").as("dst")))
+      }
+      def shuffled(f: => Long): (Double, Long, Long) = {
+        val bytes = new java.util.concurrent.atomic.AtomicLong
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (e.taskMetrics != null)
+              bytes.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+        spark.sparkContext.addSparkListener(l)
+        try { val (t, n) = timeReleasing(f); Thread.sleep(500); (t, n, bytes.get()) }
+        finally spark.sparkContext.removeSparkListener(l)
+      }
+      val (tCc, nCc, shCc) = shuffled(Corpus.connectedComponents(und()).count())
+      val roundsShort = Corpus.lastRounds
+      spark.conf.set("spark.graft.cc.shortcut", "off")
+      spark.conf.set("spark.graft.cc.maxRounds", "40")
+      val t0p = System.nanoTime()
+      val outcome =
+        try {
+          val n = Corpus.connectedComponents(und()).count()
+          f"converged ${Corpus.lastRounds} rounds ($n labeled) in ${(System.nanoTime() - t0p) / 1e9}%.1fs"
+        } catch { case _: IllegalStateException =>
+          f"ABORTED at 40 rounds after ${(System.nanoTime() - t0p) / 1e9}%.1fs (diameter ~3.1k → ~3.1k rounds to converge)"
+        }
+      spark.conf.unset("spark.graft.cc.shortcut")
+      spark.conf.unset("spark.graft.cc.maxRounds")
+      graft.Lifecycle.release(spark)
+      val batch = graft.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 10 === 7).select(col("doc_id"))
+      val (tKeep, nKeep) = timeReleasing(
+        TextDedup.dedupKeepMask(TextDedup.PairIndex.ensure(spark, dir), batch)
+          .filter(col("keep")).count())
+      println(f"CCSKEW docs=${2 * half} pairs=$nPairs (build ${tPairs}%6.1fs) " +
+        f"shortcutCC=${tCc}%6.1fs rounds=$roundsShort ($nCc labeled, " +
+        f"shuffle=${shCc / 1048576}MB) plainCC=$outcome " +
+        f"keepMask=${tKeep}%6.1fs ($nKeep kept)")
+    }
+
     // ---- deep skew stress (r14 slate #4) ----
     // A deliberately skewed corpus at scale: every doc's text is made
     // replica-disjoint by PREFIXING each token with the replica id

@@ -220,6 +220,25 @@ class IvfIncSpec extends SparkSpec {
     }
   }
 
+  test("cached-assignment monitor agrees with the from-scratch monitor and flips no arm") {
+    graft.functions.VectorExpressions.register(spark)
+    // the quiet-arm monitor (r17): driftRatioFromAssigned reads the
+    // maintained index's cells instead of re-deriving the argmin; the
+    // two instruments must agree up to double-AVG fold order (the
+    // stored cell IS the argmin, so the winning distance is the same
+    // number per row) and — the property the policy rests on — must
+    // make the same recluster decision
+    val cen = spark.read.parquet(
+      s"${Similarity.IvfIncIndex.ensureBase(spark, d)}/centroids")
+    val fromScratch = Similarity.IvfIncIndex.driftRatio(spark, d)
+    val fromIndex = Similarity.IvfIncIndex.driftRatioFromAssigned(
+      Similarity.IvfIncIndex.maintained(spark, d), cen)
+    assert(math.abs(fromIndex - fromScratch) <= 1e-9 * math.abs(fromScratch),
+      s"monitor instruments diverged: index=$fromIndex scratch=$fromScratch")
+    assert((fromIndex >= Similarity.IvfIncIndex.ReclusterRatio) ==
+      (fromScratch >= Similarity.IvfIncIndex.ReclusterRatio))
+  }
+
   test("drift monitor: same-distribution growth stays quiet, a planted shift trips recluster") {
     graft.functions.VectorExpressions.register(spark)
     // fixture slices are drawn from one distribution: the ratio must sit
