@@ -1748,6 +1748,83 @@ object Advanced {
        |FROM batch b LEFT JOIN dom ON b.doc_id = dom.doc_id
        |ORDER BY stage, id, id2""".stripMargin))
 
+  /** Multi-night ring SOAK gate — the composition-over-time invariant
+    * none of c04-c07 can see (each gates ONE lifecycle arm; the failure
+    * mode that matters at 100 TB is state corruption that only appears
+    * after promote → fold → retract → promote CHAINS). Runs
+    * [[TextDedup.SoakRing]]'s five simulated nights (build, grow 3,
+    * grow 7 + ratio-gated fold, retract the %17 tombstones, grow the
+    * late slice 1 on top of the retraction — full schedule in the ring's
+    * Scaladoc) and hash-checks, per night, the SERVED pair set AND the
+    * keep-mask probe of that night's arriving batch (night 3 re-probes
+    * yesterday's slice over the retracted state — the reinstatement
+    * direction) against a from-scratch DuckDB derivation of that
+    * night's present set. The oracle's per-night present/batch
+    * conditions are GENERATED from the ring's own schedule constants,
+    * so engine and oracle cannot drift schedules.
+    *
+    * Scale: the gate's cost is the ring's cost — one corpus-shaped
+    * build (night 0), then slice-proportional band probes, a pair-set-
+    * proportional fold/retract, and metadata-cheap publications; the
+    * per-night cost curve at 125k docs is ScaleSmoke `soak`
+    * (PLANS.md r17). */
+  val c08 = QueryDef(
+    "c08_ring_soak",
+    (s, d) => {
+      import TextDedup.SoakRing
+      val docsDf = Tables.documents(s, d)
+      val nullId2 = lit(null).cast("long")
+      (0 to 4).map { k =>
+        val pairs = SoakRing.served(s, d, k)
+          .select(lit(k).as("night"), lit("pairs").as("stage"),
+            col("doc1").as("id"), col("doc2").as("id2"),
+            col("jaccard").as("val"))
+        if (k == 0) pairs
+        else {
+          val batch = docsDf.filter(SoakRing.batchPred(k)).select(col("doc_id"))
+          val keep = TextDedup.dedupKeepMask(SoakRing.served(s, d, k), batch)
+            .select(lit(k).as("night"), lit("keep").as("stage"),
+              col("doc_id").as("id"), nullId2.as("id2"),
+              when(col("keep"), 1.0).otherwise(0.0).as("val"))
+          pairs.unionByName(keep)
+        }
+      }.reduce(_ unionByName _)
+        .orderBy(col("night"), col("stage"), col("id"), col("id2"))
+    },
+    Some {
+      import TextDedup.SoakRing
+      val nights = (0 to 4).map { k =>
+        def p(c: String) = SoakRing.presentSql(k, c)
+        val pairsBranch =
+          s"""SELECT CAST($k AS INTEGER) AS night, 'pairs' AS stage,
+             |       doc1 AS id, doc2 AS id2, jaccard AS val
+             |FROM jp WHERE ${p("doc1")} AND ${p("doc2")}""".stripMargin
+        if (k == 0) pairsBranch
+        else {
+          def b(c: String) = SoakRing.batchSql(k, c)
+          pairsBranch + "\nUNION ALL\n" +
+            s"""SELECT CAST($k AS INTEGER), 'keep', b.doc_id, CAST(NULL AS BIGINT),
+               |       CASE WHEN dmn.doc_id IS NULL THEN 1.0 ELSE 0.0 END
+               |FROM (SELECT doc_id FROM documents WHERE ${b("doc_id")}) b
+               |LEFT JOIN (
+               |  SELECT DISTINCT u.bb AS doc_id FROM (
+               |    SELECT doc1 AS bb, doc2 AS partner FROM jp
+               |    WHERE ${p("doc1")} AND ${p("doc2")}
+               |    UNION ALL
+               |    SELECT doc2 AS bb, doc1 AS partner FROM jp
+               |    WHERE ${p("doc1")} AND ${p("doc2")}
+               |  ) u
+               |  JOIN (SELECT doc_id FROM documents WHERE ${b("doc_id")}) bt
+               |    ON u.bb = bt.doc_id
+               |  WHERE NOT (${b("u.partner")}) OR u.partner < u.bb
+               |) dmn ON b.doc_id = dmn.doc_id""".stripMargin
+        }
+      }
+      s"""WITH jp AS (${TextDedup.JaccardPairsSql})
+         |${nights.mkString("\nUNION ALL\n")}
+         |ORDER BY night, stage, id, id2""".stripMargin
+    })
+
   /** SCD2 dimension build — turn the events change log into
     * slowly-changing-dimension rows with validity intervals: per user,
     * consecutive same-status events collapse (lag filter), and each
@@ -1982,6 +2059,6 @@ object Advanced {
 
   val catalog: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, q16, q17, t09, c01, c02, c03,
-      c04, c05, c06, c07, tj01, tj02, tj03, v01, v02, v03, v04, v05, v06, j01, q18, t10, q19, q20, q21,
+      c04, c05, c06, c07, c08, tj01, tj02, tj03, v01, v02, v03, v04, v05, v06, j01, q18, t10, q19, q20, q21,
       q24, q25, q32, q33, q34)
 }

@@ -433,23 +433,25 @@ object Multimodal {
     * aggregate. The real-decode arms (PNG/WAV) feed the same hash in
     * MultimodalSpec; gate payloads exercise the stub arm, recomputed by
     * the oracle from hex(encode(text)). */
-  val mm04 = QueryDef(
-    "mm04_phash_dedup",
-    (s, d) => {
-      import s.implicits._
-      val media = mediaFromDocuments(
-          Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
-        .as[MediaRow]
-      media.mapPartitions { rows =>
+  /** The (id, phash) derivation — shared by the mm04 gate body and the
+    * mm06 ring-retraction gate, so a pHash tweak can never leave one of
+    * them computing against a stale hash (the KeepDomCtes lesson). */
+  private def phashFrame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaFromDocuments(
+        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
+      .as[MediaRow]
+      .mapPartitions { rows =>
         rows.map { r =>
           (r.id, phash(frameSampleStub(decode(r.payload), stride = 2)))
         }
       }.toDF("id", "phash")
-        .groupBy(col("phash"))
-        .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_media"))
-        .orderBy(col("phash"), col("keep_id"))
-    },
-    Some(s"""WITH b AS (
+  }
+
+  /** The DuckDB pHash derivation (b → samp → cells → lvl → ph) — the
+    * ONE oracle body for mm04 and mm06 ([[phashFrame]]'s mirror). */
+  private val PhashCtes: String =
+    s"""b AS (
       |  SELECT doc_id AS id, hex(encode(text)) AS h,
       |         (octet_length(encode(text)) + 1) // 2 AS len
       |  FROM documents
@@ -475,9 +477,81 @@ object Multimodal {
       |               SUM(level) OVER (PARTITION BY id) AS tot
       |        FROM lvl)
       |  GROUP BY id
-      |)
+      |)""".stripMargin
+
+  val mm04 = QueryDef(
+    "mm04_phash_dedup",
+    (s, d) =>
+      phashFrame(s, d)
+        .groupBy(col("phash"))
+        .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_media"))
+        .orderBy(col("phash"), col("keep_id")),
+    Some(s"""WITH $PhashCtes
       |SELECT phash, MIN(id) AS keep_id, COUNT(*) AS n_media
       |FROM ph GROUP BY phash ORDER BY phash, keep_id""".stripMargin))
+
+  /** CROSS-RING composition, media → text (r16 VERDICT slate #5 — the
+    * mirror of s17's text → vector direction): the PERCEPTUAL media
+    * verdict (mm04's aHash dedup — every media doc dominated by a
+    * smaller-id doc with the same pHash) RETRACTS the dropped docs from
+    * the promoted pair ring's served state ([[TextDedup.retractPairs]]
+    * over [[TextDedup.PromotedPairIndex.maintained]], c07's arm), and
+    * the keep-mask probe runs over the retracted frame with the
+    * media-dup batch ids gone — so a doc the media pipeline drops stops
+    * participating in text dedup verdicts without anyone rebuilding the
+    * pair index. Four individually-gated pieces, one hash: the oracle
+    * re-derives the pHash chain ([[PhashCtes]], the shipped bit
+    * construction), the dup verdict, the reduced corpus, and THEN the
+    * whole tokenize → shingle → pair → keep calculus from scratch over
+    * `live` (c07's pattern — never mirroring the engine's filter
+    * shape).
+    *
+    * Scale: the verdict is the per-row pHash kernel + one hash shuffle
+    * (mm04's shape); the retraction is two anti-joins against a
+    * metadata-sized tombstone set; the probe keeps t25's
+    * neighborhood-bounded cost. No corpus-shaped work is added by the
+    * composition. */
+  val mm06 = QueryDef(
+    "mm06_phash_ring_retract",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("phash")).orderBy(col("id"))
+      val tombs = phashFrame(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") > 1).select(col("id").as("doc_id"))
+      val pairs = TextDedup.retractPairs(
+        TextDedup.PromotedPairIndex.maintained(s, d), tombs)
+      val batch = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 7).select(col("doc_id"))
+        .join(tombs, Seq("doc_id"), "left_anti")
+      val keep = TextDedup.dedupKeepMask(pairs, batch)
+      val nullId2 = lit(null).cast("long")
+      pairs.select(lit("pairs").as("stage"), col("doc1").as("id"),
+          col("doc2").as("id2"), col("jaccard").as("val"))
+        .unionByName(keep.select(lit("keep").as("stage"),
+          col("doc_id").as("id"), nullId2.as("id2"),
+          when(col("keep"), 1.0).otherwise(0.0).as("val")))
+        .orderBy(col("stage"), col("id"), col("id2"))
+    },
+    Some(s"""WITH $PhashCtes,
+      |dup AS (
+      |  SELECT id AS doc_id FROM (
+      |    SELECT id, ROW_NUMBER() OVER (PARTITION BY phash ORDER BY id) AS rk
+      |    FROM ph)
+      |  WHERE rk > 1),
+      |live AS (
+      |  SELECT d.* FROM documents d
+      |  LEFT JOIN dup ON d.doc_id = dup.doc_id
+      |  WHERE dup.doc_id IS NULL),
+      |jp AS (${TextDedup.jaccardPairsSqlFrom("live")}),
+      |batch AS (SELECT doc_id FROM live WHERE doc_id % 10 = 7),
+      |${TextDedup.KeepDomCtes}
+      |SELECT 'pairs' AS stage, doc1 AS id, doc2 AS id2, jaccard AS val FROM jp
+      |UNION ALL
+      |SELECT 'keep', b.doc_id, CAST(NULL AS BIGINT),
+      |       CASE WHEN dom.doc_id IS NULL THEN 1.0 ELSE 0.0 END
+      |FROM batch b LEFT JOIN dom ON b.doc_id = dom.doc_id
+      |ORDER BY stage, id, id2""".stripMargin))
 
   /** Autocorrelation lags probed for the pitch-proxy argmax. */
   private val AcLags = 8
@@ -595,5 +669,5 @@ object Multimodal {
       |JOIN best ON best.id = b.id AND best.rn = 1
       |ORDER BY b.id""".stripMargin))
 
-  val catalog: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04, mm05)
+  val catalog: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04, mm05, mm06)
 }

@@ -2036,6 +2036,192 @@ object TextDedup {
     }
   }
 
+  /** The multi-night SOAK ring (r16 VERDICT slate #1) — every lifecycle
+    * arm is individually hash-gated (c04 grow, c05 promote, c06 fold,
+    * c07 retract), but none of those can see state corruption that only
+    * appears after CHAINED maintenance: promote → fold → retract →
+    * promote over one corpus, each night building on the previous
+    * night's PUBLISHED artifact. This ring simulates five nights:
+    *
+    *  - night 0: from-scratch LSH build over the original resident
+    *    corpus (slices 3, 7 and 1 not yet arrived) — published;
+    *  - night 1: slice doc_id%10==3 arrives — band-delta GROW, the
+    *    segment published (PROMOTE);
+    *  - night 2: slice doc_id%10==7 arrives — grow + promote, then the
+    *    ratio-gated segment-tail FOLD (the c06 policy over the soak's
+    *    own segments) decides the served layout;
+    *  - night 3: a tombstone batch (doc_id%17==3 — deliberately
+    *    UNALIGNED with the slices, straddling resident and delta
+    *    segments AND the folded layout) is RETRACTED and the reduced
+    *    state published as the new resident (the physical-reclamation
+    *    fold [[retractPairs]]'s doc promises);
+    *  - night 4: a late slice (doc_id%10==1, minus its tombstoned
+    *    members) arrives and GROWS the post-retraction state — the
+    *    composition direction nothing else exercises: a delta append
+    *    on top of a retraction.
+    *
+    * The c08 gate hash-checks, for EVERY night, the served pair set
+    * AND the keep-mask probe of that night's arriving batch (night 3
+    * re-probes yesterday's slice over the retracted state — the
+    * reinstatement direction) against a from-scratch DuckDB derivation
+    * restricted to the docs present that night. A pair leaked across a
+    * promotion, resurrected by the late grow after its endpoint was
+    * tombstoned, dropped by the fold, or a keep verdict computed
+    * against the wrong state all break the hash AT THE NIGHT WHERE
+    * THEY HAPPEN.
+    *
+    * Scale: each night keeps its member's cost shape — night 0 is the
+    * only corpus-proportional build; grows are O(slice × bands) band
+    * probes against the persisted [[BandIndex]]; the fold and the
+    * retraction are ∝ pair-set bytes; publication is the atomic
+    * rename+marker every index rides ([[IndexStore]]). The N-night
+    * cost curve is measured at 125k docs in ScaleSmoke `soak`
+    * (PLANS.md r17). Reference anchor: the daily cron shape,
+    * `README.md:9`, `tabjolt_email.py:345-394`. */
+  object SoakRing {
+    /** Grow slices in arrival order (nights 1..2). */
+    private[graft] val GrowRems: Seq[Int] = Seq(3, 7)
+    /** The post-retraction late slice (night 4). */
+    private[graft] val LateRem = 1
+    /** Tombstone batch (night 3) — unaligned with the 10-modulus slices. */
+    private[graft] val TombMod = 17
+    private[graft] val TombRem = 3
+
+    /** Docs present at the END of `night` (the corpus the served state
+      * must equal a from-scratch build of). */
+    private[graft] def presentAt(night: Int): Column = {
+      val missing =
+        if (night <= 2) GrowRems.drop(night) :+ LateRem
+        else if (night == 3) Seq(LateRem)
+        else Seq.empty[Int]
+      val slices = missing.foldLeft(lit(true))(
+        (acc, r) => acc && col("doc_id") % 10 =!= r)
+      if (night >= 3) slices && col("doc_id") % TombMod =!= TombRem
+      else slices
+    }
+
+    /** The identical condition as SQL over column `c` — the oracle's
+      * per-night present set, generated from the SAME schedule
+      * constants so the two sides cannot drift. */
+    private[graft] def presentSql(night: Int, c: String): String = {
+      val missing =
+        if (night <= 2) GrowRems.drop(night) :+ LateRem
+        else if (night == 3) Seq(LateRem)
+        else Seq.empty[Int]
+      val parts = missing.map(r => s"$c % 10 <> $r") ++
+        (if (night >= 3) Seq(s"$c % $TombMod <> $TombRem") else Nil)
+      if (parts.isEmpty) "TRUE" else parts.mkString(" AND ")
+    }
+
+    /** The probe batch of `night` as a (Column predicate, SQL) pair —
+      * the slice that just arrived; night 3 re-probes yesterday's slice
+      * over the retracted state (reinstatement). */
+    private[graft] def batchPred(night: Int): Column = night match {
+      case 1 => col("doc_id") % 10 === GrowRems(0)
+      case 2 => col("doc_id") % 10 === GrowRems(1)
+      case 3 => col("doc_id") % 10 === GrowRems(1) &&
+        col("doc_id") % TombMod =!= TombRem
+      case 4 => col("doc_id") % 10 === LateRem &&
+        col("doc_id") % TombMod =!= TombRem
+    }
+    private[graft] def batchSql(night: Int, c: String): String = night match {
+      case 1 => s"$c % 10 = ${GrowRems(0)}"
+      case 2 => s"$c % 10 = ${GrowRems(1)}"
+      case 3 => s"$c % 10 = ${GrowRems(1)} AND $c % $TombMod <> $TombRem"
+      case 4 => s"$c % 10 = $LateRem AND $c % $TombMod <> $TombRem"
+    }
+
+    // _l1: layout-version salt, the BandIndex convention
+    private def dirFor(d: String, tag: String): String =
+      s"${sys.props("java.io.tmpdir")}/graft_soak_l1_${IndexStore.corpusFingerprint(d, "documents")}_$tag"
+
+    /** Night 0's build / nights 1-2's delta segments — publish-once. */
+    private def ensureSegment(s: SparkSession, d: String, night: Int): String =
+      IndexStore.ensure(dirFor(d, s"n$night"), "pairs/_SUCCESS") { tmp =>
+        val seg =
+          if (night == 0)
+            lshPairsFromBands(docs(s, d).filter(presentAt(0)),
+              corpusBands(s, d).filter(presentAt(0)), setsBytesFor(d))
+          else {
+            val bands = corpusBands(s, d).filter(presentAt(night))
+            bandDelta(docs(s, d).filter(presentAt(night)), bands,
+              bands.filter(col("doc_id") % 10 === GrowRems(night - 1)),
+              setsBytesFor(d), avgDocBytesFor(d))
+          }
+        seg.write.mode("overwrite").parquet(s"$tmp/pairs")
+      }
+
+    private def segUnion(s: SparkSession, d: String, night: Int): DataFrame =
+      (0 to night).map(k => s.read.parquet(s"${ensureSegment(s, d, k)}/pairs"))
+        .reduce(_ unionByName _)
+
+    /** Night 2's fold policy — the c06 ratio calculus over the soak's
+      * own segment dirs (shared constant with the vector ring). */
+    private[graft] def foldDue(d: String): Boolean = {
+      val bb = IndexStore.dirBytes(s"${dirFor(d, "n0")}/pairs")
+      val tail = (1 to GrowRems.size)
+        .map(k => IndexStore.dirBytes(s"${dirFor(d, s"n$k")}/pairs"))
+      bb > 0 && tail.forall(_ >= 0) &&
+        tail.sum.toDouble >= Similarity.IvfIncIndex.CompactRatio * bb
+    }
+
+    private def ensureFolded(s: SparkSession, d: String): String =
+      IndexStore.ensure(dirFor(d, "fold2"), "pairs/_SUCCESS") { tmp =>
+        val total = (0 to GrowRems.size)
+          .map(k => math.max(IndexStore.dirBytes(s"${dirFor(d, s"n$k")}/pairs"), 0L))
+          .sum
+        val nFiles = math.max(s.sparkContext.defaultParallelism,
+          math.ceil(total / (128.0 * 1024 * 1024)).toInt)
+        segUnion(s, d, GrowRems.size).repartition(nFiles)
+          .write.mode("overwrite").parquet(s"$tmp/pairs")
+      }
+
+    /** Night 3: tombstones retracted from night 2's SERVED layout
+      * (folded or segmented — row-identical either way) and the reduced
+      * state published as the new resident. */
+    private def ensureRetracted(s: SparkSession, d: String): String =
+      IndexStore.ensure(dirFor(d, "n3"), "pairs/_SUCCESS") { tmp =>
+        val tombs = docs(s, d)
+          .filter(col("doc_id") % TombMod === TombRem).select(col("doc_id"))
+        retractPairs(served(s, d, 2), tombs)
+          .write.mode("overwrite").parquet(s"$tmp/pairs")
+      }
+
+    /** Night 4: the late slice grows the POST-RETRACTION state — fresh
+      * bands exclude tombstoned members via presentAt(4), so a
+      * retracted doc's pairs can never be resurrected by the grow. */
+    private def ensureLateSegment(s: SparkSession, d: String): String =
+      IndexStore.ensure(dirFor(d, "n4"), "pairs/_SUCCESS") { tmp =>
+        val bands = corpusBands(s, d).filter(presentAt(4))
+        bandDelta(docs(s, d).filter(presentAt(4)), bands,
+          bands.filter(col("doc_id") % 10 === LateRem),
+          setsBytesFor(d), avgDocBytesFor(d))
+          .write.mode("overwrite").parquet(s"$tmp/pairs")
+      }
+
+    /** Delete every publication of this ring for corpus `d` —
+      * measurement harness only (ScaleSmoke `soak` re-times cold
+      * nights); production state is publish-once by design. */
+    private[graft] def wipe(d: String): Unit =
+      (Seq("fold2") ++ (0 to 4).map(k => s"n$k")).foreach(tag =>
+        graft.Lifecycle.deleteRecursively(new java.io.File(dirFor(d, tag))))
+
+    /** The SERVED pair state at the end of `night`, chained through the
+      * published artifacts (night k+1 reads night k's publication,
+      * never a recompute). Unordered — consumers sort. */
+    def served(s: SparkSession, d: String, night: Int): DataFrame = night match {
+      case n if n >= 0 && n <= 1 => segUnion(s, d, n)
+      case 2 =>
+        val segmented = segUnion(s, d, 2)
+        if (foldDue(d)) s.read.parquet(s"${ensureFolded(s, d)}/pairs")
+        else segmented
+      case 3 => s.read.parquet(s"${ensureRetracted(s, d)}/pairs")
+      case 4 => s.read.parquet(s"${ensureRetracted(s, d)}/pairs")
+        .unionByName(s.read.parquet(s"${ensureLateSegment(s, d)}/pairs"))
+      case n => sys.error(s"soak ring has 5 nights (0-4); got $n")
+    }
+  }
+
   val t34 = QueryDef(
     "t34_pair_index_delta",
     (s, d) => pairDelta(s, d).orderBy(col("doc1"), col("doc2")),

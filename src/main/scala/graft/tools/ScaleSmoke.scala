@@ -992,6 +992,26 @@ object ScaleSmoke {
       }
     }
 
+    // ---- soak-ring N-night cost curve (r16 VERDICT slate #1) ----
+    // c08's claim: per-night cost after night 0 is ∝ the slice (band
+    // probe) or the pair set (fold/retract), never ∝ the corpus. Time
+    // each night's MARGINAL cost cold (prior nights' publications warm,
+    // the nightly-cron shape) at the 125k-doc replica depth.
+    if (want("soak")) {
+      import graft.operators.TextDedup.SoakRing
+      val dir = ensureDocsReplicas(25)
+      spark.conf.set("spark.graft.bands.mode", "persisted")
+      graft.operators.TextDedup.BandIndex.ensure(spark, dir) // warm, untimed
+      graft.Lifecycle.release(spark)
+      SoakRing.wipe(dir)
+      val curve = (0 to 4).map { k =>
+        val (t, n) = timeReleasing(SoakRing.served(spark, dir, k).count())
+        f"n$k=${t}%6.1fs($n)"
+      }
+      println(s"SOAK docs=125k nights: ${curve.mkString(" ")} " +
+        s"foldDue=${SoakRing.foldDue(dir)}")
+    }
+
     // ---- giant-dup-cluster adversary (r16 VERDICT slate #3) ----
     // Half the corpus in ONE connected component, shaped as a chained
     // clique-of-cliques: 20-doc groups of IDENTICAL docs (cliques),
