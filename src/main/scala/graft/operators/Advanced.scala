@@ -1186,28 +1186,40 @@ object Advanced {
     * encoding). Each round collects exactly ONE row (the argmax pair);
     * the vocab-sized state's k-round lineage is cut with
     * localCheckpoint per round. */
-  private[graft] def bpeTrain(s: SparkSession, d: String): (Seq[(Int, String, Long)], DataFrame) = {
+  /** The vocabulary collapsed once and symbol-encoded (the double-space
+    * form) — the shared starting state of [[bpeTrain]] (one merge per
+    * round) and [[bpeTrainBatched]] (top-B per round). */
+  private def bpeSeqInit(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions._
-    val vocab = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    var seqs = vocab.select(col("w"), col("freq"),
-      concat(lit(" "), array_join(expr(
-        "transform(sequence(0, length(w) - 1), i -> substring(w, i + 1, 1))"),
-        "  "), lit(" ")).as("seq"))
-      .localCheckpoint()
+      .select(col("w"), col("freq"),
+        concat(lit(" "), array_join(expr(
+          "transform(sequence(0, length(w) - 1), i -> substring(w, i + 1, 1))"),
+          "  "), lit(" ")).as("seq"))
+  }
+
+  /** Corpus-weighted adjacent-symbol pair counts over a seq frame — the
+    * per-round statistic both trainers maximize. */
+  private def bpePairCounts(seqs: DataFrame): DataFrame =
+    seqs
+      .withColumn("syms", split(trim(col("seq")), "  "))
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(0, size(syms) - 2)," +
+          " i -> concat(element_at(syms, i + 1), ' ', element_at(syms, i + 2)))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+
+  private[graft] def bpeTrain(s: SparkSession, d: String,
+      iters: Int = BpeIters): (Seq[(Int, String, Long)], DataFrame) = {
+    var seqs = bpeSeqInit(s, d).localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, Long)]
     var exhausted = false
-    for (step <- 1 to BpeIters if !exhausted) {
+    for (step <- 1 to iters if !exhausted) {
       // one row: the argmax merge of this round (bounded collect)
-      val top = seqs
-        .withColumn("syms", split(trim(col("seq")), "  "))
-        .filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(0, size(syms) - 2)," +
-            " i -> concat(element_at(syms, i + 1), ' ', element_at(syms, i + 2)))"))
-          .as("pair"))
-        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      val top = bpePairCounts(seqs)
         .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
       // a vocabulary can exhaust its mergeable pairs before BpeIters
       // (every word a single symbol): stop with the merges learned so
@@ -1252,8 +1264,18 @@ object Advanced {
          |      ' ' || replace(pair, ' ', '') || ' ') END AS seq
          |  FROM seq${k - 1} LEFT JOIN m$k ON TRUE)""".stripMargin
     }
-    s"""tok AS (
-       |  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+    s"""$BpeBaseCtes,
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  /** tok → words → seq0: the oracle's shared trainer starting state
+    * ([[bpeSeqInit]]'s mirror), one text for v04/v05/v06's chain and
+    * v07's batched chain. (lazy: referenced by [[BpeCtes]], which is
+    * declared earlier in the object — a strict val here would still be
+    * null at BpeCtes's initialization.) */
+  private lazy val BpeBaseCtes: String =
+    """tok AS (
+       |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
        |  FROM documents
        |),
        |words AS (
@@ -1263,9 +1285,7 @@ object Advanced {
        |seq0 AS (
        |  SELECT w, freq,
        |         ' ' || array_to_string(list_transform(range(len(w)), i -> w[i+1]), '  ') || ' ' AS seq
-       |  FROM words),
-       |${rounds.mkString(",\n")}""".stripMargin
-  }
+       |  FROM words)""".stripMargin
 
   val v05 = QueryDef(
     "v05_bpe_train",
@@ -1348,6 +1368,151 @@ object Advanced {
        |       CAST(SUM(n_sym) AS DOUBLE) / COUNT(*) AS tokens_per_word
        |FROM dw JOIN wt USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Batched-BPE round geometry (v07): [[BpeBatchB]] non-interacting
+    * merges applied per round out of a [[BpeBatchWindow]]-deep ranked
+    * candidate window, for [[BpeBatchRounds]] rounds. Gate-sized; a
+    * production trainer runs the same rule with B ~ 256 — what matters
+    * is that the per-round driver round-trip amortizes over B merges,
+    * because a 32k-merge vocabulary at one merge per round is 32k
+    * sequential driver round-trips no cluster can amortize (the v05
+    * shape is the semantics pin, not the scale path). */
+  private val BpeBatchRounds = 3
+  private val BpeBatchB = 8
+  private val BpeBatchWindow = 32
+
+  /** True when candidate merge q (higher-ranked) and p cannot be
+    * applied independently in one round: they share a symbol, or one's
+    * MERGED symbol is a symbol (or the merged symbol) of the other —
+    * the case where applying q mints tokens p's pattern would then
+    * match, making application order change the result. The SQL mirror
+    * lives in v07's oracle; survivors of the rank-order dominance
+    * filter are pairwise non-interacting, so the batch is order-free
+    * (both engines still apply in rank order). */
+  private def bpeConflicts(ql: String, qr: String, pl: String, pr: String): Boolean = {
+    val qm = ql + qr; val pm = pl + pr
+    ql == pl || ql == pr || qr == pl || qr == pr ||
+      qm == pl || qm == pr || pm == ql || pm == qr || qm == pm
+  }
+
+  /** Batched BPE training (r16 VERDICT slate #4): per round, ONE
+    * vocabulary-cost aggregation ranks all pairs, the top
+    * [[BpeBatchWindow]] collect to the driver (bounded), a rank-order
+    * dominance filter keeps pairs that no higher-ranked WINDOW pair
+    * interacts with ([[bpeConflicts]]), and the first [[BpeBatchB]]
+    * survivors are applied in one narrow pass (a chain of literal
+    * replaces — B merges for one driver round-trip, vs v05's one).
+    * The dominance rule is deliberately NON-greedy (a pair blocked by
+    * a higher-ranked pair is skipped even if that blocker was itself
+    * blocked): greedy selection is sequentially dependent and has no
+    * tractable SQL form, while the dominance filter is one anti-join —
+    * the SAME rule on both engines, which is what the gate pins.
+    * Returns (round, rank, pair, cnt) merges and the final seq frame. */
+  private[graft] def bpeTrainBatched(s: SparkSession, d: String)
+      : (Seq[(Int, Int, String, Long)], DataFrame) = {
+    var seqs = bpeSeqInit(s, d).localCheckpoint()
+    val merges = Seq.newBuilder[(Int, Int, String, Long)]
+    var exhausted = false
+    for (step <- 1 to BpeBatchRounds if !exhausted) {
+      val win = bpePairCounts(seqs)
+        .orderBy(col("cnt").desc, col("pair")).limit(BpeBatchWindow).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val survivors = win.zipWithIndex.filter { case ((p, _), i) =>
+        val Array(pl, pr) = p.split(" ", 2)
+        !win.take(i).exists { case (q, _) =>
+          val Array(ql, qr) = q.split(" ", 2)
+          bpeConflicts(ql, qr, pl, pr)
+        }
+      }.map(_._1).take(BpeBatchB)
+      if (survivors.isEmpty) exhausted = true
+      else {
+        merges ++= survivors.zipWithIndex.map { case ((p, c), j) =>
+          (step, j + 1, p, c)
+        }
+        val applied = survivors.foldLeft(col("seq")) { case (c, (p, _)) =>
+          val Array(l, r) = p.split(" ", 2)
+          replace(c, lit(s" $l  $r "), lit(s" $l$r "))
+        }
+        seqs = seqs.withColumn("seq", applied).localCheckpoint()
+      }
+    }
+    (merges.result(), seqs)
+  }
+
+  /** Batched-BPE gate — [[bpeTrainBatched]]'s merge table and top-20
+    * word segmentations, hash-checked against a DuckDB unroll of the
+    * identical batch rule: per round, pair counts → ranked window →
+    * dominance filter (NOT EXISTS against higher-ranked window rows) →
+    * first-B survivors → merges applied in rank order by a recursive
+    * CTE. Schema carries (step, rk) so a survivor ranked differently,
+    * a blocked pair admitted, or an application-order drift all break
+    * the hash, not just the final segmentation. */
+  val v07 = QueryDef(
+    "v07_bpe_batch_train",
+    (s, d) => {
+      import s.implicits._
+      val (mergeList, seqs) = bpeTrainBatched(s, d)
+      val mergeRows = mergeList.toDF("step", "rk", "item", "cnt")
+        .select(lit("merge").as("stage"), col("step"), col("rk"),
+          col("item"), col("cnt"))
+      val encoded = seqs.orderBy(col("freq").desc, col("w")).limit(20)
+        .select(lit("word").as("stage"), lit(0).as("step"), lit(0).as("rk"),
+          concat(col("w"), lit(" -> "), trim(col("seq"))).as("item"),
+          col("freq").as("cnt"))
+      mergeRows.unionByName(encoded)
+        .orderBy(col("stage"), col("step"), col("rk"), col("item"))
+    },
+    Some {
+      val rounds = (1 to BpeBatchRounds).map { k =>
+        s"""pb$k AS (
+           |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, syms[i+1] || ' ' || syms[i+2] AS pair
+           |    FROM (SELECT freq, str_split(trim(seq), '  ') AS syms,
+           |                 unnest(range(len(str_split(trim(seq), '  ')) - 1)) AS i
+           |          FROM seqb${k - 1}))
+           |  GROUP BY pair),
+           |wb$k AS (
+           |  SELECT pair, split_part(pair, ' ', 1) AS l, split_part(pair, ' ', 2) AS r,
+           |         cnt, rk FROM (
+           |    SELECT pair, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rk
+           |    FROM pb$k)
+           |  WHERE rk <= $BpeBatchWindow),
+           |selb$k AS (
+           |  SELECT pair, l, r, cnt, ROW_NUMBER() OVER (ORDER BY rk) AS srk
+           |  FROM wb$k w
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM wb$k v WHERE v.rk < w.rk AND (
+           |      v.l IN (w.l, w.r) OR v.r IN (w.l, w.r) OR
+           |      (v.l || v.r) IN (w.l, w.r, w.l || w.r) OR
+           |      (w.l || w.r) IN (v.l, v.r)))
+           |  QUALIFY srk <= $BpeBatchB),
+           |apb$k AS (
+           |  SELECT w, freq, seq, 0 AS j FROM seqb${k - 1}
+           |  UNION ALL
+           |  SELECT a.w, a.freq,
+           |         replace(a.seq, ' ' || m.l || '  ' || m.r || ' ',
+           |                 ' ' || m.l || m.r || ' '),
+           |         a.j + 1
+           |  FROM apb$k a JOIN selb$k m ON m.srk = a.j + 1),
+           |seqb$k AS (
+           |  SELECT w, freq, seq FROM apb$k
+           |  WHERE j = (SELECT COALESCE(MAX(srk), 0) FROM selb$k))""".stripMargin
+      }
+      val mergeSelects = (1 to BpeBatchRounds).map(k =>
+        s"SELECT 'merge' AS stage, CAST($k AS INTEGER) AS step, " +
+          s"CAST(srk AS INTEGER) AS rk, pair AS item, cnt FROM selb$k")
+      s"""WITH RECURSIVE $BpeBaseCtes,
+         |seqb0 AS (SELECT w, freq, seq FROM seq0),
+         |${rounds.mkString(",\n")}
+         |SELECT stage, step, rk, item, cnt FROM (
+         |  ${mergeSelects.mkString("\n  UNION ALL\n  ")}
+         |  UNION ALL
+         |  SELECT 'word', CAST(0 AS INTEGER), CAST(0 AS INTEGER),
+         |         w || ' -> ' || trim(seq) AS item, freq AS cnt
+         |  FROM (SELECT w, freq, seq FROM seqb$BpeBatchRounds
+         |        ORDER BY freq DESC, w LIMIT 20))
+         |ORDER BY stage, step, rk, item""".stripMargin
+    })
 
   /** Model weights for [[c02]] — feature name -> integer weight. A real
     * deployment loads these from a model artifact table; the POINT is
@@ -2059,6 +2224,6 @@ object Advanced {
 
   val catalog: Seq[QueryDef] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, q16, q17, t09, c01, c02, c03,
-      c04, c05, c06, c07, c08, tj01, tj02, tj03, v01, v02, v03, v04, v05, v06, j01, q18, t10, q19, q20, q21,
+      c04, c05, c06, c07, c08, tj01, tj02, tj03, v01, v02, v03, v04, v05, v06, v07, j01, q18, t10, q19, q20, q21,
       q24, q25, q32, q33, q34)
 }

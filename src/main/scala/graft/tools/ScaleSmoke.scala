@@ -992,6 +992,22 @@ object ScaleSmoke {
       }
     }
 
+    // ---- batched vs one-at-a-time BPE (r16 VERDICT slate #4) ----
+    // v05 collects ONE argmax row per merge round: correct semantics
+    // pin, but a 32k-merge vocabulary = 32k sequential driver
+    // round-trips. v07's batch rule amortizes B merges per round-trip.
+    // Time learning 24 merges both ways at the 125k-doc replica depth
+    // (the tables differ where batched skips a blocked pair — this row
+    // is the COST claim; the semantics are each gate's own oracle).
+    if (want("bpe")) {
+      import graft.operators.Advanced
+      val dir = ensureDocsReplicas(25)
+      val (tSeq, nSeq) = timeReleasing(Advanced.bpeTrain(spark, dir, 24)._1.size)
+      val (tBat, nBat) = timeReleasing(Advanced.bpeTrainBatched(spark, dir)._1.size)
+      println(f"BPE docs=125k oneAtATime(24 rounds)=${tSeq}%6.1fs ($nSeq merges) " +
+        f"batched(3x8)=${tBat}%6.1fs ($nBat merges) ratio=${tSeq / tBat}%.1fx")
+    }
+
     // ---- soak-ring N-night cost curve (r16 VERDICT slate #1) ----
     // c08's claim: per-night cost after night 0 is ∝ the slice (band
     // probe) or the pair set (fold/retract), never ∝ the corpus. Time

@@ -222,6 +222,72 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size < slice, "ring filter dropped nothing — fixture degenerate")
   }
 
+  test("stream restart across a ring promotion: exactly-once admission under the new verdict") {
+    // The st08 deployment shape composed with the restart contract
+    // (r16 VERDICT slate #6): the ring's published state resolves at
+    // stream DEFINITION, so a nightly promotion lands by restarting the
+    // stream from its checkpoint. Across that restart the stream must
+    //  (a) re-read NOTHING it committed (offset replay) — a doc
+    //      admitted under the OLD verdict is not retroactively
+    //      re-filtered when the new verdict would drop it;
+    //  (b) filter ONLY the newly-arrived files, under the NEW verdict.
+    // Planted corpus: doc 7 duplicates resident doc 4 — kept by the
+    // night-1 state (slice 7 not yet paired) and dominated by the
+    // night-2 state; doc 27 (arriving between runs) duplicates doc 4
+    // too and must be dropped by run 2; docs 17/37 are unique keepers.
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextDedup
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ringrestart").toString
+    val docDir = s"$root/documents.parquet"; val ckpt = s"$root/ckpt"
+    val dupX = "identical duplicate payload with enough tokens to shingle cleanly"
+    def docRows(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", "synthetic", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def uniq(id: Long) = s"solo$id filler${id}a filler${id}b filler${id}c filler${id}d"
+    docRows((0L to 6L).map(i => i -> (if (i == 4L) dupX else uniq(i))) :+
+        (7L -> dupX) :+ (17L -> uniq(17L)))
+      .coalesce(1).write.mode("append").parquet(docDir)
+    val schema = spark.read.parquet(docDir).schema
+    // an Append-mode FILE sink: the one sink shape that supports
+    // checkpoint recovery (memory-sink recovery exists only for
+    // Complete mode) — and the shape a production admission stream
+    // lands with anyway. The sink table ACCUMULATES across runs; each
+    // drain returns the cumulative admitted set.
+    val outDir = s"$root/admitted"
+    def drain(pairState: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      val keep = TextDedup.probeKeep(spark, root, pairState)
+        .filter(col("keep")).select(col("doc_id"))
+      val q = spark.readStream.schema(schema).parquet(docDir)
+        .filter(col("doc_id") % 10 === 7)
+        .join(keep, Seq("doc_id"))
+        .select(col("doc_id"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    // run 1 under the night-1 promotion (resident + slice 3: no pair
+    // has a slice-7 endpoint yet, so the whole batch is admitted)
+    val r1 = drain(TextDedup.PromotedPairIndex.ensure(spark, root, 1))
+    assert(r1 == Seq(7L, 17L), s"run 1 admitted $r1")
+    // between runs: new files arrive AND the nightly promotion lands
+    docRows(Seq(27L -> dupX, 37L -> uniq(37L)))
+      .coalesce(1).write.mode("append").parquet(docDir)
+    // (the corpus listing changed, so the ring rebuilds under the new
+    // fingerprint — the nightly shape; night 2 pairs the full corpus)
+    val r2 = drain(TextDedup.PromotedPairIndex.ensure(spark, root, 2))
+    // (a) exactly-once: 7/17 present exactly once — not re-read, not
+    //     retroactively re-filtered even though the NEW verdict
+    //     dominates doc 7; (b) the new file filtered under the new
+    //     verdict: 27 dropped (dup of resident 4), 37 admitted
+    assert(r2 == Seq(7L, 17L, 37L),
+      s"cumulative admission after the promotion-flip restart: $r2")
+    graft.Lifecycle.release(spark)
+  }
+
   test("streaming hourly agg equals the batch groupBy on the same data") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
