@@ -1257,7 +1257,7 @@ object Advanced {
          |          FROM seq${k - 1}))
          |  GROUP BY pair),
          |m$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
-         |seq$k AS (
+         |seq$k AS MATERIALIZED (
          |  SELECT w, freq,
          |    CASE WHEN pair IS NULL THEN seq ELSE replace(seq,
          |      ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
@@ -1272,7 +1272,16 @@ object Advanced {
     * ([[bpeSeqInit]]'s mirror), one text for v04/v05/v06's chain and
     * v07's batched chain. (lazy: referenced by [[BpeCtes]], which is
     * declared earlier in the object — a strict val here would still be
-    * null at BpeCtes's initialization.) */
+    * null at BpeCtes's initialization.)
+    *
+    * Every per-round state CTE in these chains is `AS MATERIALIZED`:
+    * DuckDB INLINES a CTE into each of its references, and seq_k is
+    * referenced twice (the next round's pair counts AND the next
+    * round's apply), so an un-materialized k-round chain recomputes
+    * round 1 up to 2^k times — measured 39 s for v07's 3-round batched
+    * chain at sf0.1 vs 0.13 s materialized, and 1.47 s → 0.11 s for
+    * v05 (r17 pairing window 1). An accidentally-exponential oracle
+    * would also flatter the Spark side of the bench pairing. */
   private lazy val BpeBaseCtes: String =
     """tok AS (
        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
@@ -1282,7 +1291,7 @@ object Advanced {
        |  SELECT w, COUNT(*) AS freq
        |  FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w
        |),
-       |seq0 AS (
+       |seq0 AS MATERIALIZED (
        |  SELECT w, freq,
        |         ' ' || array_to_string(list_transform(range(len(w)), i -> w[i+1]), '  ') || ' ' AS seq
        |  FROM words)""".stripMargin
@@ -1471,13 +1480,13 @@ object Advanced {
            |                 unnest(range(len(str_split(trim(seq), '  ')) - 1)) AS i
            |          FROM seqb${k - 1}))
            |  GROUP BY pair),
-           |wb$k AS (
+           |wb$k AS MATERIALIZED (
            |  SELECT pair, split_part(pair, ' ', 1) AS l, split_part(pair, ' ', 2) AS r,
            |         cnt, rk FROM (
            |    SELECT pair, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rk
            |    FROM pb$k)
            |  WHERE rk <= $BpeBatchWindow),
-           |selb$k AS (
+           |selb$k AS MATERIALIZED (
            |  SELECT pair, l, r, cnt, ROW_NUMBER() OVER (ORDER BY rk) AS srk
            |  FROM wb$k w
            |  WHERE NOT EXISTS (
@@ -1494,7 +1503,7 @@ object Advanced {
            |                 ' ' || m.l || m.r || ' '),
            |         a.j + 1
            |  FROM apb$k a JOIN selb$k m ON m.srk = a.j + 1),
-           |seqb$k AS (
+           |seqb$k AS MATERIALIZED (
            |  SELECT w, freq, seq FROM apb$k
            |  WHERE j = (SELECT COALESCE(MAX(srk), 0) FROM selb$k))""".stripMargin
       }
@@ -1502,7 +1511,7 @@ object Advanced {
         s"SELECT 'merge' AS stage, CAST($k AS INTEGER) AS step, " +
           s"CAST(srk AS INTEGER) AS rk, pair AS item, cnt FROM selb$k")
       s"""WITH RECURSIVE $BpeBaseCtes,
-         |seqb0 AS (SELECT w, freq, seq FROM seq0),
+         |seqb0 AS MATERIALIZED (SELECT w, freq, seq FROM seq0),
          |${rounds.mkString(",\n")}
          |SELECT stage, step, rk, item, cnt FROM (
          |  ${mergeSelects.mkString("\n  UNION ALL\n  ")}

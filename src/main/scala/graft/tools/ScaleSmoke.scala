@@ -979,8 +979,13 @@ object ScaleSmoke {
             graft.operators.TextDedup.PairIndex.indexDirFor(dir)))
           val (tF, nF) = timeReleasing(
             graft.operators.Corpus.t11.fn(spark, dir).count())
-          // the incremental nightly: LIVE delta band probe + verify +
-          // subgraph CC + label splice, over the warm published state
+          // the incremental nightly: delta band probe + verify (t35 now
+          // reads the persisted DeltaPairIndex — r17 — so its build is
+          // wiped per iteration to keep the arm paying the LIVE delta,
+          // symmetric with the full arm's PairIndex wipe) + subgraph CC
+          // + label splice, over the warm published resident state
+          graft.Lifecycle.deleteRecursively(new java.io.File(
+            graft.operators.TextDedup.DeltaPairIndex.indexDirFor(dir)))
           val (tI, nI) = timeReleasing(
             graft.operators.Corpus.t35.fn(spark, dir).count())
           tFull = math.min(tFull, tF); nFull = nF
