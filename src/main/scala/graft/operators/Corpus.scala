@@ -262,12 +262,14 @@ object Corpus {
     * 100 TB — runs only over the delta's cluster neighborhood (∝ the
     * daily slice and its duplicates, not the corpus); everything else
     * is one label-table anti-join splice. Measured honestly at 125k
-    * docs (ScaleSmoke ccdelta, PLANS.md r16): 1.2× over re-pair+full-CC
-    * on the DENSE replica corpus (1.3M pairs) and a LOSS (0.5×) on the
-    * sparse one, where full re-pairing from warm bands is trivially
-    * cheap — the step pays for itself in proportion to the
-    * corpus-to-slice ratio and the duplicate density; a corpus with
-    * near-zero dup structure should just re-cluster. */
+    * docs (ScaleSmoke ccdelta, re-run r17 with the pointer-jump CC and
+    * the neighborhood-priced delta): 1.6× over re-pair+full-CC on the
+    * DENSE replica corpus (1.3M pairs; was 1.2× in r16) and a LOSS
+    * (0.7×, was 0.5×) on the sparse one, where full re-pairing from
+    * warm bands is trivially cheap — the step pays for itself in
+    * proportion to the corpus-to-slice ratio and the duplicate
+    * density; a corpus with near-zero dup structure should just
+    * re-cluster. */
   val t35 = QueryDef(
     "t35_cluster_delta",
     (s, d) => {

@@ -516,9 +516,16 @@ object Multimodal {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("phash")).orderBy(col("id"))
+      // checkpoint the verdict: the tombstone subtree feeds THREE plan
+      // branches (both retraction anti-joins + the batch anti-join) and
+      // an un-materialized copy re-runs the per-row pHash kernel over
+      // the corpus per branch (measured 1.53s -> 1.21s at sf0.1); the
+      // verdict is metadata-sized, exactly what a deployment would
+      // snapshot nightly anyway
       val tombs = phashFrame(s, d)
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") > 1).select(col("id").as("doc_id"))
+        .localCheckpoint()
       val pairs = TextDedup.retractPairs(
         TextDedup.PromotedPairIndex.maintained(s, d), tombs)
       val batch = Tables.documents(s, d)
