@@ -1967,6 +1967,19 @@ object Advanced {
     },
     Some {
       import TextDedup.SoakRing
+      // per-night CTEs: the night's pair view, its batch, and the ONE
+      // shared keep-dominator calculus instantiated on them
+      // (TextDedup.keepDomCtesFor — an inline copy here was the r17
+      // review's drift finding)
+      val nightCtes = (1 to 4).map { k =>
+        def p(c: String) = SoakRing.presentSql(k, c)
+        s"""jp$k AS (SELECT doc1, doc2 FROM jp
+           |         WHERE ${p("doc1")} AND ${p("doc2")}),
+           |batch$k AS (SELECT doc_id FROM documents
+           |            WHERE ${SoakRing.batchSql(k, "doc_id")}),
+           |${TextDedup.keepDomCtesFor(s"und$k", s"dom$k", s"jp$k", s"batch$k",
+               c => SoakRing.batchSql(k, c))}""".stripMargin
+      }
       val nights = (0 to 4).map { k =>
         def p(c: String) = SoakRing.presentSql(k, c)
         val pairsBranch =
@@ -1974,27 +1987,14 @@ object Advanced {
              |       doc1 AS id, doc2 AS id2, jaccard AS val
              |FROM jp WHERE ${p("doc1")} AND ${p("doc2")}""".stripMargin
         if (k == 0) pairsBranch
-        else {
-          def b(c: String) = SoakRing.batchSql(k, c)
+        else
           pairsBranch + "\nUNION ALL\n" +
             s"""SELECT CAST($k AS INTEGER), 'keep', b.doc_id, CAST(NULL AS BIGINT),
-               |       CASE WHEN dmn.doc_id IS NULL THEN 1.0 ELSE 0.0 END
-               |FROM (SELECT doc_id FROM documents WHERE ${b("doc_id")}) b
-               |LEFT JOIN (
-               |  SELECT DISTINCT u.bb AS doc_id FROM (
-               |    SELECT doc1 AS bb, doc2 AS partner FROM jp
-               |    WHERE ${p("doc1")} AND ${p("doc2")}
-               |    UNION ALL
-               |    SELECT doc2 AS bb, doc1 AS partner FROM jp
-               |    WHERE ${p("doc1")} AND ${p("doc2")}
-               |  ) u
-               |  JOIN (SELECT doc_id FROM documents WHERE ${b("doc_id")}) bt
-               |    ON u.bb = bt.doc_id
-               |  WHERE NOT (${b("u.partner")}) OR u.partner < u.bb
-               |) dmn ON b.doc_id = dmn.doc_id""".stripMargin
-        }
+               |       CASE WHEN d.doc_id IS NULL THEN 1.0 ELSE 0.0 END
+               |FROM batch$k b LEFT JOIN dom$k d ON b.doc_id = d.doc_id""".stripMargin
       }
-      s"""WITH jp AS (${TextDedup.JaccardPairsSql})
+      s"""WITH jp AS (${TextDedup.JaccardPairsSql}),
+         |${nightCtes.mkString(",\n")}
          |${nights.mkString("\nUNION ALL\n")}
          |ORDER BY night, stage, id, id2""".stripMargin
     })

@@ -133,6 +133,21 @@ private[operators] object IndexStore {
     md.digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
   }
 
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** (bytes, rows) of `<d>/<table>.parquet`, memoized per corpus
+    * FINGERPRINT: the footer opens behind [[corpusRows]] are O(files)
+    * sequential driver round-trips on an object store, and the value is
+    * constant per fingerprint — recomputing it on every delta-plan
+    * construction was the r17 review's efficiency finding. A corpus
+    * regenerated in place changes the fingerprint, so the cache can
+    * never serve stale stats; either side degrading (-1) is cached too
+    * (the fingerprint also flips when the listing recovers). */
+  def corpusStats(d: String, table: String): (Long, Long) =
+    statsCache.computeIfAbsent(s"$d/$table:${corpusFingerprint(d, table)}",
+      _ => (corpusBytes(d, table), corpusRows(d, table)))
+
   /** Total bytes of `<d>/<table>.parquet`, via the same Hadoop listing
     * as [[corpusFingerprint]] (object-store-capable). Any listing error
     * degrades to -1 — callers gating a persisted-artifact path on size

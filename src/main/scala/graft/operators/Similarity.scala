@@ -1150,26 +1150,9 @@ object Similarity {
       * the generation-serving policy ([[servedGeneration]], s13), so a
       * serving decision can never measure different geometry than the
       * monitor (the r15 diverged-instrument lesson). */
-    private[graft] def driftRatioOf(emb: DataFrame, centroids: DataFrame): Double = {
-      val means = assignWithDist(emb, centroids)
-        .groupBy((col("vec_id") % NewSliceMod === NewSliceRem).as("is_new"))
-        .agg(avg(col("sqdist")).as("m"))
-        .collect()
-        .flatMap(r => if (r.isNullAt(1)) None else Some(r.getBoolean(0) -> r.getDouble(1)))
-        .toMap
-      // the infinite-drift branch (degenerate base, real delta) requires
-      // the delta mean to clear an absolute noise floor, not just > 0:
-      // per-row sqdist is clamped to ≥ 0 in assignWithDist, but residual
-      // FP noise of the ‖c‖²−2xc+‖x‖² chain is ~‖x‖²·2⁻⁵² (≪ 1e-9 at any
-      // unit-ish embedding scale), and a spurious full recluster is the
-      // failure this guards (r15 ADVICE). A genuine shift clears the
-      // floor by many orders of magnitude (planted +0.75σ/dim ≈ 36).
-      (means.get(false), means.get(true)) match {
-        case (Some(base), Some(delta)) if base > 0     => delta / base
-        case (Some(_), Some(delta)) if delta > 1e-9    => Double.PositiveInfinity
-        case _                                         => 1.0
-      }
-    }
+    private[graft] def driftRatioOf(emb: DataFrame, centroids: DataFrame): Double =
+      ratioOfSqdist(assignWithDist(emb, centroids)
+        .select(col("vec_id"), col("sqdist")))
 
     /** [[driftRatioOf]] served from an ALREADY-ASSIGNED index view
       * (vec_id, embedding, cell) instead of re-deriving the argmin over
@@ -1188,19 +1171,41 @@ object Similarity {
       * assignment pass on an index that already knew its cells). */
     private[graft] def driftRatioFromAssigned(assigned: DataFrame,
         centroids: DataFrame): Double = {
-      val joined = assigned.join(broadcast(centroids), Seq("cell"))
+      // register unconditionally: against a WARM published index every
+      // IndexStore.ensure build lambda — the only register/embDouble
+      // sites on the old monitor path — is skipped, and an unregistered
+      // graft_dot fails analysis (the s03 warm-index masking class;
+      // r17 review finding)
+      graft.functions.VectorExpressions.register(assigned.sparkSession)
+      ratioOfSqdist(assigned.join(broadcast(centroids), Seq("cell"))
         .withColumn("score",
           dot(col("center"), col("center")) -
             lit(2.0) * dot(col("embedding"), col("center")))
         .select(col("vec_id"),
           greatest(lit(0.0),
-            col("score") + dot(col("embedding"), col("embedding"))).as("sqdist"))
-      val means = joined
+            col("score") + dot(col("embedding"), col("embedding"))).as("sqdist")))
+    }
+
+    /** The monitor's decision tail over any (vec_id, sqdist) frame —
+      * ONE body for [[driftRatioOf]] (from-scratch argmin) and
+      * [[driftRatioFromAssigned]] (cached assignment), so the noise
+      * floor and the degenerate-base branch can never diverge between
+      * the two instruments (the r15 diverged-instrument lesson; r17
+      * review finding). */
+    private def ratioOfSqdist(frame: DataFrame): Double = {
+      val means = frame
         .groupBy((col("vec_id") % NewSliceMod === NewSliceRem).as("is_new"))
         .agg(avg(col("sqdist")).as("m"))
         .collect()
         .flatMap(r => if (r.isNullAt(1)) None else Some(r.getBoolean(0) -> r.getDouble(1)))
         .toMap
+      // the infinite-drift branch (degenerate base, real delta) requires
+      // the delta mean to clear an absolute noise floor, not just > 0:
+      // per-row sqdist is clamped to ≥ 0 in assignWithDist, but residual
+      // FP noise of the ‖c‖²−2xc+‖x‖² chain is ~‖x‖²·2⁻⁵² (≪ 1e-9 at any
+      // unit-ish embedding scale), and a spurious full recluster is the
+      // failure this guards (r15 ADVICE). A genuine shift clears the
+      // floor by many orders of magnitude (planted +0.75σ/dim ≈ 36).
       (means.get(false), means.get(true)) match {
         case (Some(base), Some(delta)) if base > 0  => delta / base
         case (Some(_), Some(delta)) if delta > 1e-9 => Double.PositiveInfinity

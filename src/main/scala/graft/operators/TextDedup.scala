@@ -74,12 +74,22 @@ object TextDedup {
     * [[dedupKeepMask]] consumer (t25, c04, c06, c07, st08) — five
     * byte-identical copies would let a tiebreak fix desynchronize one
     * gate's oracle from the shipped calculus (r16 review). */
+  /** [[KeepDomCtes]] generalized: CTE names and the batch-membership
+    * predicate are parameters, so a gate whose batch is NOT the
+    * doc_id%10==7 fixture slice (c08's per-night batches) instantiates
+    * the SAME calculus instead of inlining a copy that a tiebreak fix
+    * could silently miss (r17 review finding — the exact drift class
+    * this constant exists to prevent). */
+  private[operators] def keepDomCtesFor(und: String, dom: String, jp: String,
+      batch: String, batchCond: String => String): String =
+    s"""$und AS (SELECT doc1 AS b, doc2 AS partner FROM $jp
+      |        UNION ALL SELECT doc2 AS b, doc1 AS partner FROM $jp),
+      |$dom AS (
+      |  SELECT DISTINCT b AS doc_id FROM $und JOIN $batch ON $und.b = $batch.doc_id
+      |  WHERE NOT (${batchCond("partner")}) OR partner < b)""".stripMargin
+
   private[operators] val KeepDomCtes: String =
-    """und AS (SELECT doc1 AS b, doc2 AS partner FROM jp
-      |        UNION ALL SELECT doc2 AS b, doc1 AS partner FROM jp),
-      |dom AS (
-      |  SELECT DISTINCT b AS doc_id FROM und JOIN batch ON und.b = batch.doc_id
-      |  WHERE partner % 10 <> 7 OR partner < b)""".stripMargin
+    keepDomCtesFor("und", "dom", "jp", "batch", c => s"$c % 10 = 7")
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
@@ -231,7 +241,7 @@ object TextDedup {
     * when the caller verifies a filtered slice (presentAt, the delta's
     * candidate neighborhood): an upper bound stays memory-safe. */
   private def setsBytesFor(d: String): Long = {
-    val b = IndexStore.corpusBytes(d, "documents")
+    val b = IndexStore.corpusStats(d, "documents")._1
     if (b < 0) -1L else b * SetsExpandFactor
   }
 
@@ -242,8 +252,7 @@ object TextDedup {
     * parquet-footer rows, no Spark job. -1 when either listing degrades
     * (callers then keep the full-table sets-side bound). */
   private def avgDocBytesFor(d: String): Long = {
-    val b = IndexStore.corpusBytes(d, "documents")
-    val r = IndexStore.corpusRows(d, "documents")
+    val (b, r) = IndexStore.corpusStats(d, "documents")
     if (b <= 0 || r <= 0) -1L else math.max(b / r, 1L)
   }
 
@@ -1880,6 +1889,33 @@ object TextDedup {
     }
   }
 
+  /** The segment-tail fold RATIO POLICY shared by the promotion ring
+    * ([[PromotedPairIndex]]) and the soak ring ([[SoakRing]]) — one
+    * calculus (the [[Similarity.IvfIncIndex.CompactRatio]] constant,
+    * shared with the vector ring) so the two pair rings cannot drift
+    * policies (r17 review finding). Degraded listings (-1) are never
+    * due — folding is an optimization; the segment union is always
+    * correct. */
+  private def pairFoldDue(baseDir: String, tailDirs: Seq[String]): Boolean = {
+    val bb = IndexStore.dirBytes(baseDir)
+    val tail = tailDirs.map(IndexStore.dirBytes)
+    bb > 0 && tail.forall(_ >= 0) &&
+      tail.sum.toDouble >= Similarity.IvfIncIndex.CompactRatio * bb
+  }
+
+  /** The size-targeted folded WRITE shared by both rings' fold step:
+    * ~128 MB output files, floored at the parallelism (the
+    * [[Similarity.IvfIncIndex.ensureCompacted]] convention), so a year
+    * of small nightly files collapses without costing the probe its
+    * scan splits. */
+  private def writeFoldedPairs(s: SparkSession, union: DataFrame,
+      segDirs: Seq[String], tmp: String): Unit = {
+    val total = segDirs.map(p => math.max(IndexStore.dirBytes(p), 0L)).sum
+    val nFiles = math.max(s.sparkContext.defaultParallelism,
+      math.ceil(total / (128.0 * 1024 * 1024)).toInt)
+    union.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+  }
+
   /** N-night PROMOTION ring over the persisted pair index — the piece
     * that closes the maintenance LOOP (r14 VERDICT slate #1): c04
     * computes resident ∪ delta but never writes it back, so every night
@@ -1995,13 +2031,9 @@ object TextDedup {
       * resident segment. Degraded listings (-1) are never due —
       * folding is an optimization; the segment union is always
       * correct. */
-    private[graft] def foldDue(d: String): Boolean = {
-      val bb = IndexStore.dirBytes(s"${stateDirFor(d, 0)}/pairs")
-      val tail = (1 to SliceRems.size)
-        .map(k => IndexStore.dirBytes(s"${stateDirFor(d, k)}/pairs"))
-      bb > 0 && tail.forall(_ >= 0) &&
-        tail.sum.toDouble >= Similarity.IvfIncIndex.CompactRatio * bb
-    }
+    private[graft] def foldDue(d: String): Boolean =
+      pairFoldDue(s"${stateDirFor(d, 0)}/pairs",
+        (1 to SliceRems.size).map(k => s"${stateDirFor(d, k)}/pairs"))
 
     /** Fold the whole segment tail into ONE published resident segment —
       * cost ∝ pair-set bytes (the compressed artifact, never
@@ -2012,13 +2044,9 @@ object TextDedup {
       * scan splits. */
     def ensureFolded(s: SparkSession, d: String): String =
       IndexStore.ensure(foldedDirFor(d), "pairs/_SUCCESS") { tmp =>
-        val total = (0 to SliceRems.size)
-          .map(k => math.max(IndexStore.dirBytes(s"${stateDirFor(d, k)}/pairs"), 0L))
-          .sum
-        val nFiles = math.max(s.sparkContext.defaultParallelism,
-          math.ceil(total / (128.0 * 1024 * 1024)).toInt)
-        ensure(s, d, SliceRems.size).repartition(nFiles)
-          .write.mode("overwrite").parquet(s"$tmp/pairs")
+        writeFoldedPairs(s, ensure(s, d, SliceRems.size),
+          (0 to SliceRems.size).map(k => s"${stateDirFor(d, k)}/pairs"),
+          s"$tmp/pairs")
       }
 
     /** The maintained reader view of the ring's final state: the folded
@@ -2155,25 +2183,18 @@ object TextDedup {
       (0 to night).map(k => s.read.parquet(s"${ensureSegment(s, d, k)}/pairs"))
         .reduce(_ unionByName _)
 
-    /** Night 2's fold policy — the c06 ratio calculus over the soak's
-      * own segment dirs (shared constant with the vector ring). */
-    private[graft] def foldDue(d: String): Boolean = {
-      val bb = IndexStore.dirBytes(s"${dirFor(d, "n0")}/pairs")
-      val tail = (1 to GrowRems.size)
-        .map(k => IndexStore.dirBytes(s"${dirFor(d, s"n$k")}/pairs"))
-      bb > 0 && tail.forall(_ >= 0) &&
-        tail.sum.toDouble >= Similarity.IvfIncIndex.CompactRatio * bb
-    }
+    /** Night 2's fold policy — the ONE [[pairFoldDue]] calculus over
+      * the soak's own segment dirs (shared body with the promotion
+      * ring and, via CompactRatio, the vector ring). */
+    private[graft] def foldDue(d: String): Boolean =
+      pairFoldDue(s"${dirFor(d, "n0")}/pairs",
+        (1 to GrowRems.size).map(k => s"${dirFor(d, s"n$k")}/pairs"))
 
     private def ensureFolded(s: SparkSession, d: String): String =
       IndexStore.ensure(dirFor(d, "fold2"), "pairs/_SUCCESS") { tmp =>
-        val total = (0 to GrowRems.size)
-          .map(k => math.max(IndexStore.dirBytes(s"${dirFor(d, s"n$k")}/pairs"), 0L))
-          .sum
-        val nFiles = math.max(s.sparkContext.defaultParallelism,
-          math.ceil(total / (128.0 * 1024 * 1024)).toInt)
-        segUnion(s, d, GrowRems.size).repartition(nFiles)
-          .write.mode("overwrite").parquet(s"$tmp/pairs")
+        writeFoldedPairs(s, segUnion(s, d, GrowRems.size),
+          (0 to GrowRems.size).map(k => s"${dirFor(d, s"n$k")}/pairs"),
+          s"$tmp/pairs")
       }
 
     /** Night 3: tombstones retracted from night 2's SERVED layout
