@@ -1417,14 +1417,16 @@ object Advanced {
     * tractable SQL form, while the dominance filter is one anti-join —
     * the SAME rule on both engines, which is what the gate pins.
     * Returns (round, rank, pair, cnt) merges and the final seq frame. */
-  private[graft] def bpeTrainBatched(s: SparkSession, d: String)
+  private[graft] def bpeTrainBatched(s: SparkSession, d: String,
+      rounds: Int = BpeBatchRounds, b: Int = BpeBatchB,
+      window: Int = BpeBatchWindow)
       : (Seq[(Int, Int, String, Long)], DataFrame) = {
     var seqs = bpeSeqInit(s, d).localCheckpoint()
     val merges = Seq.newBuilder[(Int, Int, String, Long)]
     var exhausted = false
-    for (step <- 1 to BpeBatchRounds if !exhausted) {
+    for (step <- 1 to rounds if !exhausted) {
       val win = bpePairCounts(seqs)
-        .orderBy(col("cnt").desc, col("pair")).limit(BpeBatchWindow).collect()
+        .orderBy(col("cnt").desc, col("pair")).limit(window).collect()
         .map(r => (r.getString(0), r.getLong(1)))
       val survivors = win.zipWithIndex.filter { case ((p, _), i) =>
         val Array(pl, pr) = p.split(" ", 2)
@@ -1432,7 +1434,7 @@ object Advanced {
           val Array(ql, qr) = q.split(" ", 2)
           bpeConflicts(ql, qr, pl, pr)
         }
-      }.map(_._1).take(BpeBatchB)
+      }.map(_._1).take(b)
       if (survivors.isEmpty) exhausted = true
       else {
         merges ++= survivors.zipWithIndex.map { case ((p, c), j) =>

@@ -1011,6 +1011,13 @@ object ScaleSmoke {
       val (tBat, nBat) = timeReleasing(Advanced.bpeTrainBatched(spark, dir)._1.size)
       println(f"BPE docs=125k oneAtATime(24 rounds)=${tSeq}%6.1fs ($nSeq merges) " +
         f"batched(3x8)=${tBat}%6.1fs ($nBat merges) ratio=${tSeq / tBat}%.1fx")
+      // the realistic-vocab direction: B=64 over a 256-deep window for
+      // 8 rounds targets ~512 merges — the regime where one-at-a-time
+      // (one driver round-trip per merge) stops being a trainer at all
+      val (tBig, nBig) = timeReleasing(
+        Advanced.bpeTrainBatched(spark, dir, rounds = 8, b = 64, window = 256)._1.size)
+      println(f"BPE docs=125k batched(8x64, window 256)=${tBig}%6.1fs ($nBig merges, " +
+        f"${tBig / math.max(nBig, 1)}%.3fs/merge vs ${tSeq / math.max(nSeq, 1)}%.3fs/merge one-at-a-time)")
     }
 
     // ---- soak-ring N-night cost curve (r16 VERDICT slate #1) ----
