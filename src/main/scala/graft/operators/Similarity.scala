@@ -2006,6 +2006,59 @@ object Similarity {
          |${probeFinal()} ORDER BY query_id, rank""".stripMargin
     })
 
+  /** Grow-AFTER-retract gate — the vector ring's mirror of the soak
+    * ring's night 4 (c08), the one composition direction the
+    * individually-gated arms never chain: a tombstone batch is
+    * retracted from the maintained view (s16's arm), then a LATE slice
+    * of NEW vectors (deterministically derived: the vec_id%7==2 rows
+    * re-identified at +10M ids, +0.25/dim — the s13 derivation
+    * convention, bit-exact in both engines) is assigned against the
+    * FROZEN base centroids and unioned in as a fresh segment, and the
+    * probe serves the composed view. What this pins that s08/s16
+    * cannot: a delta append on top of a deletion — the served state is
+    * (retracted ∪ fresh), so a tombstoned neighbor must stay gone
+    * while the new vectors become retrievable immediately, with no
+    * rebuild and no reassignment of survivors. The late oracle
+    * re-derives EVERYTHING from scratch over exactly that corpus
+    * ((embeddings minus tombstones) ∪ derived late slice) from the
+    * persisted frozen centroids.
+    *
+    * Scale: the retraction stays a metadata-sized anti-join, the grow
+    * is ∝ the late slice (one narrow assign pass — s08's growth-step
+    * cost claim), and the probe keeps the nprobe-bounded candidate
+    * cost; the composition adds no corpus-shaped work. */
+  val s18 = QueryDef(
+    "s18_ann_regrow_probe",
+    (s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      val tombs = Tables.embeddings(s, d)
+        .filter(col("vec_id") % 23 === 5).select(col("vec_id"))
+      val retracted = annRetract(IvfIncIndex.maintained(s, d), tombs)
+      val cen = s.read.parquet(s"${IvfIncIndex.baseDirFor(d)}/centroids")
+      val late = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(col("vec_id") % 7 === 2)
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          transform(col("embedding"), x => x.cast("double") + lit(0.25))
+            .as("embedding"))
+      val served = retracted.unionByName(IvfIncIndex.assign(late, cen))
+      ivfProbeOn(served, cen, _.filter(col("vec_id") < NumQueries))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None,
+    oracleLate = Some { sfDir =>
+      s"""WITH embu AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+         |  FROM embeddings WHERE vec_id % 23 <> 5
+         |  UNION ALL
+         |  SELECT vec_id + 10000000,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.25)
+         |  FROM embeddings WHERE vec_id % 7 = 2),
+         |${probeCtes(IvfIncIndex.baseDirFor(sfDir), "", "embu")}
+         |${probeFinal()} ORDER BY query_id, rank""".stripMargin
+    })
+
   /** CROSS-RING composition gate — the text ring's dedup verdict
     * DRIVING the vector ring's serving state, the capstone of both
     * maintenance families: the promoted pair ring's keep-mask probe
@@ -2058,5 +2111,5 @@ object Similarity {
 
   val catalog: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17)
+      s15, s16, s17, s18)
 }

@@ -80,6 +80,25 @@ class RetractionSpec extends SparkSpec {
       "a dedup-dropped doc still issued probe queries")
   }
 
+  test("s18: the late grow is visible after the retraction and resurrects nothing") {
+    // the composed consequences the hash gate implies but does not
+    // localize: (a) a freshly-grown vector (id >= 10M, assigned against
+    // the frozen centroids on top of the RETRACTED view) actually ranks
+    // as a probe neighbor — the grow is visible, not just present in
+    // the view; (b) no tombstoned vector is served as a neighbor under
+    // the grow — the delta append cannot resurrect a deletion
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.s18.fn(spark, sf).collect()
+    graft.Lifecycle.release(spark)
+    assert(rows.exists(_.getLong(1) >= 10000000L),
+      "no late-grown vector ranked in any probe top-3 — the grow is invisible")
+    assert(!rows.exists(r =>
+      r.getLong(1) < 10000000L && r.getLong(1) % 23 == 5),
+      "a tombstoned vector was served as a neighbor after the regrow")
+    assert(!rows.exists(_.getLong(0) % 23 == 5),
+      "a tombstoned vector was served as a query after the regrow")
+  }
+
   test("annRetract: tombstoning the rank-1 twin re-fills the slot; survivors keep their order") {
     graft.functions.VectorExpressions.register(spark)
     import graft.operators.Similarity.IvfIncIndex
