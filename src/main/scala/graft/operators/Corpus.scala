@@ -82,7 +82,11 @@ object Corpus {
     // Production never sets either.
     val sess = und.sparkSession
     val shortcut = sess.conf.get("spark.graft.cc.shortcut", "on") != "off"
-    val maxRounds = sess.conf.get("spark.graft.cc.maxRounds", "0").toInt
+    // measurement-only knob: a malformed value must degrade to the
+    // default (unlimited), never throw from inside every CC consumer
+    // (r17 ADVICE — matches the listing-degradation convention).
+    val maxRounds = scala.util.Try(
+      sess.conf.get("spark.graft.cc.maxRounds", "0").toInt).getOrElse(0)
     // und: (src, dst), already symmetrized. Materialize once — it feeds
     // every round's join AND the initial vertex set.
     val (edges, edgeBlocks) = checkpointPinned(und)

@@ -142,11 +142,20 @@ private[operators] object IndexStore {
     * constant per fingerprint — recomputing it on every delta-plan
     * construction was the r17 review's efficiency finding. A corpus
     * regenerated in place changes the fingerprint, so the cache can
-    * never serve stale stats; either side degrading (-1) is cached too
-    * (the fingerprint also flips when the listing recovers). */
-  def corpusStats(d: String, table: String): (Long, Long) =
-    statsCache.computeIfAbsent(s"$d/$table:${corpusFingerprint(d, table)}",
-      _ => (corpusBytes(d, table), corpusRows(d, table)))
+    * never serve stale stats. Degraded (-1) readings are NOT cached:
+    * the fingerprint listing can succeed while the bytes/rows listing
+    * transiently fails, and caching the -1 under the healthy
+    * fingerprint would pin callers to the safe-but-slow branch until
+    * the corpus content changes (r17 ADVICE) — recompute instead, so
+    * a transient error is retried on the next call. */
+  def corpusStats(d: String, table: String): (Long, Long) = {
+    val key = s"$d/$table:${corpusFingerprint(d, table)}"
+    Option(statsCache.get(key)).getOrElse {
+      val v = (corpusBytes(d, table), corpusRows(d, table))
+      if (v._1 >= 0L && v._2 >= 0L) statsCache.putIfAbsent(key, v)
+      v
+    }
+  }
 
   /** Total bytes of `<d>/<table>.parquet`, via the same Hadoop listing
     * as [[corpusFingerprint]] (object-store-capable). Any listing error

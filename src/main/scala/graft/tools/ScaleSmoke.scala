@@ -1038,6 +1038,10 @@ object ScaleSmoke {
       }
       println(s"SOAK docs=125k nights: ${curve.mkString(" ")} " +
         s"foldDue=${SoakRing.foldDue(dir)}")
+      // restore the session default so later sections in the same
+      // invocation measure under it (r17 ADVICE — matches the
+      // bandmode section's convention)
+      spark.conf.set("spark.graft.bands.mode", "auto")
     }
 
     // ---- giant-dup-cluster adversary (r16 VERDICT slate #3) ----
@@ -1061,7 +1065,8 @@ object ScaleSmoke {
           col("id").as("doc_id"),
           when(col("id") < half,
             // group g = id/20 shares one 30-token window; stride 6
-            // between groups → adjacent-group Jaccard (28-6)/(28+6)
+            // between groups → adjacent groups overlap on 24 of the
+            // 30 tokens, union 36 → Jaccard 24/36 ≈ 0.667
             expr("array_join(transform(sequence(0, 29), " +
               "j -> concat('c', (id div 20) * 6 + j)), ' ')"))
             .otherwise(

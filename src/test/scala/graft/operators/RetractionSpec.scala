@@ -99,6 +99,68 @@ class RetractionSpec extends SparkSpec {
       "a tombstoned vector was served as a query after the regrow")
   }
 
+  test("tombstone straddling the generation flip: published takedown survives gen-2 recluster") {
+    // The r17 structural hole made into a witness: a PUBLISHED
+    // tombstone whose vector is some query's rank-1 neighbor must stay
+    // gone (a) from the maintained gen-1 view, and (b) — the direction
+    // no pre-r18 gate chained — from a generation-2 recluster, which
+    // refits FROM THE CORPUS and would resurrect it if the refit did
+    // not consult the store. Production path exactly: publishTombstones
+    // → maintained() → recluster() on a private corpus with a planted
+    // identical twin of query 0 at a distinctive id.
+    graft.functions.VectorExpressions.register(spark)
+    import graft.operators.Similarity.IvfIncIndex
+    val scratch = java.nio.file.Files.createTempDirectory("straddle").toFile
+    val twinId = 777001L
+    val emb = graft.Tables.embeddings(spark, sf)
+    emb.unionByName(
+        emb.filter(col("vec_id") === 0L)
+          .select(lit(twinId).as("vec_id"), col("embedding"), col("label")))
+      .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+    val ds = scratch.getAbsolutePath
+    def top1(assigned: org.apache.spark.sql.DataFrame,
+        cen: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Similarity.ivfProbeOn(assigned, cen, _.filter(col("vec_id") === 0L))
+        .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    val bd = IvfIncIndex.ensureBase(spark, ds)
+    val cen1 = spark.read.parquet(s"$bd/centroids")
+    // before the takedown: the identical twin is the rank-1 neighbor
+    val before = top1(IvfIncIndex.maintained(spark, ds), cen1)
+    assert(before.head == twinId, s"planted twin not rank-1 pre-takedown: $before")
+    // the takedown: published into the ring's OWN store
+    IvfIncIndex.publishTombstones(spark, ds, IvfIncIndex.RingSalt,
+      spark.range(1).select(lit(twinId).as("vec_id")))
+    // (a) gen 1: the maintained reader view consults the store
+    val g1 = top1(IvfIncIndex.maintained(spark, ds), cen1)
+    assert(!g1.contains(twinId), "published tombstone served from gen 1")
+    assert(g1.size == 3, "gen-1 probe did not re-fill the freed slot")
+    // (b) gen 2: the recluster refit must exclude the tombstone — this
+    // is the resurrection path (it rebuilds from the corpus table)
+    val g2 = IvfIncIndex.recluster(spark, ds)
+    val g2assigned = spark.read.parquet(s"$g2/assigned")
+    assert(g2assigned.filter(col("vec_id") === twinId).isEmpty,
+      "tombstoned vector resurrected in the generation-2 assigned view")
+    val g2top = top1(g2assigned, spark.read.parquet(s"$g2/centroids"))
+    assert(!g2top.contains(twinId), "published tombstone served from gen 2")
+    assert(g2top.size == 3, "gen-2 probe did not re-fill the freed slot")
+    graft.Lifecycle.release(spark)
+  }
+
+  test("s19: published tombstones are absent from BOTH served generations") {
+    // the gate's hash implies it; this localizes it for a reader —
+    // every neighbor and every query id on both arms survived the
+    // published takedown set
+    val rows = Similarity.s19.fn(spark, sf).collect()
+    graft.Lifecycle.release(spark)
+    val arms = rows.map(_.getString(0)).toSet
+    assert(arms == Set("g1_retracted", "g2_retracted"),
+      s"policy did not serve both generations: $arms")
+    assert(!rows.exists(_.getLong(2) % 23 == 5),
+      "a published tombstone was served as a neighbor")
+    assert(!rows.exists(_.getLong(1) % 23 == 5),
+      "a published tombstone still issued probe queries")
+  }
+
   test("annRetract: tombstoning the rank-1 twin re-fills the slot; survivors keep their order") {
     graft.functions.VectorExpressions.register(spark)
     import graft.operators.Similarity.IvfIncIndex
