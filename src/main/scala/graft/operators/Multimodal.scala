@@ -436,16 +436,110 @@ object Multimodal {
   /** The (id, phash) derivation — shared by the mm04 gate body and the
     * mm06 ring-retraction gate, so a pHash tweak can never leave one of
     * them computing against a stale hash (the KeepDomCtes lesson). */
-  private def phashFrame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private[operators] def phashFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    phashFrameOver(s,
+      Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
+
+  /** [[phashFrame]] over an EXPLICIT documents frame — the body
+    * [[MediaIndex]]'s slice-proportional segment builds share with the
+    * full-corpus gate derivation, so a pHash/decode tweak can never
+    * leave the published ring and the inline gate computing different
+    * hashes. */
+  private def phashFrameOver(s: org.apache.spark.sql.SparkSession,
+      docs: DataFrame): DataFrame = {
     import s.implicits._
-    mediaFromDocuments(
-        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
+    mediaFromDocuments(docs)
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
           (r.id, phash(frameSampleStub(decode(r.payload), stride = 2)))
         }
       }.toDF("id", "phash")
+  }
+
+  /** The media family's RING — the persisted, corpus-fingerprinted
+    * lifecycle state text pairs ([[TextDedup.PairIndex]]) and vectors
+    * ([[Similarity.IvfIncIndex]]) already had and media lacked (r17
+    * VERDICT slate #3: at 100 TB the pHash verdict is a nightly
+    * artifact, not a per-query recompute — the decode + pHash kernel is
+    * the expensive corpus-shaped pass, and it was re-running inside
+    * every consumer). The artifact is the (id, phash) frame itself —
+    * the REUSABLE layer: every downstream policy (mm04's exact-dup
+    * verdict, mm06's retraction batch, banded hamming matching) is a
+    * cheap derivation over it, so one publication serves them all.
+    *
+    *  - GROW: night 0 publishes the resident segment (docs outside the
+    *    arriving slice), night 1 the slice's delta — each build runs
+    *    the kernel over ONLY its own rows (t34's delta convention), and
+    *    the reader unions immutable segments;
+    *  - RETRACT: a takedown batch anti-joins the served state and the
+    *    reduced frame is PUBLISHED (c07's resident-rewrite arm — pHash
+    *    is per-row, so retraction is row-drop exact, no recompute);
+    *    salted per instance so a gate's tombstones never leak into
+    *    another entry's serving state (the tombstone-store convention).
+    *
+    * mm07 hash-gates grow and retract against from-scratch DuckDB
+    * derivations of exactly those corpora; mm06 reads [[maintained]]
+    * (same rows as the inline derivation by construction — its hash is
+    * unchanged, its kernel cost collapses to a warm parquet read). */
+  object MediaIndex {
+    /** Tonight's arriving media slice (doc_id % 10). */
+    private[graft] val NewSliceRem = 6
+
+    private def fp(d: String): String =
+      IndexStore.corpusFingerprint(d, "documents")
+    private[graft] def baseDirFor(d: String): String =
+      s"${sys.props("java.io.tmpdir")}/graft_media_${fp(d)}_ph${PhashCells}_base"
+    private[graft] def deltaDirFor(d: String): String =
+      s"${sys.props("java.io.tmpdir")}/graft_media_${fp(d)}_ph${PhashCells}_delta"
+    private[graft] def retractDirFor(d: String, salt: String): String =
+      s"${sys.props("java.io.tmpdir")}/graft_media_${fp(d)}_ph${PhashCells}_retract_$salt"
+
+    private def docsSlice(s: org.apache.spark.sql.SparkSession, d: String,
+        inSlice: Boolean): DataFrame = {
+      val pred =
+        if (inSlice) col("doc_id") % 10 === NewSliceRem
+        else col("doc_id") % 10 =!= NewSliceRem
+      // filter BEFORE the kernel: a segment build's decode cost is ∝
+      // its own rows, never the corpus (the pushed scan carries the
+      // predicate — the t34 delta-cost contract)
+      Tables.documents(s, d).filter(pred)
+        .repartition(s.sparkContext.defaultParallelism)
+    }
+
+    /** Night 0: the resident segment (everything but tonight's slice). */
+    def ensureBase(s: org.apache.spark.sql.SparkSession, d: String): String =
+      IndexStore.ensure(baseDirFor(d), "phash/_SUCCESS") { tmp =>
+        phashFrameOver(s, docsSlice(s, d, inSlice = false))
+          .write.mode("overwrite").parquet(s"$tmp/phash")
+      }
+
+    /** Night 1: the arriving slice's delta segment — kernel over the
+      * slice only. */
+    def ensureDelta(s: org.apache.spark.sql.SparkSession, d: String): String =
+      IndexStore.ensure(deltaDirFor(d), "phash/_SUCCESS") { tmp =>
+        phashFrameOver(s, docsSlice(s, d, inSlice = true))
+          .write.mode("overwrite").parquet(s"$tmp/phash")
+      }
+
+    /** The served (id, phash) state: resident ∪ delta — row-identical
+      * to the inline full-corpus derivation by construction (the
+      * slices partition the corpus; pHash is per-row). */
+    def maintained(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+      s.read.parquet(s"${ensureBase(s, d)}/phash")
+        .unionByName(s.read.parquet(s"${ensureDelta(s, d)}/phash"))
+
+    /** RETRACT: publish the served state minus `tombs` (media
+      * takedowns) as instance `salt`'s reduced resident — row-drop
+      * exact, cost ∝ state bytes, the c07 rewrite arm. */
+    def ensureRetracted(s: org.apache.spark.sql.SparkSession, d: String,
+        salt: String, tombs: DataFrame): String =
+      IndexStore.ensure(retractDirFor(d, salt), "phash/_SUCCESS") { tmp =>
+        maintained(s, d)
+          .join(tombs.select(col("id")).distinct(), Seq("id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$tmp/phash")
+      }
   }
 
   /** The DuckDB pHash derivation (b → samp → cells → lvl → ph) — the
@@ -516,13 +610,15 @@ object Multimodal {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("phash")).orderBy(col("id"))
-      // checkpoint the verdict: the tombstone subtree feeds THREE plan
-      // branches (both retraction anti-joins + the batch anti-join) and
-      // an un-materialized copy re-runs the per-row pHash kernel over
-      // the corpus per branch (measured 1.53s -> 1.21s at sf0.1); the
-      // verdict is metadata-sized, exactly what a deployment would
-      // snapshot nightly anyway
-      val tombs = phashFrame(s, d)
+      // the verdict derives from the RING's published (id, phash)
+      // artifact (r17 VERDICT nit 3: the decode+pHash kernel was the
+      // only corpus-shaped recompute left in any per-query path; same
+      // rows as the inline derivation by construction, so the hash is
+      // pinned unchanged). Checkpoint stays: the tombstone subtree
+      // feeds THREE plan branches (both retraction anti-joins + the
+      // batch anti-join) and the verdict window would otherwise re-run
+      // per branch; the verdict is metadata-sized
+      val tombs = MediaIndex.maintained(s, d)
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") > 1).select(col("id").as("doc_id"))
         .localCheckpoint()
@@ -559,6 +655,56 @@ object Multimodal {
       |       CASE WHEN dom.doc_id IS NULL THEN 1.0 ELSE 0.0 END
       |FROM batch b LEFT JOIN dom ON b.doc_id = dom.doc_id
       |ORDER BY stage, id, id2""".stripMargin))
+
+  /** Media-RING lifecycle gate (r17 VERDICT slate #3) — the grow and
+    * retract arms of [[MediaIndex]] under the hash gate, the media twin
+    * of c05/c07:
+    *
+    *  - `grown`: the served state after the night-1 slice arrives
+    *    (resident segment ∪ slice delta, each built over only its own
+    *    rows) — its exact-dup verdict must equal mm04's inline
+    *    full-corpus derivation, so a row lost or doubled across the
+    *    segment split, or kernel drift between the segment builds,
+    *    breaks the hash;
+    *  - `retracted`: a takedown batch (id % 13 == 4 — deliberately
+    *    unaligned with the % 10 slice split, so it straddles both
+    *    segments) is retracted and the reduced state PUBLISHED; its
+    *    verdict re-derives in DuckDB from the reduced corpus. A keeper
+    *    whose exemplar was taken down must hand the group to the next
+    *    smallest id — the reinstatement direction, same as c07.
+    *
+    * The oracle recomputes the pHash chain from text from scratch
+    * ([[PhashCtes]]) for both corpora — never reading the engine's
+    * published parquet.
+    *
+    * Scale: each segment build's decode cost is ∝ its own rows (the
+    * pushed slice predicate); the retraction is one anti-join against
+    * a metadata-sized takedown set, cost ∝ state bytes; the verdicts
+    * are one hash shuffle over (id, 16-char) pairs. */
+  val mm07 = QueryDef(
+    "mm07_media_ring_lifecycle",
+    (s, d) => {
+      val grown = MediaIndex.maintained(s, d)
+      val retracted = s.read.parquet(
+        s"${MediaIndex.ensureRetracted(s, d, "mm07",
+          grown.filter(col("id") % 13 === 4))}/phash")
+      def verdict(state: DataFrame, stage: String) =
+        state.groupBy(col("phash"))
+          .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_media"))
+          .select(lit(stage).as("stage"), col("phash"), col("keep_id"),
+            col("n_media"))
+      verdict(grown, "grown").unionByName(verdict(retracted, "retracted"))
+        .orderBy(col("stage"), col("phash"), col("keep_id"))
+    },
+    Some(s"""WITH $PhashCtes
+      |SELECT stage, phash, keep_id, n_media FROM (
+      |  SELECT 'grown' AS stage, phash, MIN(id) AS keep_id,
+      |         COUNT(*) AS n_media
+      |  FROM ph GROUP BY phash
+      |  UNION ALL
+      |  SELECT 'retracted', phash, MIN(id), COUNT(*)
+      |  FROM ph WHERE id % 13 <> 4 GROUP BY phash)
+      |ORDER BY stage, phash, keep_id""".stripMargin))
 
   /** Autocorrelation lags probed for the pitch-proxy argmax. */
   private val AcLags = 8
@@ -676,5 +822,5 @@ object Multimodal {
       |JOIN best ON best.id = b.id AND best.rn = 1
       |ORDER BY b.id""".stripMargin))
 
-  val catalog: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04, mm05, mm06)
+  val catalog: Seq[QueryDef] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07)
 }

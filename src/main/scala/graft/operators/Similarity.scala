@@ -1360,9 +1360,25 @@ object Similarity {
       // index's cached cell assignments (one join on cell, not a K-way
       // argmin re-derivation — r16 VERDICT nit 3); a derived corpus has
       // no published assignment, so its monitor derives from scratch
+      // ONCE and persists its (vec_id, sqdist) frame per corpus
+      // fingerprint + instance (r17 VERDICT nit 1: s13's derived arm
+      // was the single most expensive gate because this deterministic
+      // frame — fixed derivation, frozen gen-1 centroids, publish-once
+      // tombstones — re-derived every pass; the DeltaPairIndex move).
+      // The persisted read's fold order can differ from the computed
+      // frame's, but the policy compares at orders-of-magnitude
+      // separation (see driftRatioFromAssigned's doc), so an arm can
+      // never flip.
       val ratio = embOpt match {
         case None    => driftRatioFromAssigned(retr(maintained(s, d)), cen1)
-        case Some(e) => driftRatioOf(retr(e), cen1)
+        case Some(e) =>
+          val md = IndexStore.ensure(
+              s"${gen2DirFor(d)}_${genSalt}_mon", "sqdist/_SUCCESS") { tmp =>
+            assignWithDist(retr(e), cen1)
+              .select(col("vec_id"), col("sqdist"))
+              .write.mode("overwrite").parquet(s"$tmp/sqdist")
+          }
+          ratioOfSqdist(s.read.parquet(s"$md/sqdist"))
       }
       if (ratio >= ReclusterRatio) {
         val emb = retr(embOpt.getOrElse(embDouble(s, d)))

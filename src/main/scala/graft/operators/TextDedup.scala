@@ -118,6 +118,12 @@ object TextDedup {
     * [[dedupNearPairs]] façade. Joins the per-doc shingle sets (one row
     * per doc — broadcastable at moderate doc counts; at extreme scale
     * replace with a semi-join back into the index). */
+  /** The tier the LAST [[verifyJaccardOf]] plan construction chose —
+    * a measurement-only tripwire (ScaleSmoke `mega`: the r17 VERDICT
+    * noted the sort-merge tier had never been observed firing in
+    * anger). Plan-construction-time, like [[Corpus.lastRounds]]. */
+  @volatile private[graft] var lastVerifyTier: String = "unset"
+
   private[graft] def verifyJaccardOf(src: DataFrame, cand: DataFrame,
       estSetsBytes: Long = -1L): DataFrame = {
     val s = src.sparkSession
@@ -158,8 +164,10 @@ object TextDedup {
       case "shuffle_hash" => df.hint("SHUFFLE_HASH")
       case "merge"        => df.hint("MERGE")
       case _ =>
-        if (estSetsBytes < 0) df.hint("MERGE")
-        else IndexStore.broadcastIfFitsPre(s, df, estSetsBytes) { big =>
+        if (estSetsBytes < 0) { lastVerifyTier = "merge(unpriced)"; df.hint("MERGE") }
+        else {
+          lastVerifyTier = "broadcast" // overwritten below when past the cap
+          IndexStore.broadcastIfFitsPre(s, df, estSetsBytes) { big =>
           // SHUFFLE_HASH's build side CANNOT spill — a per-partition
           // hash relation that outgrows its task's execution-memory
           // share is a hard `Can't acquire ... to build hash relation`
@@ -210,9 +218,11 @@ object TextDedup {
             else estSetsBytes / math.max(parts, 1)
           val perPartBuild = perTaskInput * buildOverhead
           if (cap > 0 && estSetsBytes <= cap * parts &&
-              perPartBuild <= taskShare / 2) big.hint("SHUFFLE_HASH")
-          else big.hint("MERGE")
+              perPartBuild <= taskShare / 2) {
+            lastVerifyTier = "shuffle_hash"; big.hint("SHUFFLE_HASH")
+          } else { lastVerifyTier = "merge"; big.hint("MERGE") }
         }
+      }
     }
     val s1 = pin(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1")))
     val s2 = pin(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2")))

@@ -1174,6 +1174,163 @@ object ScaleSmoke {
         f"maxTask=${maxH}ms p50Task=${p50H}ms")
       assert(nD == nH, s"skew hatch changed the pair count: $nD vs $nH")
     }
+    // ---- one order of magnitude up: 1.25M docs / 3.8M vectors ----
+    // (r17 VERDICT slate #2) All prior depth evidence tops out at ~125k
+    // docs / 384k vectors. Run the headline families at ~10x, recording
+    // the things structure alone can't prove: which verify-join tier
+    // actually fires (the sort-merge tier had never run in anger), CC
+    // rounds on a planted chain, shuffle bytes, and peak per-task
+    // execution memory. Numbers -> PLANS.md MEGA table.
+    if (want("mega")) {
+      import graft.operators.{Corpus, Similarity, TextDedup}
+      // task-metric meter: shuffle write bytes + max per-task exec memory
+      def metered[T](f: => T): (Double, T, Long, Long) = {
+        val sh = new java.util.concurrent.atomic.AtomicLong
+        val pk = new java.util.concurrent.atomic.AtomicLong
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (e.taskMetrics != null) {
+              sh.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+              pk.getAndAccumulate(e.taskMetrics.peakExecutionMemory, math.max)
+            }
+        }
+        spark.sparkContext.addSparkListener(l)
+        try { val (t, v) = timeReleasing(f); Thread.sleep(500); (t, v, sh.get(), pk.get()) }
+        finally spark.sparkContext.removeSparkListener(l)
+      }
+      val k = 250 // 5k docs x 250 = 1.25M
+      val dir = ensureDocsReplicas(k)
+      spark.conf.set("spark.graft.bands.mode", "persisted")
+      // fresh artifacts: this measures builds, not warm reads
+      Seq(TextDedup.BandIndex.indexDirFor(dir), TextDedup.PairIndex.indexDirFor(dir))
+        .foreach(p => graft.Lifecycle.deleteRecursively(new java.io.File(p)))
+      val (tSig, nSig, shSig, pkSig) = metered(TextDedup.BandIndex.ensure(spark, dir).count())
+      println(f"MEGA docs=${n0 * k} sigBuild=${tSig}%7.1fs ($nSig sigs, " +
+        f"shuffle=${shSig / 1048576}MB, peakTask=${pkSig / 1048576}MB)")
+      TextDedup.SoakRing.wipe(dir)
+      (0 to 4).foreach { night =>
+        val (t, n, sh, pk) = metered(TextDedup.SoakRing.served(spark, dir, night).count())
+        println(f"MEGA soak n$night=${t}%7.1fs ($n pairs, shuffle=${sh / 1048576}MB, " +
+          f"peakTask=${pk / 1048576}MB, verifyTier=${TextDedup.lastVerifyTier})")
+      }
+      spark.conf.set("spark.graft.bands.mode", "auto")
+      // giant-component CC at 10x the ccskew depth: half the corpus in
+      // ONE chained clique-of-cliques component (diameter ~31k hops)
+      locally {
+        val ccDir = "/tmp/graft_scale_ccskew_mega"
+        val half = 625000L
+        if (!new java.io.File(s"$ccDir/documents.parquet").isDirectory) {
+          spark.range(0, 2 * half).select(
+            col("id").as("doc_id"),
+            when(col("id") < half,
+              expr("array_join(transform(sequence(0, 29), " +
+                "j -> concat('c', (id div 20) * 6 + j)), ' ')"))
+              .otherwise(
+                expr("array_join(transform(sequence(0, 9), " +
+                  "j -> concat('u', id, 'x', j)), ' ')"))
+              .as("text"),
+            lit("en").as("lang"), lit("synthetic").as("source"))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$ccDir/documents.parquet")
+        }
+        val (tPairs, nPairs, shP, pkP) = metered(
+          TextDedup.PairIndex.ensure(spark, ccDir).count())
+        val p = TextDedup.PairIndex.ensure(spark, ccDir)
+          .select(col("doc1"), col("doc2"))
+        val und = p.select(col("doc1").as("src"), col("doc2").as("dst"))
+          .unionByName(p.select(col("doc2").as("src"), col("doc1").as("dst")))
+        val (tCc, nCc, shCc, pkCc) = metered(Corpus.connectedComponents(und).count())
+        println(f"MEGA ccskew docs=${2 * half} pairs=$nPairs (${tPairs}%7.1fs, " +
+          f"shuffle=${shP / 1048576}MB) cc=${tCc}%7.1fs rounds=${Corpus.lastRounds} " +
+          f"($nCc labeled, shuffle=${shCc / 1048576}MB, peakTask=${pkCc / 1048576}MB)")
+      }
+      // vector side: 3.84M vectors through base fit + delta grow + the
+      // composed 3-stage serve (s14)
+      locally {
+        val vk = 1000
+        val vdir = ensureEmbIncReplicas(vk)
+        import graft.operators.Similarity.IvfIncIndex
+        Seq(IvfIncIndex.baseDirFor(vdir), IvfIncIndex.deltaDirFor(vdir),
+          IvfIncIndex.compactedDirFor(vdir))
+          .foreach(p => graft.Lifecycle.deleteRecursively(new java.io.File(p)))
+        val (tBase, _, shB, pkB) = metered(IvfIncIndex.ensureBase(spark, vdir))
+        val (tDelta, _, _, _) = metered(IvfIncIndex.ensureDelta(spark, vdir))
+        val (tServe, nServe, shS, pkS) = metered(Similarity.s14.fn(spark, vdir).count())
+        println(f"MEGA vecs=${e0 * vk} base=${tBase}%7.1fs (shuffle=${shB / 1048576}MB, " +
+          f"peakTask=${pkB / 1048576}MB) delta=${tDelta}%6.1fs " +
+          f"s14serve=${tServe}%7.1fs ($nServe rows, shuffle=${shS / 1048576}MB, " +
+          f"peakTask=${pkS / 1048576}MB)")
+      }
+    }
+
+    // ---- v07 dominance-filter survivor yield at real geometry ----
+    // (r17 VERDICT slate #4) The gate runs B=8/window=32; nothing yet
+    // shows the yield doesn't collapse at depth (if most of a wide
+    // window mutually conflicts, batching stalls back toward v05's
+    // one-merge-per-round-trip). Train at B=256/window=1024 to
+    // exhaustion (capped), printing survivors per driver round-trip.
+    if (want("bpeyield")) {
+      import graft.operators.Advanced
+      val dir = ensureDocsReplicas(25)
+      val (t, merges) = timeReleasing(
+        Advanced.bpeTrainBatched(spark, dir, rounds = 32, b = 256, window = 1024)._1)
+      val byRound = merges.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (r, ms) => s"r$r=${ms.size}" }
+      println(f"BPE-YIELD docs=125k B=256 window=1024 total=${merges.size} merges " +
+        f"in ${byRound.size} round-trips (${t}%6.1fs): ${byRound.mkString(" ")}")
+    }
+
+    // ---- stream-stream join hot-key adversary (r17 VERDICT slate #6) ----
+    // st04's join has no skew bracket (batch side has ccskew/hot-cell/
+    // salting evidence). Plant ONE user holding 25% of all events and
+    // drain the same viewClickJoin plan st04 ships, recording state-store
+    // rows, per-batch wall, and output size vs the un-skewed corpus of
+    // identical volume. The join hash-partitions on user, so the hot
+    // key's matching work lands on one task — this measures how bad that
+    // actually is at depth (state is watermark-bounded either way).
+    if (want("stskew")) {
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.{Drain, EventsStream}
+      val k = 4
+      def eventsVariant(tag: String, hot: Boolean): String = {
+        val dir = s"/tmp/graft_scale_stskew_$tag"
+        if (!new java.io.File(s"$dir/events.parquet").isDirectory) {
+          val ev0 = graft.Tables.events(spark, "/root/testdata/sf0.1")
+          val reps = (0 until k).map { i =>
+            if (i == 0) ev0
+            else ev0.withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+          }.reduce(_ unionAll _)
+          val skewed =
+            if (hot) reps.withColumn("user_id",
+              when(col("event_id") % 4 === 0, lit(424242L)).otherwise(col("user_id")))
+            else reps
+          skewed.withColumn("ts", expr("unix_micros(ts) * 1000"))
+            .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        }
+        dir
+      }
+      Seq(("flat", false), ("hot", true)).foreach { case (tag, hot) =>
+        val dir = eventsVariant(tag, hot)
+        val t0 = System.nanoTime()
+        val (q, t) = Drain.toTable(spark, s"graft_stskew_$tag", OutputMode.Append) { s2 =>
+          val ev = EventsStream.source(s2, dir)
+          EventsStream.viewClickJoin(
+            ev.filter(col("event_type") === "view"),
+            ev.filter(col("event_type") === "click"))
+        }
+        val n = t.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val stateRows = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+          .foldLeft(0L)(math.max)
+        val maxBatchMs = q.recentProgress
+          .map(_.durationMs.getOrDefault("triggerExecution", 0L).toLong)
+          .foldLeft(0L)(math.max)
+        graft.Lifecycle.release(spark)
+        println(f"ST-SKEW $tag%4s events=${k}x-sf0.1 joined=$n wall=${wall}%6.1fs " +
+          f"maxStateRows=$stateRows maxBatchMs=$maxBatchMs")
+      }
+    }
     spark.stop()
   }
 }
