@@ -1199,7 +1199,28 @@ object ScaleSmoke {
         finally spark.sparkContext.removeSparkListener(l)
       }
       val k = 250 // 5k docs x 250 = 1.25M
-      val dir = ensureDocsReplicas(k)
+      // REPLICA-DISJOINT text (every token prefixed with its replica id,
+      // the skewdeep trick): cross-replica shingles never collide, so
+      // pair density stays LINEAR in corpus size — the realistic 10x
+      // shape. The suffix-replica builder (ensureDocsReplicas) puts
+      // every doc in a k-clique: pair count grows ~k^2/2 per group, and
+      // at k=250 the soak's night-0 verify join spilled past 59 GB of
+      // /tmp before dying — a FIXTURE artifact (a 10x-bigger real crawl
+      // does not have 10x-bigger dup groups), measured and kept in
+      // PLANS.md as the quadratic-fixture caveat. doc_id remap is
+      // +i*1e6, so the %10 slice conventions survive per replica.
+      val dir = "/tmp/graft_scale_megadocs"
+      if (!new java.io.File(s"$dir/documents.parquet").isDirectory) {
+        (0 until k).map { i =>
+          if (i == 0) base
+          else base.select(
+            (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+            regexp_replace(col("text"), lit("(\\S+)"), lit(s"r$i$$1")).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionAll _)
+          .repartition(64)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      }
       spark.conf.set("spark.graft.bands.mode", "persisted")
       // fresh artifacts: this measures builds, not warm reads
       Seq(TextDedup.BandIndex.indexDirFor(dir), TextDedup.PairIndex.indexDirFor(dir))
@@ -1214,6 +1235,32 @@ object ScaleSmoke {
           f"peakTask=${pk / 1048576}MB, verifyTier=${TextDedup.lastVerifyTier})")
       }
       spark.conf.set("spark.graft.bands.mode", "auto")
+      // the tier calculus's derived breakeven on THIS session's
+      // geometry: sort-merge fires when perPartBuild = 4 x
+      // max(est/parts, min(est, 64MB advisory)) exceeds half a task's
+      // execution share — print the est where that flips, so the tier
+      // observation above has its scale context even when SHJ fires
+      locally {
+        val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+        val taskShare = (Runtime.getRuntime.maxMemory() *
+          spark.conf.get("spark.memory.fraction", "0.6").toDouble /
+          math.max(spark.sparkContext.defaultParallelism, 1)).toLong
+        val cap = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+            .stripSuffix("b"))
+        // SHJ needs BOTH est <= cap*parts (Spark's eligibility calculus)
+        // AND the 4x per-task build <= taskShare/2 — merge fires at the
+        // SMALLER bound, which on this box is the cap one
+        val mergeAtEst = math.min(cap * parts, taskShare / 2 / 4 * parts)
+        val corpusBytes = Option(
+          new java.io.File(s"$dir/documents.parquet").listFiles())
+          .map(_.map(_.length()).sum).getOrElse(-1L)
+        println(f"MEGA tier-calculus: corpus=${corpusBytes / 1048576}MB " +
+          f"(est ~4x = ${corpusBytes * 4 / 1048576}MB), SHJ->merge " +
+          f"breakeven est=${mergeAtEst / 1048576}MB " +
+          f"(cap*parts=${cap * parts / 1048576}MB, " +
+          f"taskShare bound=${taskShare / 2 / 4 * parts / 1048576}MB)")
+      }
       // giant-component CC at 10x the ccskew depth: half the corpus in
       // ONE chained clique-of-cliques component (diameter ~31k hops)
       locally {
@@ -1248,7 +1295,7 @@ object ScaleSmoke {
       // vector side: 3.84M vectors through base fit + delta grow + the
       // composed 3-stage serve (s14)
       locally {
-        val vk = 1000
+        val vk = 2000 // 2k vecs x 2000 = 4M — 10.4x the prior 384k depth
         val vdir = ensureEmbIncReplicas(vk)
         import graft.operators.Similarity.IvfIncIndex
         Seq(IvfIncIndex.baseDirFor(vdir), IvfIncIndex.deltaDirFor(vdir),
@@ -1314,7 +1361,13 @@ object ScaleSmoke {
         val dir = eventsVariant(tag, hot)
         val t0 = System.nanoTime()
         val (q, t) = Drain.toTable(spark, s"graft_stskew_$tag", OutputMode.Append) { s2 =>
-          val ev = EventsStream.source(s2, dir)
+          // EventsStream.source globs for a single events.parquet FILE
+          // (the testdata layout); this fixture is a written DIRECTORY —
+          // stream it directly with the on-disk schema (ts int64 nanos,
+          // normalized the same way source() does)
+          val onDisk = s2.read.parquet(s"$dir/events.parquet").schema
+          val ev = s2.readStream.schema(onDisk).parquet(s"$dir/events.parquet")
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
           EventsStream.viewClickJoin(
             ev.filter(col("event_type") === "view"),
             ev.filter(col("event_type") === "click"))
