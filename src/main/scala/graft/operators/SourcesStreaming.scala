@@ -924,7 +924,42 @@ object SourcesStreaming {
        |WHERE dom.doc_id IS NULL
        |ORDER BY d.doc_id""".stripMargin))
 
+  /** The skew-hardened stream-stream join
+    * ([[graft.streaming.EventsStream.viewClickJoinSubkeyed]]): st04's
+    * attribution semantics with the join state sub-keyed by
+    * (user, 10-minute time bucket). Same drain shape, same output
+    * contract, SAME oracle as st04 — the gate pair differs only in the
+    * state layout, so together they pin that the sub-keying is a pure
+    * physical rewrite (any semantic drift breaks one hash and not the
+    * other).
+    *
+    * Why it exists: the r17 stskew adversary (one user holding 25% of
+    * 400k events) inflated st04's drain 16× — the hot key's
+    * view×click candidate product is quadratic and lands on ONE
+    * state-store task. Sub-keying bounds each probe to its two
+    * buckets' rows and spreads the hot key across partitions
+    * (measured in ScaleSmoke `stskew`). st04 remains the default:
+    * on un-skewed traffic the sub-keyed plan stores the view side
+    * twice and pays an explode for no benefit. */
+  val st09 = QueryDef(
+    "st09_stream_join_subkeyed",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.EventsStream
+      val (_, t) = graft.streaming.Drain.toTable(
+        s, "graft_stream_join_subkeyed", OutputMode.Append) { s2 =>
+        val ev = EventsStream.source(s2, d)
+        EventsStream.viewClickJoinSubkeyed(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "click"))
+      }
+      t.select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+          col("view_ts"), col("click_ts"))
+        .orderBy(col("view_id"), col("click_id"))
+    },
+    st04.oracle)
+
   val catalog: Seq[QueryDef] =
     Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09, r10, r11,
-      st01, st02, st03, st04, st05, st06, st07, st08)
+      st01, st02, st03, st04, st05, st06, st07, st08, st09)
 }

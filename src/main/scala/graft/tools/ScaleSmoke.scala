@@ -1047,7 +1047,7 @@ object ScaleSmoke {
     // ---- giant-dup-cluster adversary (r16 VERDICT slate #3) ----
     // Half the corpus in ONE connected component, shaped as a chained
     // clique-of-cliques: 20-doc groups of IDENTICAL docs (cliques),
-    // consecutive groups overlapping at Jaccard 0.647 (chain links) —
+    // consecutive groups overlapping at Jaccard ≈ 0.667 (chain links) —
     // 62.5k docs, ~1.8M pairs, diameter ~3.1k hops. Plain hash-min
     // label propagation iterates ∝ diameter (3.1k rounds of
     // corpus-label shuffles — measured here only to an aborted round
@@ -1357,8 +1357,11 @@ object ScaleSmoke {
         }
         dir
       }
-      Seq(("flat", false), ("hot", true)).foreach { case (tag, hot) =>
-        val dir = eventsVariant(tag, hot)
+      // third arm: the SAME hot corpus through the sub-keyed plan (st09) —
+      // the remedy this adversary motivated; flat/hot stay on st04's plan
+      Seq(("flat", false, false), ("hot", true, false), ("hotsub", true, true))
+          .foreach { case (tag, hot, subkeyed) =>
+        val dir = eventsVariant(if (hot) "hot" else "flat", hot)
         val t0 = System.nanoTime()
         val (q, t) = Drain.toTable(spark, s"graft_stskew_$tag", OutputMode.Append) { s2 =>
           // EventsStream.source globs for a single events.parquet FILE
@@ -1368,7 +1371,10 @@ object ScaleSmoke {
           val onDisk = s2.read.parquet(s"$dir/events.parquet").schema
           val ev = s2.readStream.schema(onDisk).parquet(s"$dir/events.parquet")
             .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          EventsStream.viewClickJoin(
+          val join: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
+            if (subkeyed) EventsStream.viewClickJoinSubkeyed(_, _)
+            else EventsStream.viewClickJoin(_, _)
+          join(
             ev.filter(col("event_type") === "view"),
             ev.filter(col("event_type") === "click"))
         }

@@ -288,6 +288,55 @@ class StreamingSpec extends SparkSpec {
     graft.Lifecycle.release(spark)
   }
 
+  test("sub-keyed stream-stream join equals the plain join: boundary, bucket-edge and cross-batch cases") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def sec(s: Int) = new java.sql.Timestamp(Base + s * 1000L)
+    // Base is 400s into a 600s bucket, so bucket edges fall at t=200s,
+    // 800s, ... — the fixture plants pairs on BOTH sides of an edge.
+    def ev(id: Long, t: Int, u: Long, typ: String) = Event(id, sec(t), u, typ, 0.0)
+    val batch1 = Seq(
+      ev(1, 0, 7, "view"),       // matched by c10 (excl: not strictly later),
+                                 // c11 (incl: exactly +600s), c12 (excl: +601s)
+      ev(2, 120, 7, "view"),     // straddles the t=200s bucket edge with c13
+      ev(10, 0, 7, "click"), ev(11, 600, 7, "click"), ev(12, 601, 7, "click"),
+      ev(13, 300, 7, "click"),   // next bucket relative to v2
+      ev(14, 60, 9, "click")) ++ // user mismatch: never joins
+      // hot-user burst: 5x5 candidate grid, 15 qualifying pairs
+      (0 until 5).flatMap(i => Seq(
+        ev(100 + i, i * 60, 42, "view"), ev(200 + i, i * 60 + 30, 42, "click")))
+    val batch2 = Seq(ev(15, 360, 7, "click")) // arrives a batch after its views
+    def drain(name: String,
+              join: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)
+        : Set[(Long, Long, Long)] = {
+      val mem = MemoryStream[Event]
+      val df = mem.toDF()
+      val q = join(df.filter($"event_type" === "view"),
+          df.filter($"event_type" === "click"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      q.stop()
+      val out = spark.table(name).collect()
+        .map(r => (r.getAs[Long]("v_user"), r.getAs[Long]("view_id"),
+          r.getAs[Long]("click_id"))).toSet
+      spark.catalog.dropTempView(name)
+      out
+    }
+    val plain = drain("vc_plain", EventsStream.viewClickJoin(_, _))
+    val sub = drain("vc_sub", EventsStream.viewClickJoinSubkeyed(_, _))
+    assert(sub == plain, s"sub-keyed drift: only-plain=${plain -- sub}, only-sub=${sub -- plain}")
+    // spot-pin the semantics, not just the twin equality
+    assert(plain.contains((7L, 1L, 11L)), "exact +window boundary must join")
+    assert(!plain.exists(p => p._2 == 1L && p._3 == 12L), "+window+1s must not join")
+    assert(!plain.exists(p => p._2 == 1L && p._3 == 10L), "equal timestamps must not join")
+    assert(plain.contains((7L, 2L, 13L)), "bucket-edge-straddling pair must join")
+    assert(plain.contains((7L, 1L, 15L)) && plain.contains((7L, 2L, 15L)),
+      "cross-batch click must join both retained views")
+    assert(plain.count(_._1 == 42L) == 15, "hot-user grid: 15 qualifying pairs")
+  }
+
   test("streaming hourly agg equals the batch groupBy on the same data") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
