@@ -26,7 +26,11 @@ package graft.operators
   * SourcesStreaming.RewriteLayoutV, BandIndex) or a warm /tmp serves
   * the old code's output.
   */
-private[operators] object IndexStore {
+// private[graft] (not [operators]): graft.tools measurement mains read
+// broadcastCapBytes — the ONE cap parser — rather than re-parsing the
+// conf (the r18 review found exactly that drifted duplicate in
+// ScaleSmoke, throwing on the standard "-1" disable form)
+private[graft] object IndexStore {
 
   /** Broadcast `df` only if its MEASURED in-memory size estimate fits
     * the session's `autoBroadcastJoinThreshold`; otherwise return

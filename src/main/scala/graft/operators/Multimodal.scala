@@ -411,6 +411,18 @@ object Multimodal {
     * it without 64-bit shift/overflow edge cases. */
   private val PhashCells = 16
 
+  /** Version of the pHash DERIVATION (decode → frameSampleStub stride →
+    * resize pooling → threshold rule), folded into every [[MediaIndex]]
+    * publish-dir name. The dirs are otherwise keyed by corpus
+    * fingerprint + [[PhashCells]] alone, so a kernel change that leaves
+    * both unchanged would serve STALE published hashes to
+    * mm06/mm07/maintained() while mm04 recomputes inline — the exact
+    * divergence [[phashFrame]]'s sharing exists to prevent, surfacing
+    * only on warm-/tmp machines (r18 review). BUMP THIS with ANY change
+    * to [[phash]], [[resizeStub]], [[frameSampleStub]], [[decode]], or
+    * the sampling stride below. */
+  private val PhashKernelVer = 1
+
   def phash(samples: Array[Int]): String = {
     val cells = resizeStub(samples, target = PhashCells)
     val total = cells.foldLeft(0L)(_ + _)
@@ -490,11 +502,11 @@ object Multimodal {
     private def fp(d: String): String =
       IndexStore.corpusFingerprint(d, "documents")
     private[graft] def baseDirFor(d: String): String =
-      s"${sys.props("java.io.tmpdir")}/graft_media_${fp(d)}_ph${PhashCells}_base"
+      s"${sys.props("java.io.tmpdir")}/graft_media_${fp(d)}_ph${PhashCells}v${PhashKernelVer}_base"
     private[graft] def deltaDirFor(d: String): String =
-      s"${sys.props("java.io.tmpdir")}/graft_media_${fp(d)}_ph${PhashCells}_delta"
+      s"${sys.props("java.io.tmpdir")}/graft_media_${fp(d)}_ph${PhashCells}v${PhashKernelVer}_delta"
     private[graft] def retractDirFor(d: String, salt: String): String =
-      s"${sys.props("java.io.tmpdir")}/graft_media_${fp(d)}_ph${PhashCells}_retract_$salt"
+      s"${sys.props("java.io.tmpdir")}/graft_media_${fp(d)}_ph${PhashCells}v${PhashKernelVer}_retract_$salt"
 
     private def docsSlice(s: org.apache.spark.sql.SparkSession, d: String,
         inSlice: Boolean): DataFrame = {

@@ -915,15 +915,65 @@ object Similarity {
     /** Publish instance `salt`'s tombstone set (takedowns/opt-outs) as
       * a ring artifact — publish-once, atomic, metadata-sized (one
       * distinct id column, single file: a takedown batch is never
-      * corpus-shaped). Idempotent: a re-publish against a warm store
-      * is a no-op, the [[IndexStore.ensure]] contract. */
+      * corpus-shaped). Idempotent on an IDENTICAL re-publish (the
+      * [[IndexStore.ensure]] contract); LOUD on a conflicting one:
+      * ensure() no-ops against a warm store, which previously let a
+      * second, different takedown batch return "success" while its ids
+      * kept being served — indistinguishable from a publish at every
+      * call site (r18 review). The documented convention (union batches
+      * into a new instance, or ride the retraction fold) is now
+      * enforced, not just described: a warm store is value-compared
+      * against the incoming batch (one metadata-sized full-outer join)
+      * and a mismatch throws instead of silently dropping takedowns. */
     def publishTombstones(s: SparkSession, d: String, salt: String,
-        ids: DataFrame): String =
-      IndexStore.ensure(tombDirFor(d, salt), "ids/_SUCCESS") { tmp =>
+        ids: DataFrame): String = {
+      val dir = tombDirFor(d, salt)
+      val wasWarm = new java.io.File(s"$dir/ids/_SUCCESS").exists()
+      val out = IndexStore.ensure(dir, "ids/_SUCCESS") { tmp =>
         ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$tmp/ids")
       }
+      if (wasWarm) {
+        val mismatches = s.read.parquet(s"$out/ids")
+          .select(col("vec_id")).withColumn("have", lit(1))
+          .join(ids.select(col("vec_id").cast("long").as("vec_id"))
+            .distinct().withColumn("want", lit(1)), Seq("vec_id"), "full_outer")
+          .filter(col("have").isNull || col("want").isNull)
+          .limit(1).count()
+        require(mismatches == 0L,
+          s"publishTombstones($salt): store already published with a " +
+            "DIFFERENT id set — a publish-once instance cannot absorb a " +
+            "second takedown batch; union the batches into a new " +
+            "instance or ride the retraction fold (see tombstone-store " +
+            "doc)")
+      }
+      out
+    }
+
+    /** Tombstone-STATE token, folded into the name of every publish-once
+      * dir whose content depends on instance `salt`'s tombstone set (the
+      * drift monitor's persisted sqdist frame, every gen-2 refit dir).
+      * Publish-once dirs are otherwise keyed by corpus fingerprint +
+      * salt alone, so a frame computed against a COLD store would stay
+      * pinned after the tombstones publish — retracted vectors steering
+      * the drift policy, or resurrected inside a pre-publication gen-2,
+      * forever (r18 review; the same class as the r17 resurrection hole,
+      * one level up). Cold store → empty token, so every
+      * tombstone-free dir name — and every pre-s19 gate hash — is
+      * unchanged; a publication flips the token (published file bytes:
+      * stable per publish-once set, shifted by any re-publication after
+      * a store wipe) and orphans the stale artifacts. */
+    private[graft] def tombToken(d: String, salt: String): String = {
+      val idsDir = new java.io.File(s"${tombDirFor(d, salt)}/ids")
+      if (!new java.io.File(idsDir, "_SUCCESS").exists()) ""
+      else {
+        val bytes = Option(idsDir.listFiles()).map(_.collect {
+          case f if f.getName.endsWith(".parquet") => f.length
+        }.sum).getOrElse(0L)
+        s"_t$bytes"
+      }
+    }
 
     /** Instance `salt`'s published tombstone set, or None when the
       * instance has never published one. None — not an empty frame —
@@ -1306,7 +1356,8 @@ object Similarity {
       * readers switch generations at the publication marker, exactly
       * the [[IndexStore]] contract every segment rides. */
     def recluster(s: SparkSession, d: String): String =
-      reclusterOf(retractedBy(s, d, RingSalt)(embDouble(s, d)), gen2DirFor(d))
+      reclusterOf(retractedBy(s, d, RingSalt)(embDouble(s, d)),
+        gen2DirFor(d) + tombToken(d, RingSalt))
 
     /** [[recluster]] generalized to an explicit corpus frame and
       * publication dir — the generation-2 body the serving policy
@@ -1361,7 +1412,10 @@ object Similarity {
       // argmin re-derivation — r16 VERDICT nit 3); a derived corpus has
       // no published assignment, so its monitor derives from scratch
       // ONCE and persists its (vec_id, sqdist) frame per corpus
-      // fingerprint + instance (r17 VERDICT nit 1: s13's derived arm
+      // fingerprint + instance + tombstone-state token (the token keeps
+      // a frame computed against a cold store from serving after the
+      // instance's tombstones publish — see tombToken's doc)
+      // (r17 VERDICT nit 1: s13's derived arm
       // was the single most expensive gate because this deterministic
       // frame — fixed derivation, frozen gen-1 centroids, publish-once
       // tombstones — re-derived every pass; the DeltaPairIndex move).
@@ -1373,7 +1427,8 @@ object Similarity {
         case None    => driftRatioFromAssigned(retr(maintained(s, d)), cen1)
         case Some(e) =>
           val md = IndexStore.ensure(
-              s"${gen2DirFor(d)}_${genSalt}_mon", "sqdist/_SUCCESS") { tmp =>
+              s"${gen2DirFor(d)}_$genSalt${tombToken(d, genSalt)}_mon",
+              "sqdist/_SUCCESS") { tmp =>
             assignWithDist(retr(e), cen1)
               .select(col("vec_id"), col("sqdist"))
               .write.mode("overwrite").parquet(s"$tmp/sqdist")
@@ -1390,7 +1445,8 @@ object Similarity {
         // under a shared salt; distinct DERIVED corpora remain the
         // caller's contract (unique genSalt per derivation).
         val arm = if (embOpt.isEmpty) "ring" else "drv"
-        val g2 = reclusterOf(emb, s"${gen2DirFor(d)}_${genSalt}_$arm")
+        val g2 = reclusterOf(emb,
+          s"${gen2DirFor(d)}_$genSalt${tombToken(d, genSalt)}_$arm")
         (s.read.parquet(s"$g2/assigned"), s.read.parquet(s"$g2/centroids"))
       } else
         (retr(embOpt.fold(maintained(s, d))(e => assign(e, cen1))), cen1)
@@ -1920,7 +1976,8 @@ object Similarity {
     },
     None,
     oracleLate = Some { sfDir =>
-      val g2 = s"${IvfIncIndex.gen2DirFor(sfDir)}_s13_drv"
+      val g2 = s"${IvfIncIndex.gen2DirFor(sfDir)}_s13" +
+        s"${IvfIncIndex.tombToken(sfDir, "s13")}_drv"
       s"""WITH emb2 AS (
          |  SELECT vec_id,
          |         CASE WHEN vec_id % ${IvfIncIndex.NewSliceMod} = ${IvfIncIndex.NewSliceRem}
@@ -2208,7 +2265,8 @@ object Similarity {
     },
     None,
     oracleLate = Some { sfDir =>
-      val g2 = s"${IvfIncIndex.gen2DirFor(sfDir)}_s19_drv"
+      val g2 = s"${IvfIncIndex.gen2DirFor(sfDir)}_s19" +
+        s"${IvfIncIndex.tombToken(sfDir, "s19")}_drv"
       s"""WITH embt AS (
          |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 23 <> 5),
          |emb2 AS (

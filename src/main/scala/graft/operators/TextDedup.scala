@@ -159,10 +159,15 @@ object TextDedup {
     // (reverts to bare planner stats so the starved-heap A/B can
     // measure the broadcast plan this gate exists to suppress).
     val mode = s.conf.get("spark.graft.verifyjoin.hint", "auto")
+    // every branch records its tier (forced hints included) so a
+    // measurement reading lastVerifyTier after a plan that DID build a
+    // verify join never sees a prior plan's value (r18 review; plans
+    // that build no verify join are the reader's job to reset — see
+    // ScaleSmoke soak/mega)
     def pin(df: DataFrame): DataFrame = mode match {
-      case "off"          => df
-      case "shuffle_hash" => df.hint("SHUFFLE_HASH")
-      case "merge"        => df.hint("MERGE")
+      case "off"          => lastVerifyTier = "off(hint)"; df
+      case "shuffle_hash" => lastVerifyTier = "shuffle_hash(hint)"; df.hint("SHUFFLE_HASH")
+      case "merge"        => lastVerifyTier = "merge(hint)"; df.hint("MERGE")
       case _ =>
         if (estSetsBytes < 0) { lastVerifyTier = "merge(unpriced)"; df.hint("MERGE") }
         else {

@@ -1230,6 +1230,10 @@ object ScaleSmoke {
         f"shuffle=${shSig / 1048576}MB, peakTask=${pkSig / 1048576}MB)")
       TextDedup.SoakRing.wipe(dir)
       (0 to 4).foreach { night =>
+        // reset per night: a night whose arm builds no verify join
+        // (fold/retract) must not inherit the prior night's tier label
+        // (r18 review)
+        TextDedup.lastVerifyTier = "none"
         val (t, n, sh, pk) = metered(TextDedup.SoakRing.served(spark, dir, night).count())
         println(f"MEGA soak n$night=${t}%7.1fs ($n pairs, shuffle=${sh / 1048576}MB, " +
           f"peakTask=${pk / 1048576}MB, verifyTier=${TextDedup.lastVerifyTier})")
@@ -1245,13 +1249,30 @@ object ScaleSmoke {
         val taskShare = (Runtime.getRuntime.maxMemory() *
           spark.conf.get("spark.memory.fraction", "0.6").toDouble /
           math.max(spark.sparkContext.defaultParallelism, 1)).toLong
-        val cap = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-          spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
-            .stripSuffix("b"))
-        // SHJ needs BOTH est <= cap*parts (Spark's eligibility calculus)
-        // AND the 4x per-task build <= taskShare/2 — merge fires at the
-        // SMALLER bound, which on this box is the cap one
-        val mergeAtEst = math.min(cap * parts, taskShare / 2 / 4 * parts)
+        // the ONE cap parser (IndexStore.broadcastCapBytes) — the first
+        // draft here re-parsed the conf and threw on the standard "-1"
+        // disable form (r18 review)
+        val cap = graft.operators.IndexStore.broadcastCapBytes(spark)
+        // Mirror verifyJaccardOf's calculus EXACTLY, including the AQE
+        // advisory floor the first draft ignored (r18 review): SHJ needs
+        // est <= cap*parts AND 4 x max(est/parts, min(est, advisory)) <=
+        // taskShare/2. With thr = taskShare/8, the build bound flips at
+        // thr*parts when advisory <= thr (the est/parts term governs) and
+        // at thr itself otherwise (any est past thr rides the advisory
+        // floor into a coalesced task) — on this box advisory(64MB) > thr,
+        // so the ADVISORY bound binds far below cap*parts.
+        val aqeCoalesce =
+          spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
+            spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true").toBoolean
+        val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"))
+        val thr = taskShare / 2 / 4
+        val estBuildBound =
+          if (!aqeCoalesce) thr * parts
+          else if (advisory <= thr) thr * parts
+          else thr
+        val mergeAtEst =
+          if (cap <= 0) 0L else math.min(cap * parts, estBuildBound)
         val corpusBytes = Option(
           new java.io.File(s"$dir/documents.parquet").listFiles())
           .map(_.map(_.length()).sum).getOrElse(-1L)
@@ -1259,7 +1280,8 @@ object ScaleSmoke {
           f"(est ~4x = ${corpusBytes * 4 / 1048576}MB), SHJ->merge " +
           f"breakeven est=${mergeAtEst / 1048576}MB " +
           f"(cap*parts=${cap * parts / 1048576}MB, " +
-          f"taskShare bound=${taskShare / 2 / 4 * parts / 1048576}MB)")
+          f"build bound=${estBuildBound / 1048576}MB" +
+          f"${if (aqeCoalesce && advisory > thr) " - advisory floor binds" else ""})")
       }
       // giant-component CC at 10x the ccskew depth: half the corpus in
       // ONE chained clique-of-cliques component (diameter ~31k hops)
