@@ -193,4 +193,57 @@ class RetractionSpec extends SparkSpec {
       s"retracted ranking $after does not extend surviving order $survivors")
     assert(after.size == 3, "probe did not re-fill the freed slots")
   }
+
+  test("tombstone-state dir keying: a gen-2 computed against a cold store is orphaned by the publication") {
+    // The r18 review's staleness class: gen-2/monitor dirs were keyed
+    // by corpus fingerprint + salt alone, so a recluster that ran
+    // BEFORE the takedown published stayed pinned forever — resurrected
+    // vectors serving from a publish-once artifact no later publication
+    // could invalidate. The tombstone-STATE token now in the dir name
+    // means the publication orphans the cold-store artifact and the
+    // next recluster refits against the reduced corpus.
+    graft.functions.VectorExpressions.register(spark)
+    import graft.operators.Similarity.IvfIncIndex
+    val scratch = java.nio.file.Files.createTempDirectory("coldg2").toFile
+    val twinId = 777002L
+    val emb = graft.Tables.embeddings(spark, sf)
+    emb.unionByName(
+        emb.filter(col("vec_id") === 0L)
+          .select(lit(twinId).as("vec_id"), col("embedding"), col("label")))
+      .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+    val ds = scratch.getAbsolutePath
+    IvfIncIndex.ensureBase(spark, ds)
+    // gen-2 published while the store is COLD: the twin is present
+    val g2cold = IvfIncIndex.recluster(spark, ds)
+    assert(spark.read.parquet(s"$g2cold/assigned")
+      .filter(col("vec_id") === twinId).count() == 1L,
+      "fixture broke: cold-store gen-2 should contain the twin")
+    // the takedown publishes AFTER the artifact exists
+    IvfIncIndex.publishTombstones(spark, ds, IvfIncIndex.RingSalt,
+      spark.range(1).select(lit(twinId).as("vec_id")))
+    val g2warm = IvfIncIndex.recluster(spark, ds)
+    assert(g2warm != g2cold, "publication did not flip the gen-2 dir key")
+    assert(spark.read.parquet(s"$g2warm/assigned")
+      .filter(col("vec_id") === twinId).isEmpty,
+      "post-publication recluster served the cold-store artifact")
+    graft.Lifecycle.release(spark)
+  }
+
+  test("publishTombstones: identical re-publish is a no-op, a conflicting batch throws") {
+    // ensure() no-ops against a warm store; before the r18 review that
+    // made a second, DIFFERENT takedown batch return "success" while
+    // its ids kept serving. The documented union-into-a-new-instance
+    // convention is now enforced by a value compare.
+    import graft.operators.Similarity.IvfIncIndex
+    val b1 = spark.range(2).select((col("id") * 23 + 5).as("vec_id"))
+    val dir1 = IvfIncIndex.publishTombstones(spark, sf, "specConflict", b1)
+    val dir2 = IvfIncIndex.publishTombstones(spark, sf, "specConflict", b1)
+    assert(dir1 == dir2, "identical re-publish must stay the idempotent no-op")
+    val b2 = spark.range(3).select((col("id") * 23 + 5).as("vec_id"))
+    val e = intercept[IllegalArgumentException] {
+      IvfIncIndex.publishTombstones(spark, sf, "specConflict", b2)
+    }
+    assert(e.getMessage.contains("DIFFERENT id set"))
+    graft.Lifecycle.release(spark)
+  }
 }
