@@ -555,8 +555,10 @@ object Multimodal {
   }
 
   /** The DuckDB pHash derivation (b → samp → cells → lvl → ph) — the
-    * ONE oracle body for mm04 and mm06 ([[phashFrame]]'s mirror). */
-  private val PhashCtes: String =
+    * ONE oracle body for mm04, mm06 and the trimodal capstone c09
+    * ([[phashFrame]]'s mirror; private[operators] so c09's oracle in
+    * Similarity reuses THIS text rather than a drifting copy). */
+  private[operators] val PhashCtes: String =
     s"""b AS (
       |  SELECT doc_id AS id, hex(encode(text)) AS h,
       |         (octet_length(encode(text)) + 1) // 2 AS len

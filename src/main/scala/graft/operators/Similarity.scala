@@ -2333,7 +2333,85 @@ object Similarity {
          |${probeFinal()} ORDER BY query_id, rank""".stripMargin
     })
 
+  /** TRIMODAL capstone — all three maintenance families composed in ONE
+    * hash-gated chain, media → text → vector (closing the triangle
+    * whose two edges are already gated: mm06 is media→text, s17 is
+    * text→vector): the media ring's published pHash artifact yields the
+    * perceptual dup verdict; that verdict retracts the promoted pair
+    * ring's served state and the keep-mask probe over the REDUCED frame
+    * drops text-dominated batch docs; docs dropped by EITHER modality
+    * are then retracted from the maintained IVF view and the probe
+    * serves the survivors. One hash covers pHash bit construction → dup
+    * verdict → pair retraction → keep calculus over the reduced corpus
+    * → vector retraction → assignment → probe: drift in any family, or
+    * in how the verdicts hand off between them, breaks it. The oracle
+    * re-derives the ENTIRE chain from scratch in DuckDB (PhashCtes →
+    * live → jp over live → dom → reduced embeddings → frozen-centroid
+    * assignment → probe), never mirroring any engine filter shape.
+    *
+    * Scale: each stage keeps its own family's audited cost — the
+    * verdict is a warm parquet read + one window over metadata-sized
+    * state, the retractions are anti-joins against metadata-sized sets,
+    * the keep probe is t25's neighborhood-bounded calculus, the probe
+    * is s09's nprobe-bounded scan. The composition itself adds no
+    * corpus-shaped work; the three families share one lineage with no
+    * rebuild anywhere. */
+  val c09 = QueryDef(
+    "c09_trimodal_capstone",
+    (s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("phash")).orderBy(col("id"))
+      // MEDIA: mm04's rule over the ring's published (id, phash) state.
+      // localCheckpoint: metadata-sized verdict feeding four branches
+      // (pair retraction, batch anti-join, vector retraction union)
+      val mediaGone = Multimodal.MediaIndex.maintained(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") > 1).select(col("id").as("doc_id"))
+        .localCheckpoint()
+      // TEXT: mm06's arm — the media verdict retracts the pair ring,
+      // keep-mask over the reduced frame with media-dups out of batch
+      val pairs = TextDedup.retractPairs(
+        TextDedup.PromotedPairIndex.maintained(s, d), mediaGone)
+      val batch = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 7).select(col("doc_id"))
+        .join(mediaGone, Seq("doc_id"), "left_anti")
+      val textGone = TextDedup.dedupKeepMask(pairs, batch)
+        .filter(!col("keep")).select(col("doc_id"))
+      // VECTOR: s17's arm over the UNION — a doc dropped by either
+      // modality stops being retrievable (tombstoned queries included)
+      val gone = mediaGone.unionByName(textGone)
+        .select(col("doc_id").as("vec_id"))
+      val assigned = annRetract(IvfIncIndex.maintained(s, d), gone)
+      val cen = s.read.parquet(s"${IvfIncIndex.baseDirFor(d)}/centroids")
+      ivfProbeOn(assigned, cen, _.filter(col("vec_id") < NumQueries))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None,
+    oracleLate = Some { sfDir =>
+      s"""WITH ${Multimodal.PhashCtes},
+         |dup AS (
+         |  SELECT id AS doc_id FROM (
+         |    SELECT id, ROW_NUMBER() OVER (PARTITION BY phash ORDER BY id) AS rk
+         |    FROM ph)
+         |  WHERE rk > 1),
+         |live AS (
+         |  SELECT d.* FROM documents d
+         |  LEFT JOIN dup ON d.doc_id = dup.doc_id
+         |  WHERE dup.doc_id IS NULL),
+         |jp AS (${TextDedup.jaccardPairsSqlFrom("live")}),
+         |batch AS (SELECT doc_id FROM live WHERE doc_id % 10 = 7),
+         |${TextDedup.KeepDomCtes},
+         |embt AS (
+         |  SELECT e.vec_id, e.embedding FROM embeddings e
+         |  LEFT JOIN dup ON e.vec_id = dup.doc_id
+         |  LEFT JOIN dom ON e.vec_id = dom.doc_id
+         |  WHERE dup.doc_id IS NULL AND dom.doc_id IS NULL),
+         |${probeCtes(IvfIncIndex.baseDirFor(sfDir), "", "embt")}
+         |${probeFinal()} ORDER BY query_id, rank""".stripMargin
+    })
+
   val catalog: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17, s18, s19)
+      s15, s16, s17, s18, s19, c09)
 }
