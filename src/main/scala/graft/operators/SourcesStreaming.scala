@@ -959,7 +959,58 @@ object SourcesStreaming {
     },
     st04.oracle)
 
+  /** Streaming ingest × the MEDIA ring — st08's admission-filter shape
+    * with the media family's published state as the verdict source (the
+    * ring landed in r18; this is its streaming consumer, completing the
+    * symmetry: text ring → st08, media ring → st10): tonight's arriving
+    * media slice (doc_id % 10 = 6 — [[Multimodal.MediaIndex]]'s OWN
+    * delta-slice convention, so the stream admits exactly the docs the
+    * ring treats as tonight's growth) streams in and only pHash KEEPERS
+    * land — perceptual duplicates of anything in the served state drop
+    * in flight. The static side is the ring's published (id, phash)
+    * artifact resolved at stream DEFINITION, exactly st08's contract
+    * (a promotion mid-stream is picked up by restarting the stream —
+    * the same checkpoint-replay deployment shape, measured in
+    * StreamingSpec's restart test).
+    *
+    * Scale: the stream side is stateless (filter + join); the verdict
+    * side is a warm parquet read + one window over metadata-sized
+    * (id, phash) state — at deployment scale the nightly artifact the
+    * ring already publishes. Oracle: the PhashCtes keeper calculus
+    * joined back to the document metadata. */
+  val st10 = QueryDef(
+    "st10_stream_media_filter",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      val (_, t) = graft.streaming.Drain.toTable(
+        s, "graft_stream_media_filter", OutputMode.Append) { s2 =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("phash")).orderBy(col("id"))
+        val keepers = Multimodal.MediaIndex.maintained(s2, d)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1).select(col("id").as("doc_id"))
+        s2.readStream
+          .schema(DocStreamSchema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(d)
+          .filter(col("doc_id") % 10 === Multimodal.MediaIndex.NewSliceRem)
+          .join(keepers, Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+      }
+      t.orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ${Multimodal.PhashCtes},
+       |keepers AS (
+       |  SELECT id AS doc_id FROM (
+       |    SELECT id, ROW_NUMBER() OVER (PARTITION BY phash ORDER BY id) AS rk
+       |    FROM ph)
+       |  WHERE rk = 1)
+       |SELECT d.doc_id, d.lang, d.n_chars
+       |FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+       |WHERE d.doc_id % 10 = ${Multimodal.MediaIndex.NewSliceRem}
+       |ORDER BY d.doc_id""".stripMargin))
+
   val catalog: Seq[QueryDef] =
     Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09, r10, r11,
-      st01, st02, st03, st04, st05, st06, st07, st08, st09)
+      st01, st02, st03, st04, st05, st06, st07, st08, st09, st10)
 }
