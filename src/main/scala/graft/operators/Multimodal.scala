@@ -542,6 +542,36 @@ object Multimodal {
       s.read.parquet(s"${ensureBase(s, d)}/phash")
         .unionByName(s.read.parquet(s"${ensureDelta(s, d)}/phash"))
 
+    /** The media family's DUP verdict over the served state — every doc
+      * dominated by a smaller-id doc with the same pHash (mm04's rule).
+      * ONE body for mm06's retraction batch and c09's capstone stage
+      * (the r18 review found the window/rk/checkpoint block copied
+      * between them — the drift class probeKeep/phashFrame factoring
+      * exists to prevent). localCheckpointed: the verdict is
+      * metadata-sized and feeds several plan branches in every
+      * consumer (retraction anti-joins + batch anti-join). */
+    private[operators] def dupVerdict(s: org.apache.spark.sql.SparkSession,
+        d: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("phash")).orderBy(col("id"))
+      maintained(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") > 1).select(col("id").as("doc_id"))
+        .localCheckpoint()
+    }
+
+    /** [[dupVerdict]]'s complement — the min-id keeper per pHash group
+      * (st10's admission set). Not checkpointed: its consumer reads it
+      * once. */
+    private[operators] def keeperVerdict(s: org.apache.spark.sql.SparkSession,
+        d: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("phash")).orderBy(col("id"))
+      maintained(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).select(col("id").as("doc_id"))
+    }
+
     /** RETRACT: publish the served state minus `tombs` (media
       * takedowns) as instance `salt`'s reduced resident — row-drop
       * exact, cost ∝ state bytes, the c07 rewrite arm. */
@@ -555,9 +585,12 @@ object Multimodal {
   }
 
   /** The DuckDB pHash derivation (b → samp → cells → lvl → ph) — the
-    * ONE oracle body for mm04, mm06 and the trimodal capstone c09
-    * ([[phashFrame]]'s mirror; private[operators] so c09's oracle in
-    * Similarity reuses THIS text rather than a drifting copy). */
+    * ONE oracle body for EVERY media-verdict oracle: mm04, mm06, the
+    * trimodal capstone c09 (Similarity) and the streaming admission
+    * gate st10 (SourcesStreaming) — [[phashFrame]]'s mirror;
+    * private[operators] so the cross-module oracles reuse THIS text
+    * rather than a drifting copy. A change here is a KERNEL change:
+    * bump [[PhashKernelVer]] with it. */
   private[operators] val PhashCtes: String =
     s"""b AS (
       |  SELECT doc_id AS id, hex(encode(text)) AS h,
@@ -586,6 +619,26 @@ object Multimodal {
       |        FROM lvl)
       |  GROUP BY id
       |)""".stripMargin
+
+  /** The DUP-verdict CTE over [[PhashCtes]]' `ph` — [[MediaIndex.dupVerdict]]'s
+    * oracle mirror, shared by mm06 and c09 so a tiebreak change cannot
+    * desynchronize one gate's oracle from the other (r18 review: the
+    * text was byte-duplicated across modules). */
+  private[operators] val PhashDupCte: String =
+    """dup AS (
+      |  SELECT id AS doc_id FROM (
+      |    SELECT id, ROW_NUMBER() OVER (PARTITION BY phash ORDER BY id) AS rk
+      |    FROM ph)
+      |  WHERE rk > 1)""".stripMargin
+
+  /** The complement — min-id keeper per pHash group
+    * ([[MediaIndex.keeperVerdict]]'s mirror, st10's oracle). */
+  private[operators] val PhashKeeperCte: String =
+    """keepers AS (
+      |  SELECT id AS doc_id FROM (
+      |    SELECT id, ROW_NUMBER() OVER (PARTITION BY phash ORDER BY id) AS rk
+      |    FROM ph)
+      |  WHERE rk = 1)""".stripMargin
 
   val mm04 = QueryDef(
     "mm04_phash_dedup",
@@ -622,20 +675,15 @@ object Multimodal {
   val mm06 = QueryDef(
     "mm06_phash_ring_retract",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("phash")).orderBy(col("id"))
       // the verdict derives from the RING's published (id, phash)
       // artifact (r17 VERDICT nit 3: the decode+pHash kernel was the
       // only corpus-shaped recompute left in any per-query path; same
       // rows as the inline derivation by construction, so the hash is
-      // pinned unchanged). Checkpoint stays: the tombstone subtree
-      // feeds THREE plan branches (both retraction anti-joins + the
-      // batch anti-join) and the verdict window would otherwise re-run
-      // per branch; the verdict is metadata-sized
-      val tombs = MediaIndex.maintained(s, d)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") > 1).select(col("id").as("doc_id"))
-        .localCheckpoint()
+      // pinned unchanged). dupVerdict checkpoints: the tombstone
+      // subtree feeds THREE plan branches here (both retraction
+      // anti-joins + the batch anti-join) and the verdict window would
+      // otherwise re-run per branch; the verdict is metadata-sized
+      val tombs = MediaIndex.dupVerdict(s, d)
       val pairs = TextDedup.retractPairs(
         TextDedup.PromotedPairIndex.maintained(s, d), tombs)
       val batch = Tables.documents(s, d)
@@ -651,11 +699,7 @@ object Multimodal {
         .orderBy(col("stage"), col("id"), col("id2"))
     },
     Some(s"""WITH $PhashCtes,
-      |dup AS (
-      |  SELECT id AS doc_id FROM (
-      |    SELECT id, ROW_NUMBER() OVER (PARTITION BY phash ORDER BY id) AS rk
-      |    FROM ph)
-      |  WHERE rk > 1),
+      |$PhashDupCte,
       |live AS (
       |  SELECT d.* FROM documents d
       |  LEFT JOIN dup ON d.doc_id = dup.doc_id

@@ -2360,15 +2360,11 @@ object Similarity {
     "c09_trimodal_capstone",
     (s, d) => {
       graft.functions.VectorExpressions.register(s)
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("phash")).orderBy(col("id"))
-      // MEDIA: mm04's rule over the ring's published (id, phash) state.
-      // localCheckpoint: metadata-sized verdict feeding four branches
-      // (pair retraction, batch anti-join, vector retraction union)
-      val mediaGone = Multimodal.MediaIndex.maintained(s, d)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") > 1).select(col("id").as("doc_id"))
-        .localCheckpoint()
+      // MEDIA: mm04's rule over the ring's published (id, phash) state
+      // — the ONE dupVerdict body mm06 shares (checkpointed there: the
+      // metadata-sized verdict feeds four branches here — pair
+      // retraction, batch anti-join, vector retraction union)
+      val mediaGone = Multimodal.MediaIndex.dupVerdict(s, d)
       // TEXT: mm06's arm — the media verdict retracts the pair ring,
       // keep-mask over the reduced frame with media-dups out of batch
       val pairs = TextDedup.retractPairs(
@@ -2390,11 +2386,7 @@ object Similarity {
     None,
     oracleLate = Some { sfDir =>
       s"""WITH ${Multimodal.PhashCtes},
-         |dup AS (
-         |  SELECT id AS doc_id FROM (
-         |    SELECT id, ROW_NUMBER() OVER (PARTITION BY phash ORDER BY id) AS rk
-         |    FROM ph)
-         |  WHERE rk > 1),
+         |${Multimodal.PhashDupCte},
          |live AS (
          |  SELECT d.* FROM documents d
          |  LEFT JOIN dup ON d.doc_id = dup.doc_id

@@ -959,36 +959,42 @@ object SourcesStreaming {
     },
     st04.oracle)
 
-  /** Streaming ingest × the MEDIA ring — st08's admission-filter shape
+  /** Streaming ingest × the MEDIA ring — st08's admission-filter SHAPE
     * with the media family's published state as the verdict source (the
     * ring landed in r18; this is its streaming consumer, completing the
     * symmetry: text ring → st08, media ring → st10): tonight's arriving
     * media slice (doc_id % 10 = 6 — [[Multimodal.MediaIndex]]'s OWN
     * delta-slice convention, so the stream admits exactly the docs the
-    * ring treats as tonight's growth) streams in and only pHash KEEPERS
-    * land — perceptual duplicates of anything in the served state drop
-    * in flight. The static side is the ring's published (id, phash)
-    * artifact resolved at stream DEFINITION, exactly st08's contract
-    * (a promotion mid-stream is picked up by restarting the stream —
-    * the same checkpoint-replay deployment shape, measured in
-    * StreamingSpec's restart test).
+    * ring treats as tonight's growth) streams in and only the media
+    * family's KEEPERS land ([[Multimodal.MediaIndex.keeperVerdict]]).
+    *
+    * The admission RULE deliberately differs from st08's (r18 review —
+    * the first docstring here claimed st08 semantics): the text side's
+    * dedupKeepMask lets a RESIDENT partner dominate unconditionally,
+    * while the media family's verdict is global min-id per pHash group
+    * (mm04's rule, the one mm06/c09 retract by). An arriving doc whose
+    * id sorts below a same-hash resident is therefore ADMITTED — it is
+    * the group's keeper, and the resident it displaces becomes the dup
+    * that mm06's retraction arm removes. Admitting by any other rule
+    * would make the stream disagree with the family's own served
+    * verdict. The static side is the published (id, phash) artifact
+    * resolved at stream DEFINITION, st08's contract (a promotion
+    * mid-stream is picked up by restarting the stream — the same
+    * checkpoint-replay deployment shape, measured in StreamingSpec's
+    * restart test).
     *
     * Scale: the stream side is stateless (filter + join); the verdict
     * side is a warm parquet read + one window over metadata-sized
     * (id, phash) state — at deployment scale the nightly artifact the
-    * ring already publishes. Oracle: the PhashCtes keeper calculus
-    * joined back to the document metadata. */
+    * ring already publishes. Oracle: the shared PhashKeeperCte joined
+    * back to the document metadata. */
   val st10 = QueryDef(
     "st10_stream_media_filter",
     (s, d) => {
       import org.apache.spark.sql.streaming.OutputMode
       val (_, t) = graft.streaming.Drain.toTable(
         s, "graft_stream_media_filter", OutputMode.Append) { s2 =>
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("phash")).orderBy(col("id"))
-        val keepers = Multimodal.MediaIndex.maintained(s2, d)
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1).select(col("id").as("doc_id"))
+        val keepers = Multimodal.MediaIndex.keeperVerdict(s2, d)
         s2.readStream
           .schema(DocStreamSchema)
           .option("pathGlobFilter", "documents.parquet")
@@ -1000,11 +1006,7 @@ object SourcesStreaming {
       t.orderBy(col("doc_id"))
     },
     Some(s"""WITH ${Multimodal.PhashCtes},
-       |keepers AS (
-       |  SELECT id AS doc_id FROM (
-       |    SELECT id, ROW_NUMBER() OVER (PARTITION BY phash ORDER BY id) AS rk
-       |    FROM ph)
-       |  WHERE rk = 1)
+       |${Multimodal.PhashKeeperCte}
        |SELECT d.doc_id, d.lang, d.n_chars
        |FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
        |WHERE d.doc_id % 10 = ${Multimodal.MediaIndex.NewSliceRem}
