@@ -561,15 +561,22 @@ object Multimodal {
     }
 
     /** [[dupVerdict]]'s complement — the min-id keeper per pHash group
-      * (st10's admission set). Not checkpointed: its consumer reads it
-      * once. */
-    private[operators] def keeperVerdict(s: org.apache.spark.sql.SparkSession,
+      * (st10's admission set). localCheckpointed like [[dupVerdict]]:
+      * its consumer is the STATIC side of st10's stream-static join,
+      * which Spark re-evaluates on EVERY micro-batch — without the
+      * checkpoint that is a warm parquet read + window per batch, not
+      * the "reads it once" the first docstring claimed (r18 ADVICE).
+      * The verdict is metadata-sized, so pinning it as an in-memory
+      * RDD is the honest way to make the per-batch cost a scan of K
+      * rows. */
+    private[graft] def keeperVerdict(s: org.apache.spark.sql.SparkSession,
         d: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("phash")).orderBy(col("id"))
       maintained(s, d)
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1).select(col("id").as("doc_id"))
+        .localCheckpoint()
     }
 
     /** RETRACT: publish the served state minus `tombs` (media

@@ -909,8 +909,37 @@ object Similarity {
     /** The production ring's tombstone-store instance. */
     private[graft] val RingSalt = "ring"
 
+    // tomb2: layout v2 adds the DIGEST sidecar (the _l1 dir-version
+    // convention — a warm r18-vintage store has no digest to compare)
     private[graft] def tombDirFor(d: String, salt: String): String =
-      s"${sys.props("java.io.tmpdir")}/graft_ivfinc_${IndexStore.corpusFingerprint(d, "embeddings")}_k${IvfIndex.K}_tomb_$salt"
+      s"${sys.props("java.io.tmpdir")}/graft_ivfinc_${IndexStore.corpusFingerprint(d, "embeddings")}_k${IvfIndex.K}_tomb2_$salt"
+
+    /** Order-invariant content digest of a tombstone id set — row count
+      * + decimal sum of xxhash64(vec_id) over the distinct ids (decimal:
+      * a Long sum of 2^63-scale hashes overflows, which ANSI mode makes
+      * an error, and wrap-around would also weaken the digest). One
+      * metadata-sized aggregate; deterministic across partitionings and
+      * JVMs (xxhash64 is a fixed-seed Catalyst expression, and the sum
+      * is order-free). Two DIFFERENT sets colliding needs both equal
+      * cardinality and an exact 64-bit-hash-sum collision — the
+      * byte-LENGTH coincidence class of the r18 token (same encoded
+      * size ⇒ same token) is gone. */
+    private def tombDigest(ids: DataFrame): String = {
+      val st = ids.agg(count(lit(1)),
+        sum(xxhash64(col("vec_id")).cast("decimal(38,0)"))).head()
+      val sumHex =
+        if (st.isNullAt(1)) "0" else st.getDecimal(1).toBigInteger.toString(16)
+      s"${st.getLong(0)}x$sumHex"
+    }
+
+    /** The digest a published store shipped, or None when cold — one
+      * driver-side file read, no Spark job (this is what makes
+      * [[tombToken]] safe to call during dir-NAME construction). */
+    private def publishedDigest(d: String, salt: String): Option[String] = {
+      val f = new java.io.File(s"${tombDirFor(d, salt)}/DIGEST")
+      if (!f.exists()) None
+      else Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    }
 
     /** Publish instance `salt`'s tombstone set (takedowns/opt-outs) as
       * a ring artifact — publish-once, atomic, metadata-sized (one
@@ -920,34 +949,38 @@ object Similarity {
       * ensure() no-ops against a warm store, which previously let a
       * second, different takedown batch return "success" while its ids
       * kept being served — indistinguishable from a publish at every
-      * call site (r18 review). The documented convention (union batches
-      * into a new instance, or ride the retraction fold) is now
-      * enforced, not just described: a warm store is value-compared
-      * against the incoming batch (one metadata-sized full-outer join)
-      * and a mismatch throws instead of silently dropping takedowns. */
+      * call site (r18 review). The enforcement is a CONTENT-DIGEST
+      * marker compare ([[tombDigest]], shipped in the publication as
+      * `DIGEST`), not the r18 full-outer join: the incoming batch's
+      * digest is one metadata-sized aggregate, and the published side
+      * is a driver-side file read — s19's per-serve audit cost drops to
+      * exactly that (r18 VERDICT nit 2). The compare runs
+      * UNCONDITIONALLY after ensure(): the r18 check-then-act (sample
+      * warm-ness, then ensure) let two concurrent FIRST publishers with
+      * different batches both see a cold store and silently drop the
+      * loser's ids — now whichever build wins the atomic rename, the
+      * loser's digest mismatches the published marker and throws, and a
+      * winner's compare trivially passes (r18 ADVICE). */
     def publishTombstones(s: SparkSession, d: String, salt: String,
         ids: DataFrame): String = {
-      val dir = tombDirFor(d, salt)
-      val wasWarm = new java.io.File(s"$dir/ids/_SUCCESS").exists()
-      val out = IndexStore.ensure(dir, "ids/_SUCCESS") { tmp =>
-        ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$tmp/ids")
+      val norm = ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      val digest = tombDigest(norm)
+      val out = IndexStore.ensure(tombDirFor(d, salt), "ids/_SUCCESS") { tmp =>
+        norm.coalesce(1).write.mode("overwrite").parquet(s"$tmp/ids")
+        // written AFTER the ids land, inside the pre-rename build dir,
+        // so a published dir always carries its digest atomically
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, "DIGEST"), digest.getBytes("UTF-8"))
       }
-      if (wasWarm) {
-        val mismatches = s.read.parquet(s"$out/ids")
-          .select(col("vec_id")).withColumn("have", lit(1))
-          .join(ids.select(col("vec_id").cast("long").as("vec_id"))
-            .distinct().withColumn("want", lit(1)), Seq("vec_id"), "full_outer")
-          .filter(col("have").isNull || col("want").isNull)
-          .limit(1).count()
-        require(mismatches == 0L,
-          s"publishTombstones($salt): store already published with a " +
-            "DIFFERENT id set — a publish-once instance cannot absorb a " +
-            "second takedown batch; union the batches into a new " +
-            "instance or ride the retraction fold (see tombstone-store " +
-            "doc)")
-      }
+      val published = publishedDigest(d, salt).getOrElse(sys.error(
+        s"publishTombstones($salt): published store is missing its DIGEST " +
+          "marker — torn or foreign-layout publication"))
+      require(published == digest,
+        s"publishTombstones($salt): store already published with a " +
+          "DIFFERENT id set — a publish-once instance cannot absorb a " +
+          "second takedown batch; union the batches into a new " +
+          "instance or ride the retraction fold (see tombstone-store " +
+          "doc)")
       out
     }
 
@@ -961,19 +994,16 @@ object Similarity {
       * forever (r18 review; the same class as the r17 resurrection hole,
       * one level up). Cold store → empty token, so every
       * tombstone-free dir name — and every pre-s19 gate hash — is
-      * unchanged; a publication flips the token (published file bytes:
-      * stable per publish-once set, shifted by any re-publication after
-      * a store wipe) and orphans the stale artifacts. */
-    private[graft] def tombToken(d: String, salt: String): String = {
-      val idsDir = new java.io.File(s"${tombDirFor(d, salt)}/ids")
-      if (!new java.io.File(idsDir, "_SUCCESS").exists()) ""
-      else {
-        val bytes = Option(idsDir.listFiles()).map(_.collect {
-          case f if f.getName.endsWith(".parquet") => f.length
-        }.sum).getOrElse(0L)
-        s"_t$bytes"
-      }
-    }
+      * unchanged; a publication flips the token to the set's CONTENT
+      * digest (the published `DIGEST` marker), so any re-publication of
+      * a different set after a store wipe flips it again — the r18
+      * byte-length token could coincide across different sets of equal
+      * encoded size and serve a stale pre-wipe monitor/gen-2 artifact
+      * (r18 VERDICT nit 3 / ADVICE). Driver-side file read only. */
+    private[graft] def tombToken(d: String, salt: String): String =
+      if (!new java.io.File(s"${tombDirFor(d, salt)}/ids/_SUCCESS").exists()) ""
+      else s"_t${publishedDigest(d, salt).getOrElse(sys.error(
+        s"tombstone store for '$salt' published without a DIGEST marker"))}"
 
     /** Instance `salt`'s published tombstone set, or None when the
       * instance has never published one. None — not an empty frame —

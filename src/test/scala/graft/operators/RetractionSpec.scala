@@ -246,4 +246,37 @@ class RetractionSpec extends SparkSpec {
     assert(e.getMessage.contains("DIFFERENT id set"))
     graft.Lifecycle.release(spark)
   }
+
+  test("tombToken is a content digest: wipe + different re-publication flips it; same content restores it") {
+    // The r18 token was summed parquet byte LENGTH: within contract
+    // (publish-once) it only had to distinguish cold from published,
+    // but the documented out-of-contract path — store wipe, then
+    // re-publication of a DIFFERENT set — could coincide on encoded
+    // size and serve a stale pre-wipe monitor/gen-2 dir. The content
+    // digest (count + order-free hash sum) cannot.
+    import graft.operators.Similarity.IvfIncIndex
+    val salt = "specDigest"
+    def wipe() = graft.Lifecycle.deleteRecursively(
+      new java.io.File(IvfIncIndex.tombDirFor(sf, salt)))
+    def pub(off: Int) = IvfIncIndex.publishTombstones(spark, sf, salt,
+      spark.range(2).select((col("id") * 23 + off).as("vec_id")))
+    wipe()
+    assert(IvfIncIndex.tombToken(sf, salt) == "", "cold store must token empty")
+    pub(5)
+    val t1 = IvfIncIndex.tombToken(sf, salt)
+    assert(t1.startsWith("_t") && t1.length > 2)
+    // wipe + different set of the SAME cardinality (the r18 coincidence
+    // shape): token must flip, orphaning every token-keyed derived dir
+    wipe()
+    pub(7)
+    val t2 = IvfIncIndex.tombToken(sf, salt)
+    assert(t2 != t1, "different id set after a wipe must flip the token")
+    // wipe + the SAME set: token is a function of content, not of the
+    // publication event — derived dirs stay warm across a benign rebuild
+    wipe()
+    pub(7)
+    assert(IvfIncIndex.tombToken(sf, salt) == t2,
+      "same content must reproduce the same token")
+    graft.Lifecycle.release(spark)
+  }
 }

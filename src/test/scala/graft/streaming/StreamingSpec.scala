@@ -349,4 +349,76 @@ class StreamingSpec extends SparkSpec {
       .collect()
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("st10 restart across a media-ring promotion: exactly-once admission under the new keeper verdict") {
+    // The media twin of the text-ring restart test above (r18 VERDICT
+    // slate #5: st10's restart behavior was asserted by analogy, not
+    // witnessed). Same contract: the published (id, phash) state
+    // resolves at stream DEFINITION; a promotion lands by restarting
+    // from the checkpoint; across the restart the stream must (a)
+    // re-read NOTHING it committed — a doc admitted under the old
+    // verdict is not retroactively re-filtered when the new verdict
+    // dominates it — and (b) filter only newly-arrived files, under
+    // the NEW verdict. The planted dominance is the media rule's own
+    // (global min-id per pHash group, NOT st08's resident-dominates):
+    // doc 6 is its hash group's keeper in run 1; doc 2 — a SMALLER id
+    // — arrives between runs with the same pHash and takes the
+    // keepership, so arriving dup 26 drops while committed 6 stays.
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    // 16-cell pHash plumbing: 4 chars per cell, '~' (126) above the
+    // mean vs ' ' (32) below, 64 bytes -> 32 stride-2 samples -> 16
+    // cells, so the aHash equals the planted bit pattern exactly
+    def textOf(pattern: String): String =
+      pattern.map(b => if (b == '1') "~~~~" else "    ").mkString
+    def pat(n: Int): String =
+      (15 to 0 by -1).map(j => if (((n >> j) & 1) == 1) '1' else '0').mkString
+    val dupPat = "1111000011110000"
+    // fixture self-check: the stub-decode aHash of the planted text IS
+    // the pattern (the arithmetic the dominance story rides on)
+    assert(Multimodal.phash(Multimodal.frameSampleStub(
+      Multimodal.decodeStub(textOf(dupPat).getBytes("UTF-8")), 2)) == dupPat)
+    val root = java.nio.file.Files.createTempDirectory("graft-mediarestart").toString
+    val docDir = s"$root/documents.parquet"; val ckpt = s"$root/ckpt"
+    import spark.implicits._
+    def docRows(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", "synthetic", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docRows(Seq(0L, 1L, 3L, 4L, 5L).map(i => i -> textOf(pat(i.toInt + 1))) :+
+        (6L -> textOf(dupPat)) :+ (16L -> textOf(pat(17))))
+      .coalesce(1).write.mode("append").parquet(docDir)
+    val schema = spark.read.parquet(docDir).schema
+    val outDir = s"$root/admitted"
+    def drain(keepers: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      val q = spark.readStream.schema(schema).parquet(docDir)
+        .filter(col("doc_id") % 10 === Multimodal.MediaIndex.NewSliceRem)
+        .join(keepers, Seq("doc_id"))
+        .select(col("doc_id"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    // run 1: doc 6 is hash group {6}'s keeper -> admitted, 16 unique
+    val r1 = drain(Multimodal.MediaIndex.keeperVerdict(spark, root))
+    assert(r1 == Seq(6L, 16L), s"run 1 admitted $r1")
+    // between runs: new files arrive AND the ring rebuilds under the
+    // changed corpus fingerprint (the nightly promotion shape) — doc 2
+    // (resident, same pHash, smaller id) takes 6's keepership
+    docRows(Seq(2L -> textOf(dupPat), 26L -> textOf(dupPat),
+        36L -> textOf(pat(37))))
+      .coalesce(1).write.mode("append").parquet(docDir)
+    val keepers2 = Multimodal.MediaIndex.keeperVerdict(spark, root)
+    assert(keepers2.filter(col("doc_id") === 6L).isEmpty,
+      "fixture broke: the new verdict should dominate doc 6")
+    val r2 = drain(keepers2)
+    // (a) 6/16 exactly once — not re-read, not retroactively dropped;
+    // (b) arriving 26 filtered under the NEW verdict (global min-id 2
+    //     holds the group), 36 admitted
+    assert(r2 == Seq(6L, 16L, 36L),
+      s"cumulative admission after the promotion-flip restart: $r2")
+    graft.Lifecycle.release(spark)
+  }
 }
