@@ -1321,20 +1321,47 @@ object Similarity {
       * of the serving policy (r16 VERDICT nit 3: s13 paid a full
       * assignment pass on an index that already knew its cells). */
     private[graft] def driftRatioFromAssigned(assigned: DataFrame,
-        centroids: DataFrame): Double = {
+        centroids: DataFrame): Double =
+      ratioOfSqdist(sqdistFromAssigned(assigned, centroids))
+
+    /** The (vec_id, sqdist) frame [[driftRatioFromAssigned]] aggregates
+      * — factored so the serving policy can PERSIST it per published
+      * ring state (the quiet-arm monitor; see [[servedGeneration]]) and
+      * feed the same decision tail from a warm read. */
+    private def sqdistFromAssigned(assigned: DataFrame,
+        centroids: DataFrame): DataFrame = {
       // register unconditionally: against a WARM published index every
       // IndexStore.ensure build lambda — the only register/embDouble
       // sites on the old monitor path — is skipped, and an unregistered
       // graft_dot fails analysis (the s03 warm-index masking class;
       // r17 review finding)
       graft.functions.VectorExpressions.register(assigned.sparkSession)
-      ratioOfSqdist(assigned.join(broadcast(centroids), Seq("cell"))
+      assigned.join(broadcast(centroids), Seq("cell"))
         .withColumn("score",
           dot(col("center"), col("center")) -
             lit(2.0) * dot(col("embedding"), col("center")))
         .select(col("vec_id"),
           greatest(lit(0.0),
-            col("score") + dot(col("embedding"), col("embedding"))).as("sqdist")))
+            col("score") + dot(col("embedding"), col("embedding"))).as("sqdist"))
+    }
+
+    /** Publish-once SCALAR: the monitor decision at `dir`, computing
+      * (one Spark job over the persisted evidence frame) only on a
+      * cold dir, then serving the recorded value as a driver-side file
+      * read — zero jobs on a warm serve. Double.toString/parseDouble
+      * round-trips exactly (shortest-repr contract; Infinity included
+      * — the degenerate-base branch), so the recorded decision IS the
+      * computed one and the [[ReclusterRatio]] compare can never flip
+      * across restarts. */
+    private def ensureRatio(dir: String)(compute: => Double): Double = {
+      IndexStore.ensure(dir, "RATIO") { tmp =>
+        val v = compute
+        new java.io.File(tmp).mkdirs()
+        java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "RATIO"),
+          java.lang.Double.toString(v).getBytes("UTF-8"))
+      }
+      java.lang.Double.parseDouble(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "RATIO")), "UTF-8"))
     }
 
     /** The monitor's decision tail over any (vec_id, sqdist) frame —
@@ -1453,8 +1480,33 @@ object Similarity {
       // frame's, but the policy compares at orders-of-magnitude
       // separation (see driftRatioFromAssigned's doc), so an arm can
       // never flip.
+      // both monitor arms persist their (vec_id, sqdist) evidence AND
+      // their decision VALUE (r19: S13Profile put s13's warm cost at
+      // 1.10s quiet monitor + 0.38s drift monitor — Spark jobs
+      // re-deriving, every serve, a scalar that is a pure function of
+      // published state. A deployment's drift monitor is a scheduled
+      // job whose recorded decision serving paths READ; re-aggregating
+      // the evidence per query was the instrument leaking into the
+      // serve path). Every input is in the dir key: corpus fp + K
+      // (gen2DirFor), the instance's tombstones (genSalt token), and
+      // for the ring arm the ring's own tombstones folded into
+      // maintained (RingSalt token) — any publication orphans the
+      // stale decision. The evidence frame stays published next to it
+      // for audit and for the first computation.
       val ratio = embOpt match {
-        case None    => driftRatioFromAssigned(retr(maintained(s, d)), cen1)
+        case None    =>
+          // quiet arm: sqdist evidence is genSalt-INDEPENDENT (the
+          // instance retraction rides as an anti-join at decision
+          // time), so every gate instance shares ONE evidence artifact
+          val mq = IndexStore.ensure(
+              s"${gen2DirFor(d)}${tombToken(d, RingSalt)}_monq",
+              "sqdist/_SUCCESS") { tmp =>
+            sqdistFromAssigned(maintained(s, d), cen1)
+              .write.mode("overwrite").parquet(s"$tmp/sqdist")
+          }
+          ensureRatio(s"${gen2DirFor(d)}_$genSalt${tombToken(d, genSalt)}" +
+              s"${tombToken(d, RingSalt)}_monqr")(
+            ratioOfSqdist(retr(s.read.parquet(s"$mq/sqdist"))))
         case Some(e) =>
           val md = IndexStore.ensure(
               s"${gen2DirFor(d)}_$genSalt${tombToken(d, genSalt)}_mon",
@@ -1463,7 +1515,8 @@ object Similarity {
               .select(col("vec_id"), col("sqdist"))
               .write.mode("overwrite").parquet(s"$tmp/sqdist")
           }
-          ratioOfSqdist(s.read.parquet(s"$md/sqdist"))
+          ensureRatio(s"${gen2DirFor(d)}_$genSalt${tombToken(d, genSalt)}_monr")(
+            ratioOfSqdist(s.read.parquet(s"$md/sqdist")))
       }
       if (ratio >= ReclusterRatio) {
         val emb = retr(embOpt.getOrElse(embDouble(s, d)))
