@@ -59,6 +59,25 @@ object ScaleSmoke {
       (dt, v)
     }
 
+    /** Task-metric meter: shuffle write bytes + max per-task exec
+      * memory around `f` — ONE body for every depth section (`mega`,
+      * `mediamega`; a per-section copy is the drift class the r18
+      * review closed for the cap parser). */
+    def metered[T](f: => T): (Double, T, Long, Long) = {
+      val sh = new java.util.concurrent.atomic.AtomicLong
+      val pk = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null) {
+            sh.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+            pk.getAndAccumulate(e.taskMetrics.peakExecutionMemory, math.max)
+          }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { val (t, v) = timeReleasing(f); Thread.sleep(500); (t, v, sh.get(), pk.get()) }
+      finally spark.sparkContext.removeSparkListener(l)
+    }
+
     val base = graft.Tables.documents(spark, "/root/testdata/sf0.1")
     // lazy: sections that never print a docs count (e.g. `stream`) must
     // not pay a full documents scan at startup
@@ -1181,34 +1200,19 @@ object ScaleSmoke {
     // actually fires (the sort-merge tier had never run in anger), CC
     // rounds on a planted chain, shuffle bytes, and peak per-task
     // execution memory. Numbers -> PLANS.md MEGA table.
-    if (want("mega")) {
-      import graft.operators.{Corpus, Similarity, TextDedup}
-      // task-metric meter: shuffle write bytes + max per-task exec memory
-      def metered[T](f: => T): (Double, T, Long, Long) = {
-        val sh = new java.util.concurrent.atomic.AtomicLong
-        val pk = new java.util.concurrent.atomic.AtomicLong
-        val l = new org.apache.spark.scheduler.SparkListener {
-          override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-            if (e.taskMetrics != null) {
-              sh.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
-              pk.getAndAccumulate(e.taskMetrics.peakExecutionMemory, math.max)
-            }
-        }
-        spark.sparkContext.addSparkListener(l)
-        try { val (t, v) = timeReleasing(f); Thread.sleep(500); (t, v, sh.get(), pk.get()) }
-        finally spark.sparkContext.removeSparkListener(l)
-      }
-      val k = 250 // 5k docs x 250 = 1.25M
-      // REPLICA-DISJOINT text (every token prefixed with its replica id,
-      // the skewdeep trick): cross-replica shingles never collide, so
-      // pair density stays LINEAR in corpus size — the realistic 10x
-      // shape. The suffix-replica builder (ensureDocsReplicas) puts
-      // every doc in a k-clique: pair count grows ~k^2/2 per group, and
-      // at k=250 the soak's night-0 verify join spilled past 59 GB of
-      // /tmp before dying — a FIXTURE artifact (a 10x-bigger real crawl
-      // does not have 10x-bigger dup groups), measured and kept in
-      // PLANS.md as the quadratic-fixture caveat. doc_id remap is
-      // +i*1e6, so the %10 slice conventions survive per replica.
+    /** The 1.25M-doc fixture at /tmp/graft_scale_megadocs —
+      * REPLICA-DISJOINT text (every token prefixed with its replica id,
+      * the skewdeep trick): cross-replica shingles never collide, so
+      * pair density stays LINEAR in corpus size — the realistic 10x
+      * shape. The suffix-replica builder (ensureDocsReplicas) puts
+      * every doc in a k-clique: pair count grows ~k^2/2 per group, and
+      * at k=250 the soak's night-0 verify join spilled past 59 GB of
+      * /tmp before dying — a FIXTURE artifact (a 10x-bigger real crawl
+      * does not have 10x-bigger dup groups), measured and kept in
+      * PLANS.md as the quadratic-fixture caveat. doc_id remap is
+      * +i*1e6, so the %10 slice conventions survive per replica. ONE
+      * builder shared by `mega` and `mediamega`. */
+    def ensureMegaDocs(k: Int = 250): String = {
       val dir = "/tmp/graft_scale_megadocs"
       if (!new java.io.File(s"$dir/documents.parquet").isDirectory) {
         (0 until k).map { i =>
@@ -1221,6 +1225,13 @@ object ScaleSmoke {
           .repartition(64)
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       }
+      dir
+    }
+
+    if (want("mega")) {
+      import graft.operators.{Corpus, Similarity, TextDedup}
+      val k = 250 // 5k docs x 250 = 1.25M
+      val dir = ensureMegaDocs(k)
       spark.conf.set("spark.graft.bands.mode", "persisted")
       // fresh artifacts: this measures builds, not warm reads
       Seq(TextDedup.BandIndex.indexDirFor(dir), TextDedup.PairIndex.indexDirFor(dir))
@@ -1348,6 +1359,77 @@ object ScaleSmoke {
         .map { case (r, ms) => s"r$r=${ms.size}" }
       println(f"BPE-YIELD docs=125k B=256 window=1024 total=${merges.size} merges " +
         f"in ${byRound.size} round-trips (${t}%6.1fs): ${byRound.mkString(" ")}")
+    }
+
+    // ---- media kernel at 10x depth (r18 VERDICT slate #2) ----
+    // decode+pHash is the media family's one corpus-shaped pass; text
+    // sig-build and vector fit have 10x rows in PLANS r18-7, the media
+    // kernel did not. Measures the production ring's own arms at 1.25M
+    // payload docs: resident build (9/10 of the corpus through the
+    // kernel), slice delta (1/10), the exact verdict over the served
+    // artifact (warm read + one hash shuffle), and mm08's banded
+    // hamming matcher — whose keyspace bound (distinct hashes <= 2^16
+    // however big the corpus) is exactly the claim depth should test.
+    if (want("mediamega")) {
+      import graft.operators.Multimodal
+      val dir = ensureMegaDocs()
+      Seq(Multimodal.MediaIndex.baseDirFor(dir),
+          Multimodal.MediaIndex.deltaDirFor(dir))
+        .foreach(p => graft.Lifecycle.deleteRecursively(new java.io.File(p)))
+      val (tBase, _, shB, pkB) = metered(Multimodal.MediaIndex.ensureBase(spark, dir))
+      val (tDelta, _, shD, pkD) = metered(Multimodal.MediaIndex.ensureDelta(spark, dir))
+      val (tVer, nGroups, shV, pkV) = metered(
+        Multimodal.MediaIndex.maintained(spark, dir)
+          .groupBy(col("phash"))
+          .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_media"))
+          .count())
+      val (tNear, nNear, shN, pkN) = metered(
+        Multimodal.MediaIndex.nearDupKeepers(
+          Multimodal.MediaIndex.maintained(spark, dir)).count())
+      println(f"MEGA media docs=1.25M base=${tBase}%7.1fs (shuffle=${shB / 1048576}MB, " +
+        f"peakTask=${pkB / 1048576}MB) delta=${tDelta}%6.1fs (shuffle=${shD / 1048576}MB, " +
+        f"peakTask=${pkD / 1048576}MB)")
+      println(f"MEGA media verdict=${tVer}%6.1fs ($nGroups hash groups, " +
+        f"shuffle=${shV / 1048576}MB, peakTask=${pkV / 1048576}MB) " +
+        f"near=${tNear}%6.1fs ($nNear keepers, shuffle=${shN / 1048576}MB, " +
+        f"peakTask=${pkN / 1048576}MB)")
+    }
+
+    // ---- v07 survivor yield on a FLAT pair distribution ----
+    // (r18 VERDICT slate #6) The r17/r18 bpeyield bracket showed yield
+    // collapsing to 1-11/round on CHAINED text and ASSERTED — unmeasured
+    // — that a wide flat pair distribution is where large B pays. This
+    // fixture realizes that distribution exactly: M two-char words over
+    // DISJOINT symbol pairs (word i = chars 0x4E00+2i, 0x4E00+2i+1), so
+    // no two window candidates share a symbol and the dominance filter
+    // is recall-free; counts are uniform by round-robin construction.
+    // Yield per driver round-trip should track B until the vocabulary
+    // drains — substantiating (or refuting) the claim at both B tiers.
+    if (want("bpeflat")) {
+      import graft.operators.Advanced
+      val m = 2048
+      val dir = "/tmp/graft_scale_bpeflat"
+      if (!new java.io.File(s"$dir/documents.parquet").isDirectory) {
+        import spark.implicits._
+        def word(i: Int): String =
+          new String(Array((0x4E00 + 2 * i).toChar, (0x4E00 + 2 * i + 1).toChar))
+        val rows = (0 until 5000).map { j =>
+          val text = (0 until 20).map(i => word((j * 20 + i) % m)).mkString(" ")
+          (j.toLong, text, "zz", "synthetic", text.length.toLong)
+        }
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+          .repartition(8)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      }
+      Seq(64, 256).foreach { b =>
+        val (t, merges) = timeReleasing(
+          Advanced.bpeTrainBatched(spark, dir, rounds = 12, b = b,
+            window = 1024)._1)
+        val byRound = merges.groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (r, ms) => s"r$r=${ms.size}" }
+        println(f"BPE-FLAT words=$m B=$b window=1024 total=${merges.size} merges " +
+          f"in ${byRound.size} round-trips (${t}%6.1fs): ${byRound.mkString(" ")}")
+      }
     }
 
     // ---- stream-stream join hot-key adversary (r17 VERDICT slate #6) ----
