@@ -649,7 +649,13 @@ object Multimodal {
       require(maxDist < HammingBands,
         s"nearDupKeepers: pigeonhole recall needs maxDist < $HammingBands bands")
       val bandBits = PhashCells / HammingBands
+      // localCheckpointed (the dupVerdict convention): the distinct-hash
+      // frame is keyspace-bounded (<= 2^PhashCells rows) and feeds THREE
+      // plan branches (both band-join sides + the keeper join) — without
+      // the pin the corpus-shaped hash aggregate re-runs per branch
+      // (PlanDump r19: three Exchanges over the same agg)
       val perHash = state.groupBy(col("phash")).agg(min(col("id")).as("min_id"))
+        .localCheckpoint()
       val hv = perHash
         .filter(length(col("phash")) === PhashCells)
         .withColumn("pv", conv(col("phash"), 2, 10).cast("int"))
@@ -664,7 +670,10 @@ object Multimodal {
         .filter(bit_count(col("a.pv").bitwiseXOR(col("b.pv"))) <= maxDist)
         .groupBy(col("a.phash").as("phash"))
         .agg(min(col("b.min_id")).as("nb_min"))
-      perHash.join(nb, Seq("phash"), "left")
+      // broadcast: nb aggregates the keyspace-bounded candidate set —
+      // without the hint the no-stats side planned a sort-merge join
+      // (PlanDump r19)
+      perHash.join(broadcast(nb), Seq("phash"), "left")
         .select(col("phash"),
           least(col("min_id"), coalesce(col("nb_min"), col("min_id")))
             .as("keep_id"))
