@@ -645,17 +645,26 @@ object Multimodal {
       * (payload with fewer samples than cells) participates in exact
       * grouping only — its keeper is its own group min. */
     def nearDupKeepers(state: DataFrame,
-        maxDist: Int = HammingTolerance): DataFrame = {
-      require(maxDist < HammingBands,
-        s"nearDupKeepers: pigeonhole recall needs maxDist < $HammingBands bands")
-      val bandBits = PhashCells / HammingBands
+        maxDist: Int = HammingTolerance): DataFrame =
       // localCheckpointed (the dupVerdict convention): the distinct-hash
       // frame is keyspace-bounded (<= 2^PhashCells rows) and feeds THREE
       // plan branches (both band-join sides + the keeper join) — without
       // the pin the corpus-shaped hash aggregate re-runs per branch
       // (PlanDump r19: three Exchanges over the same agg)
-      val perHash = state.groupBy(col("phash")).agg(min(col("id")).as("min_id"))
-        .localCheckpoint()
+      nearDupKeepersFrom(
+        state.groupBy(col("phash")).agg(min(col("id")).as("min_id"))
+          .localCheckpoint(), maxDist)
+
+    /** [[nearDupKeepers]] over an ALREADY-AGGREGATED (phash, min_id)
+      * frame — for a caller that needs other per-hash aggregates too
+      * (mm09's group sizes) and should pay the corpus-shaped hash
+      * shuffle once, not once per consumer. The input must be pinned
+      * (localCheckpoint/cache): it feeds three plan branches here. */
+    private[graft] def nearDupKeepersFrom(perHash: DataFrame,
+        maxDist: Int = HammingTolerance): DataFrame = {
+      require(maxDist < HammingBands,
+        s"nearDupKeepers: pigeonhole recall needs maxDist < $HammingBands bands")
+      val bandBits = PhashCells / HammingBands
       val hv = perHash
         .filter(length(col("phash")) === PhashCells)
         .withColumn("pv", conv(col("phash"), 2, 10).cast("int"))
@@ -1076,9 +1085,16 @@ object Multimodal {
           .select(lit(k).as("night"), lit("exact").as("stage"),
             col("phash"), col("keep_id"), col("n_media"))
       }.reduce(_ unionByName _)
-      val st3 = MediaSoakRing.served(s, d, 3)
-      val near = MediaIndex.nearDupKeepers(st3)
-        .join(st3.groupBy(col("phash")).agg(count(lit(1)).as("n_media")),
+      // ONE per-hash aggregate for the near stage (min-id feeds the
+      // matcher, the count feeds the output) — pinned because the
+      // matcher fans it into three branches
+      val perHash3 = MediaSoakRing.served(s, d, 3)
+        .groupBy(col("phash"))
+        .agg(min(col("id")).as("min_id"), count(lit(1)).as("n_media"))
+        .localCheckpoint()
+      val near = MediaIndex.nearDupKeepersFrom(
+          perHash3.select(col("phash"), col("min_id")))
+        .join(broadcast(perHash3.select(col("phash"), col("n_media"))),
           Seq("phash"))
         .select(lit(3).as("night"), lit("near").as("stage"),
           col("phash"), col("keep_id"), col("n_media"))
