@@ -732,17 +732,21 @@ object Multimodal {
       s"${sys.props("java.io.tmpdir")}/graft_mediasoak_" +
         s"${IndexStore.corpusFingerprint(d, "documents")}_ph${PhashCells}v${PhashKernelVer}_$tag"
 
+    /** The slices NOT yet arrived at the end of `night` — the ONE
+      * schedule derivation both condition generators share (a drifted
+      * copy would let engine and oracle disagree about a night). */
+    private def missingAt(night: Int): Seq[Int] = night match {
+      case 0 => Seq(GrowRem, LateRem)
+      case 1 | 2 => Seq(LateRem)
+      case 3 => Seq.empty[Int]
+    }
+
     /** Ids present at the END of `night` (what the served state must
       * equal a from-scratch kernel run over) — the spec's independent
       * membership check, over whatever the id column is called. */
     private[graft] def presentAt(night: Int,
         id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val missing = night match {
-        case 0 => Seq(GrowRem, LateRem)
-        case 1 | 2 => Seq(LateRem)
-        case 3 => Seq.empty[Int]
-      }
-      val slices = missing.foldLeft(lit(true))(
+      val slices = missingAt(night).foldLeft(lit(true))(
         (acc, r) => acc && id % 10 =!= r)
       if (night >= 2) slices && id % TombMod =!= TombRem else slices
     }
@@ -750,12 +754,7 @@ object Multimodal {
     /** The identical condition as SQL over column `c` — generated from
       * the SAME schedule constants as [[presentAt]]. */
     private[graft] def presentSql(night: Int, c: String): String = {
-      val missing = night match {
-        case 0 => Seq(GrowRem, LateRem)
-        case 1 | 2 => Seq(LateRem)
-        case 3 => Seq.empty[Int]
-      }
-      val parts = missing.map(r => s"$c % 10 <> $r") ++
+      val parts = missingAt(night).map(r => s"$c % 10 <> $r") ++
         (if (night >= 2) Seq(s"$c % $TombMod <> $TombRem") else Nil)
       if (parts.isEmpty) "TRUE" else parts.mkString(" AND ")
     }
@@ -790,12 +789,6 @@ object Multimodal {
         served(s, d, 1).filter(col("id") % TombMod =!= TombRem)
           .write.mode("overwrite").parquet(s"$tmp/phash")
       }
-
-    /** Delete every publication of this ring for corpus `d` —
-      * measurement harness only (ScaleSmoke re-times cold nights). */
-    private[graft] def wipe(d: String): Unit =
-      Seq("n0", "n1", "n2", "n3").foreach(tag =>
-        graft.Lifecycle.deleteRecursively(new java.io.File(dirFor(d, tag))))
 
     /** The SERVED (id, phash) state at the end of `night`, chained
       * through the published artifacts. Unordered — consumers sort. */
