@@ -457,8 +457,11 @@ object Multimodal {
     * [[MediaIndex]]'s slice-proportional segment builds share with the
     * full-corpus gate derivation, so a pHash/decode tweak can never
     * leave the published ring and the inline gate computing different
-    * hashes. */
-  private def phashFrameOver(s: org.apache.spark.sql.SparkSession,
+    * hashes. Every op here is STATELESS (projection + typed
+    * mapPartitions), so the same body runs over a STREAMING frame —
+    * st11 computes arriving docs' hashes with it, and a batch/stream
+    * kernel drift is impossible by construction. */
+  private[operators] def phashFrameOver(s: org.apache.spark.sql.SparkSession,
       docs: DataFrame): DataFrame = {
     import s.implicits._
     mediaFromDocuments(docs)

@@ -1012,7 +1012,61 @@ object SourcesStreaming {
        |WHERE d.doc_id % 10 = ${Multimodal.MediaIndex.NewSliceRem}
        |ORDER BY d.doc_id""".stripMargin))
 
+  /** Streaming media admission at HAMMING tolerance — st10's exact
+    * rule upgraded to mm08's: tonight's arriving media slice lands
+    * only when the doc is its hash group's radius-
+    * [[Multimodal.MediaIndex.HammingTolerance]] keeper under the
+    * served state's near-dup verdict
+    * ([[Multimodal.MediaIndex.nearDupKeepers]] over the published
+    * (id, phash) artifact). A re-encoded near-twin of resident content
+    * — the case st10's exact rule waves through — drops in flight.
+    * This completes the admission symmetry at both radii: mm04 → st10
+    * (hamming-0), mm08 → st11 (hamming-d).
+    *
+    * The arriving docs' hashes are computed IN-STREAM with the same
+    * [[Multimodal.phashFrameOver]] body every batch consumer runs
+    * (stateless projection + typed mapPartitions — a batch/stream
+    * kernel drift is impossible by construction), then joined on
+    * phash against the verdict. Every arriving doc's hash IS in the
+    * verdict (the ring's delta segment is tonight's slice), so the
+    * inner join is total on the slice; admission = keep_id == id,
+    * exactly mm08's per-doc !is_dup. Static side resolved at stream
+    * DEFINITION (st08's restart contract).
+    *
+    * Scale: stream side stateless (kernel + broadcast join against
+    * the keyspace-bounded keeper map — ≤ 2^16 rows by construction);
+    * the verdict is the nightly artifact + the banded matching mm08
+    * already prices. Oracle: the all-pairs near chain
+    * ([[Multimodal.phashNearCtes]]) restricted to the slice. */
+  val st11 = QueryDef(
+    "st11_stream_media_near_filter",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      val (_, t) = graft.streaming.Drain.toTable(
+        s, "graft_stream_media_near_filter", OutputMode.Append) { s2 =>
+        val keepers = Multimodal.MediaIndex.nearDupKeepers(
+          Multimodal.MediaIndex.maintained(s2, d))
+        val arriving = s2.readStream
+          .schema(DocStreamSchema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(d)
+          .filter(col("doc_id") % 10 === Multimodal.MediaIndex.NewSliceRem)
+        Multimodal.phashFrameOver(s2, arriving)
+          .join(broadcast(keepers), Seq("phash"))
+          .filter(col("keep_id") === col("id"))
+          .select(col("id").as("doc_id"), col("phash"))
+      }
+      t.orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ${Multimodal.PhashCtes},
+       |${Multimodal.phashNearCtes("ph", "")}
+       |SELECT p.id AS doc_id, p.phash
+       |FROM ph p JOIN nb ON p.phash = nb.phash
+       |WHERE p.id % 10 = ${Multimodal.MediaIndex.NewSliceRem}
+       |  AND nb.keep_id = p.id
+       |ORDER BY doc_id""".stripMargin))
+
   val catalog: Seq[QueryDef] =
     Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09, r10, r11,
-      st01, st02, st03, st04, st05, st06, st07, st08, st09, st10)
+      st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11)
 }
