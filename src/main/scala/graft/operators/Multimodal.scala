@@ -461,7 +461,7 @@ object Multimodal {
     * mapPartitions), so the same body runs over a STREAMING frame —
     * st11 computes arriving docs' hashes with it, and a batch/stream
     * kernel drift is impossible by construction. */
-  private[operators] def phashFrameOver(s: org.apache.spark.sql.SparkSession,
+  private[graft] def phashFrameOver(s: org.apache.spark.sql.SparkSession,
       docs: DataFrame): DataFrame = {
     import s.implicits._
     mediaFromDocuments(docs)

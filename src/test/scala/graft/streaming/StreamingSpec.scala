@@ -421,4 +421,83 @@ class StreamingSpec extends SparkSpec {
       s"cumulative admission after the promotion-flip restart: $r2")
     graft.Lifecycle.release(spark)
   }
+
+  test("st11 restart across a promotion: exactly-once admission under the new NEAR-dup verdict") {
+    // The hamming-tolerant twin of the st10 restart test above — same
+    // contract (verdict resolves at stream definition, promotion lands
+    // by restart, committed rows never re-filtered), but the dominance
+    // planted between runs is a 1-BIT near-twin, the case st10's exact
+    // rule cannot see: doc 2 arrives with a hash one bit off doc 6's,
+    // takes the radius-2 keepership, and arriving near-dup 26 drops
+    // while committed 6 stays.
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    def textOf(pattern: String): String =
+      pattern.map(b => if (b == '1') "~~~~" else "    ").mkString
+    def hashOf(t: String): String = Multimodal.phash(
+      Multimodal.frameSampleStub(Multimodal.decodeStub(t.getBytes("UTF-8")), 2))
+    def hamming(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    // planted geometry: X and its two 1-bit flips are mutual radius-2
+    // neighbors; every unique pattern sits > 2 bits from everything else
+    val X   = "1111000011110000"
+    val X1  = "1111000011110001" // doc 2, arrives between runs, min id
+    val X2  = "1111000011110010" // doc 26, arrives between runs, slice
+    val uniq = Map(
+      0L -> "0000000000000111", 1L -> "0000001110000000",
+      3L -> "0011100000000000", 4L -> "0000000001110000",
+      5L -> "1100000000000011", 16L -> "0000111100000000",
+      36L -> "1111111100000000")
+    // fixture self-checks: hashes ARE the patterns, the twins are in
+    // radius, the uniques are out of everyone's radius
+    (uniq.values.toSeq ++ Seq(X, X1, X2)).foreach(p => assert(hashOf(textOf(p)) == p))
+    assert(hamming(X, X1) == 1 && hamming(X, X2) == 1 && hamming(X1, X2) == 2)
+    for (u <- uniq.values; o <- uniq.values ++ Seq(X, X1, X2) if u != o)
+      assert(hamming(u, o) > 2, s"fixture degenerate: $u within radius of $o")
+    val root = java.nio.file.Files.createTempDirectory("graft-mediaNearRestart").toString
+    val docDir = s"$root/documents.parquet"; val ckpt = s"$root/ckpt"
+    import spark.implicits._
+    def docRows(rows: Seq[(Long, String)]) =
+      rows.map { case (id, pat) =>
+        (id, textOf(pat), "en", "synthetic", textOf(pat).length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docRows(Seq(0L, 1L, 3L, 4L, 5L, 16L).map(i => i -> uniq(i)) :+ (6L -> X))
+      .coalesce(1).write.mode("append").parquet(docDir)
+    val schema = spark.read.parquet(docDir).schema
+    val outDir = s"$root/admitted"
+    def drain(): Seq[Long] = {
+      // st11's admission body: in-stream kernel, radius-2 keeper join —
+      // the verdict (static side) resolves here, at stream definition
+      val keepers = Multimodal.MediaIndex.nearDupKeepers(
+        Multimodal.MediaIndex.maintained(spark, root))
+      val arriving = spark.readStream.schema(schema).parquet(docDir)
+        .filter(col("doc_id") % 10 === Multimodal.MediaIndex.NewSliceRem)
+      val q = Multimodal.phashFrameOver(spark, arriving)
+        .join(broadcast(keepers), Seq("phash"))
+        .filter(col("keep_id") === col("id"))
+        .select(col("id").as("doc_id"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    // run 1: 6 and 16 are their groups' keepers (nothing near them yet)
+    val r1 = drain()
+    assert(r1 == Seq(6L, 16L), s"run 1 admitted $r1")
+    // between runs: the 1-bit twin with the SMALLER id arrives as a
+    // resident, a second 1-bit twin arrives in the slice, plus a
+    // far-away keeper; the ring rebuilds under the new fingerprint
+    docRows(Seq(2L -> X1, 26L -> X2, 36L -> uniq(36L)))
+      .coalesce(1).write.mode("append").parquet(docDir)
+    val r2 = drain()
+    // (a) 6/16 exactly once — 6 is now radius-dominated by 2 but must
+    //     not be retroactively dropped; (b) arriving 26 filtered under
+    //     the NEW near verdict (keeper 2 holds the whole twin cluster),
+    //     36 admitted
+    assert(r2 == Seq(6L, 16L, 36L),
+      s"cumulative admission after the promotion-flip restart: $r2")
+    graft.Lifecycle.release(spark)
+  }
 }
