@@ -582,6 +582,23 @@ object Multimodal {
         .localCheckpoint()
     }
 
+    /** The HAMMING-radius dup verdict over the served state — every
+      * doc dominated by a near-identical (radius-
+      * [[HammingTolerance]]) smaller-id doc: [[dupVerdict]]'s rule
+      * upgraded from exact equality to [[nearDupKeepers]]' one-hop
+      * dominance. ONE body for c10's capstone arm (and any future
+      * consumer), the dupVerdict convention; checkpointed for the
+      * same reason — the metadata-sized verdict feeds several plan
+      * branches in every composition. */
+    private[operators] def nearDupVerdict(s: org.apache.spark.sql.SparkSession,
+        d: String): DataFrame = {
+      val state = maintained(s, d)
+      state.join(broadcast(nearDupKeepers(state)), Seq("phash"))
+        .filter(col("id") =!= col("keep_id"))
+        .select(col("id").as("doc_id"))
+        .localCheckpoint()
+    }
+
     /** RETRACT: publish the served state minus `tombs` (media
       * takedowns) as instance `salt`'s reduced resident — row-drop
       * exact, cost ∝ state bytes, the c07 rewrite arm. */
@@ -853,6 +870,15 @@ object Multimodal {
       |    SELECT id, ROW_NUMBER() OVER (PARTITION BY phash ORDER BY id) AS rk
       |    FROM ph)
       |  WHERE rk > 1)""".stripMargin
+
+  /** The NEAR-dup verdict over [[phashNearCtes]]' `nb` —
+    * [[MediaIndex.nearDupVerdict]]'s oracle mirror (c10's dup
+    * relation), named `dup` so the shared trimodal oracle body slots
+    * either verdict in unchanged. */
+  private[operators] val PhashNearDupCte: String =
+    """dup AS (
+      |  SELECT p.id AS doc_id FROM ph p JOIN nb ON p.phash = nb.phash
+      |  WHERE p.id <> nb.keep_id)""".stripMargin
 
   /** The complement — min-id keeper per pHash group
     * ([[MediaIndex.keeperVerdict]]'s mirror, st10's oracle). */

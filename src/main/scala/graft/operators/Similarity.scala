@@ -2439,54 +2439,96 @@ object Similarity {
     * is s09's nprobe-bounded scan. The composition itself adds no
     * corpus-shaped work; the three families share one lineage with no
     * rebuild anywhere. */
+  /** The trimodal chain's SHARED engine body — media verdict in,
+    * probe out (c09 passes the exact dupVerdict, c10 the radius-d
+    * nearDupVerdict; everything downstream of the verdict is
+    * verdict-agnostic, so factoring it is what keeps the two capstones
+    * from drifting — the dupVerdict/PhashDupCte convention):
+    *
+    *  - TEXT: mm06's arm — the media verdict retracts the pair ring,
+    *    keep-mask over the reduced frame with media-dups out of batch;
+    *  - VECTOR: s17's arm over the UNION — a doc dropped by either
+    *    modality stops being retrievable (tombstoned queries
+    *    included). */
+  private def trimodalProbe(s: SparkSession, d: String,
+      mediaGone: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val pairs = TextDedup.retractPairs(
+      TextDedup.PromotedPairIndex.maintained(s, d), mediaGone)
+    val batch = Tables.documents(s, d)
+      .filter(col("doc_id") % 10 === 7).select(col("doc_id"))
+      .join(mediaGone, Seq("doc_id"), "left_anti")
+    val textGone = TextDedup.dedupKeepMask(pairs, batch)
+      .filter(!col("keep")).select(col("doc_id"))
+    val gone = mediaGone.unionByName(textGone)
+      .select(col("doc_id").as("vec_id"))
+    val assigned = annRetract(IvfIncIndex.maintained(s, d), gone)
+    val cen = s.read.parquet(s"${IvfIncIndex.baseDirFor(d)}/centroids")
+    ivfProbeOn(assigned, cen, _.filter(col("vec_id") < NumQueries))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The matching SHARED oracle body: `verdictCtes` must end in a CTE
+    * named `dup(doc_id)` — everything after it re-derives the text
+    * keep calculus, the reduced embeddings, and the frozen-centroid
+    * probe from scratch, identically for both capstones. */
+  private def trimodalOracle(sfDir: String, verdictCtes: String): String =
+    s"""WITH $verdictCtes,
+       |live AS (
+       |  SELECT d.* FROM documents d
+       |  LEFT JOIN dup ON d.doc_id = dup.doc_id
+       |  WHERE dup.doc_id IS NULL),
+       |jp AS (${TextDedup.jaccardPairsSqlFrom("live")}),
+       |batch AS (SELECT doc_id FROM live WHERE doc_id % 10 = 7),
+       |${TextDedup.KeepDomCtes},
+       |embt AS (
+       |  SELECT e.vec_id, e.embedding FROM embeddings e
+       |  LEFT JOIN dup ON e.vec_id = dup.doc_id
+       |  LEFT JOIN dom ON e.vec_id = dom.doc_id
+       |  WHERE dup.doc_id IS NULL AND dom.doc_id IS NULL),
+       |${probeCtes(IvfIncIndex.baseDirFor(sfDir), "", "embt")}
+       |${probeFinal()} ORDER BY query_id, rank""".stripMargin
+
   val c09 = QueryDef(
     "c09_trimodal_capstone",
-    (s, d) => {
-      graft.functions.VectorExpressions.register(s)
-      // MEDIA: mm04's rule over the ring's published (id, phash) state
-      // — the ONE dupVerdict body mm06 shares (checkpointed there: the
-      // metadata-sized verdict feeds four branches here — pair
-      // retraction, batch anti-join, vector retraction union)
-      val mediaGone = Multimodal.MediaIndex.dupVerdict(s, d)
-      // TEXT: mm06's arm — the media verdict retracts the pair ring,
-      // keep-mask over the reduced frame with media-dups out of batch
-      val pairs = TextDedup.retractPairs(
-        TextDedup.PromotedPairIndex.maintained(s, d), mediaGone)
-      val batch = Tables.documents(s, d)
-        .filter(col("doc_id") % 10 === 7).select(col("doc_id"))
-        .join(mediaGone, Seq("doc_id"), "left_anti")
-      val textGone = TextDedup.dedupKeepMask(pairs, batch)
-        .filter(!col("keep")).select(col("doc_id"))
-      // VECTOR: s17's arm over the UNION — a doc dropped by either
-      // modality stops being retrievable (tombstoned queries included)
-      val gone = mediaGone.unionByName(textGone)
-        .select(col("doc_id").as("vec_id"))
-      val assigned = annRetract(IvfIncIndex.maintained(s, d), gone)
-      val cen = s.read.parquet(s"${IvfIncIndex.baseDirFor(d)}/centroids")
-      ivfProbeOn(assigned, cen, _.filter(col("vec_id") < NumQueries))
-        .orderBy(col("query_id"), col("rank"))
-    },
+    // MEDIA: mm04's rule over the ring's published (id, phash) state —
+    // the ONE dupVerdict body mm06 shares (checkpointed there: the
+    // metadata-sized verdict feeds four branches in the shared chain —
+    // pair retraction, batch anti-join, vector retraction union)
+    (s, d) => trimodalProbe(s, d, Multimodal.MediaIndex.dupVerdict(s, d)),
     None,
     oracleLate = Some { sfDir =>
-      s"""WITH ${Multimodal.PhashCtes},
-         |${Multimodal.PhashDupCte},
-         |live AS (
-         |  SELECT d.* FROM documents d
-         |  LEFT JOIN dup ON d.doc_id = dup.doc_id
-         |  WHERE dup.doc_id IS NULL),
-         |jp AS (${TextDedup.jaccardPairsSqlFrom("live")}),
-         |batch AS (SELECT doc_id FROM live WHERE doc_id % 10 = 7),
-         |${TextDedup.KeepDomCtes},
-         |embt AS (
-         |  SELECT e.vec_id, e.embedding FROM embeddings e
-         |  LEFT JOIN dup ON e.vec_id = dup.doc_id
-         |  LEFT JOIN dom ON e.vec_id = dom.doc_id
-         |  WHERE dup.doc_id IS NULL AND dom.doc_id IS NULL),
-         |${probeCtes(IvfIncIndex.baseDirFor(sfDir), "", "embt")}
-         |${probeFinal()} ORDER BY query_id, rank""".stripMargin
+      trimodalOracle(sfDir,
+        s"${Multimodal.PhashCtes},\n${Multimodal.PhashDupCte}")
+    })
+
+  /** The capstone at HAMMING tolerance — c09's whole chain driven by
+    * mm08's radius-d verdict instead of the exact one: a RE-ENCODED
+    * near-twin of resident media now retracts its doc from the pair
+    * ring's served state, drops it from text-dedup verdicts, and makes
+    * it unretrievable from the vector index — the takedown path a real
+    * multimodal pipeline needs, where the duplicate is almost never
+    * byte- or bit-identical. One hash covers pHash bits → banded
+    * radius-d dominance → pair retraction → keep calculus → vector
+    * retraction → probe; the oracle re-derives the verdict as the
+    * ALL-PAIRS truth over distinct hashes (never the band split) and
+    * then the rest of the chain from scratch — the c09/c10 pair
+    * isolates exactly the verdict rule, sharing every other line of
+    * engine and oracle text.
+    *
+    * Scale: the verdict adds only mm08's keyspace-bounded matching on
+    * top of c09's audited chain; every downstream arm is unchanged. */
+  val c10 = QueryDef(
+    "c10_trimodal_near_capstone",
+    (s, d) => trimodalProbe(s, d, Multimodal.MediaIndex.nearDupVerdict(s, d)),
+    None,
+    oracleLate = Some { sfDir =>
+      trimodalOracle(sfDir,
+        s"${Multimodal.PhashCtes},\n${Multimodal.phashNearCtes("ph", "")},\n" +
+          Multimodal.PhashNearDupCte)
     })
 
   val catalog: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17, s18, s19, c09)
+      s15, s16, s17, s18, s19, c09, c10)
 }
