@@ -557,10 +557,17 @@ object Multimodal {
         d: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("phash")).orderBy(col("id"))
-      maintained(s, d)
+      // broadcast hint ON the checkpointed verdict: the hint rides the
+      // frame into every consumer join (the c09/c10/mm06 retraction
+      // anti-joins), pinning the broadcast by CONTRACT — c09's plan
+      // happened to broadcast off the window's stats estimate, but
+      // c10's near verdict (a join-shaped origin) estimated big and
+      // silently planned 18 sort-merge anti-joins against a
+      // metadata-sized frame (r19 plan audit)
+      broadcast(maintained(s, d)
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") > 1).select(col("id").as("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint())
     }
 
     /** [[dupVerdict]]'s complement — the min-id keeper per pHash group
@@ -593,10 +600,13 @@ object Multimodal {
     private[operators] def nearDupVerdict(s: org.apache.spark.sql.SparkSession,
         d: String): DataFrame = {
       val state = maintained(s, d)
-      state.join(broadcast(nearDupKeepers(state)), Seq("phash"))
+      // outer broadcast: same contract as dupVerdict — without it the
+      // checkpointed frame inherits the join-shaped size estimate and
+      // every downstream anti-join planned sort-merge (r19 plan audit)
+      broadcast(state.join(broadcast(nearDupKeepers(state)), Seq("phash"))
         .filter(col("id") =!= col("keep_id"))
         .select(col("id").as("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint())
     }
 
     /** RETRACT: publish the served state minus `tombs` (media

@@ -2460,8 +2460,12 @@ object Similarity {
       .join(mediaGone, Seq("doc_id"), "left_anti")
     val textGone = TextDedup.dedupKeepMask(pairs, batch)
       .filter(!col("keep")).select(col("doc_id"))
-    val gone = mediaGone.unionByName(textGone)
-      .select(col("doc_id").as("vec_id"))
+    // re-hint the union: the verdicts carry broadcast hints but a hint
+    // does not propagate THROUGH a Union node, and the two vector-side
+    // anti-joins against `gone` planned sort-merge without it (r19
+    // plan audit — metadata-sized set, both modalities' drops)
+    val gone = broadcast(mediaGone.unionByName(textGone)
+      .select(col("doc_id").as("vec_id")))
     val assigned = annRetract(IvfIncIndex.maintained(s, d), gone)
     val cen = s.read.parquet(s"${IvfIncIndex.baseDirFor(d)}/centroids")
     ivfProbeOn(assigned, cen, _.filter(col("vec_id") < NumQueries))
