@@ -87,6 +87,77 @@ private[graft] object IndexStore {
     if (cap > 0 && est <= cap) broadcast(df) else fallback(df)
   }
 
+  /** The THREE-TIER join-shape pin for a frame whose in-memory size the
+    * caller MEASURED (never planner stats — the SpillSmoke r13 class:
+    * compressed-file stats under-state string-heavy hash relations
+    * 5-10×, and stacked selectivity estimates broadcast corpus-sized
+    * frames). Returns the pinned frame plus its tier label:
+    *
+    *  - `est < 0` (caller cannot bound the frame): sort-merge, the only
+    *    unconditionally spill-safe shape — "merge(unpriced)";
+    *  - `est ≤` the session broadcast cap: explicit broadcast;
+    *  - past the cap, SHUFFLE_HASH only while the per-partition build
+    *    PROVABLY fits (SHJ builds cannot spill — a build that outgrows
+    *    its task's execution-memory share is a hard `Can't acquire ...
+    *    hash relation` failure, measured in RingSpill r16 at a 2 GB
+    *    heap): double-gated with Spark's own SHJ-eligibility calculus
+    *    (cap × partitions) AND the per-task input (×4 hash-map
+    *    overhead, AQE-coalescing advisory floor included — a coalesced
+    *    task reads up to the advisory target, r16 ADVICE) fitting half
+    *    a task's execution share;
+    *  - past either bound: sort-merge.
+    *
+    * Factored out of [[TextDedup.verifyJaccardOf]] (r20) so the media
+    * family's corpus-proportional 64-bit hash matching rides the SAME
+    * calculus instead of a drifting copy — the cap-parser drift class
+    * the r18 review closed, one level up. */
+  def tieredHint(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame, estBytes: Long)
+      : (org.apache.spark.sql.DataFrame, String) = {
+    import org.apache.spark.sql.functions.broadcast
+    if (estBytes < 0) return (df.hint("MERGE"), "merge(unpriced)")
+    val cap = broadcastCapBytes(s)
+    if (cap > 0 && estBytes <= cap) return (broadcast(df), "broadcast")
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // executor memory × fraction / slots ≈ one task's execution share
+    // (local mode: the driver JVM heap; cluster mode: the executor conf
+    // when set — and when UNSET, Spark's own 1g executor default, never
+    // the driver's heap: a fat driver would overprice the executors'
+    // share and admit a build the 1g executors cannot hold — r16 ADVICE)
+    val isClusterMaster = s.sparkContext.master.startsWith("spark") ||
+      s.sparkContext.master.startsWith("yarn") ||
+      s.sparkContext.master.startsWith("k8s")
+    val execMem =
+      if (isClusterMaster)
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          s.conf.get("spark.executor.memory", "1g"))
+      else Runtime.getRuntime.maxMemory()
+    val fraction = s.conf.get("spark.memory.fraction", "0.6").toDouble
+    val slots = math.max(s.sparkContext.defaultParallelism, 1)
+    val taskShare = (execMem * fraction / slots).toLong
+    // BytesToBytesMap overhead over raw array payload, measured at the
+    // 2 GB failure point (~8 MB acquire for a ~2 MB est slice)
+    val buildOverhead = 4L
+    // AQE partition coalescing folds several shuffle partitions into one
+    // task, so est/parts underprices the real per-task build: a
+    // coalesced task reads up to the advisory target (r16 ADVICE).
+    // Bound the per-task input by BOTH.
+    val aqeCoalesce =
+      s.conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
+        s.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true").toBoolean
+    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"))
+    val perTaskInput =
+      if (aqeCoalesce)
+        math.max(estBytes / math.max(parts, 1),
+          math.min(estBytes, advisory))
+      else estBytes / math.max(parts, 1)
+    val perPartBuild = perTaskInput * buildOverhead
+    if (cap > 0 && estBytes <= cap * parts && perPartBuild <= taskShare / 2)
+      (df.hint("SHUFFLE_HASH"), "shuffle_hash")
+    else (df.hint("MERGE"), "merge")
+  }
+
   /** Fingerprint of a corpus table: name, length and mtime of every part
     * of `<d>/<table>.parquet`. (A path hashCode scheme could collide and
     * would miss in-place regeneration.)
@@ -203,6 +274,28 @@ private[graft] object IndexStore {
       val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
       fs.listStatus(path).map(_.getLen).sum
     } catch { case scala.util.control.NonFatal(_) => -1L }
+
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Read a PUBLISHED (publish-once, marker-gated, immutable) index dir
+    * with its schema pinned from a per-JVM cache — skips the footer-read
+    * schema inference every plan construction over the dir pays
+    * (S13Profile r19 attributed 0.27–0.38 s of each warm probe plan to
+    * construction + footer reads; the r19 slate-#5 experiment, measured
+    * in PLANS r20). Sound ONLY for publish-once dirs: content under a
+    * published name never changes (the ensure() rename contract), and a
+    * regenerated corpus or bumped layout changes the DIR NAME, never the
+    * content under an existing one. The first read of a dir infers once
+    * to seed the cache; `spark.graft.schemaPin=off` reverts to bare
+    * reads for the A/B. */
+  def readPublished(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    if (s.conf.get("spark.graft.schemaPin", "on") == "off") s.read.parquet(dir)
+    else {
+      val schema = schemaCache.computeIfAbsent(dir, d => s.read.parquet(d).schema)
+      s.read.schema(schema).parquet(dir)
+    }
 
   /** Ensure the index at `dirPath` is published (its `marker` file
     * exists), running `build` into a private temp sibling and atomically

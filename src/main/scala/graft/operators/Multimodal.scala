@@ -423,11 +423,34 @@ object Multimodal {
     * the sampling stride below. */
   private val PhashKernelVer = 1
 
-  def phash(samples: Array[Int]): String = {
-    val cells = resizeStub(samples, target = PhashCells)
+  /** The ONE aHash construction at any width — pool to `cells`, one bit
+    * per cell vs the integer-exact stream mean. [[phash]] (16, the ring
+    * family) and [[phash64]] (64, the production width) are the two
+    * instantiations; sharing the body means a threshold-rule change can
+    * never split the widths. */
+  private def phashOf(samples: Array[Int], nCells: Int): String = {
+    val cells = resizeStub(samples, target = nCells)
     val total = cells.foldLeft(0L)(_ + _)
     new String(cells.map(c => if (c.toLong * cells.length > total) '1' else '0'))
   }
+
+  def phash(samples: Array[Int]): String = phashOf(samples, PhashCells)
+
+  /** 64-cell aHash — the production width (an 8×8 grid, the shape real
+    * image pipelines run). The 16-cell family's scale story (distinct
+    * hashes keyspace-bounded ⇒ broadcast-sized matching forever) is an
+    * artifact of the toy width — at 1.25M docs the 16-bit keyspace is
+    * 35% occupied and unrelated images collide at birthday rates (PLANS
+    * r19-6); at 64 bits the distinct-hash set is CORPUS-proportional
+    * and the matching must ride the tiered join gate instead
+    * ([[WideMediaIndex.nearDupKeepers]]). */
+  def phash64(samples: Array[Int]): String = phashOf(samples, Phash64Cells)
+
+  private[operators] val Phash64Cells = 64
+
+  /** [[PhashKernelVer]]'s twin for the 64-cell artifact family — bump
+    * with ANY change to [[phash64]]'s derivation chain. */
+  private val Phash64KernelVer = 1
 
   /** Gate entry: perceptual-hash media dedup — the image-dedup stage of
     * a multimodal training pipeline (near-identical images collapse to
@@ -462,13 +485,21 @@ object Multimodal {
     * st11 computes arriving docs' hashes with it, and a batch/stream
     * kernel drift is impossible by construction. */
   private[graft] def phashFrameOver(s: org.apache.spark.sql.SparkSession,
-      docs: DataFrame): DataFrame = {
+      docs: DataFrame): DataFrame = phashFrameOverCells(s, docs, PhashCells)
+
+  /** [[phashFrameOver]] at an explicit cell width — the one kernel body
+    * both hash families run (16: the ring gates/st11; 64:
+    * [[WideMediaIndex]]), so the widths can never drift on the decode →
+    * sample → pool → threshold chain. Stateless end to end (streaming-
+    * safe, the st11 contract). */
+  private[graft] def phashFrameOverCells(s: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, nCells: Int): DataFrame = {
     import s.implicits._
     mediaFromDocuments(docs)
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          (r.id, phash(frameSampleStub(decode(r.payload), stride = 2)))
+          (r.id, phashOf(frameSampleStub(decode(r.payload), stride = 2), nCells))
         }
       }.toDF("id", "phash")
   }
@@ -690,10 +721,20 @@ object Multimodal {
       * (mm09's group sizes) and should pay the corpus-shaped hash
       * shuffle once, not once per consumer. The input must be pinned
       * (localCheckpoint/cache): it feeds three plan branches here. */
-    private[graft] def nearDupKeepersFrom(perHash: DataFrame,
+    /** The VERIFIED radius-`maxDist` neighbor pairs over an aggregated
+      * (phash, min_id) frame — banded candidates (pigeonhole-complete
+      * for d < [[HammingBands]]), exact `bit_count(xor)` verify, both
+      * directions present (symmetric self-join; a pair sharing several
+      * bands appears once per shared band — harmless to every consumer:
+      * min() and CC edges absorb duplicates). ONE pairing body for the
+      * one-hop keeper ([[nearDupKeepersFrom]]) and the chain clusterer
+      * ([[chainKeepersFrom]]) — a re-derived copy would let the two
+      * policies drift on the band geometry. Columns: (a_phash, a_pv,
+      * a_min, b_phash, b_pv, b_min). */
+    private[graft] def nearPairsFrom(perHash: DataFrame,
         maxDist: Int = HammingTolerance): DataFrame = {
       require(maxDist < HammingBands,
-        s"nearDupKeepers: pigeonhole recall needs maxDist < $HammingBands bands")
+        s"nearPairs: pigeonhole recall needs maxDist < $HammingBands bands")
       val bandBits = PhashCells / HammingBands
       val hv = perHash
         .filter(length(col("phash")) === PhashCells)
@@ -702,13 +743,22 @@ object Multimodal {
       val banded = hv.select(col("phash"), col("pv"), col("min_id"),
           explode(sequence(lit(0), lit(HammingBands - 1))).as("band"))
         .withColumn("bv", expr(s"substring(phash, band * $bandBits + 1, $bandBits)"))
-      val nb = banded.as("a")
+      banded.as("a")
         .join(broadcast(banded.as("b")),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
             col("a.phash") =!= col("b.phash"))
         .filter(bit_count(col("a.pv").bitwiseXOR(col("b.pv"))) <= maxDist)
-        .groupBy(col("a.phash").as("phash"))
-        .agg(min(col("b.min_id")).as("nb_min"))
+        .select(col("a.phash").as("a_phash"), col("a.pv").as("a_pv"),
+          col("a.min_id").as("a_min"), col("b.phash").as("b_phash"),
+          col("b.pv").as("b_pv"), col("b.min_id").as("b_min"))
+    }
+
+    private[graft] def nearDupKeepersFrom(perHash: DataFrame,
+        maxDist: Int = HammingTolerance): DataFrame = {
+      val nb = nearPairsFrom(perHash, maxDist)
+        .groupBy(col("a_phash"))
+        .agg(min(col("b_min")).as("nb_min"))
+        .withColumnRenamed("a_phash", "phash")
       // broadcast: nb aggregates the keyspace-bounded candidate set —
       // without the hint the no-stats side planned a sort-merge join
       // (PlanDump r19)
@@ -716,6 +766,42 @@ object Multimodal {
         .select(col("phash"),
           least(col("min_id"), coalesce(col("nb_min"), col("min_id")))
             .as("keep_id"))
+    }
+
+    /** CHAIN clustering over the radius pairs — connected components,
+      * the transitive policy [[nearDupKeepers]]'s one-hop dominance
+      * explicitly defers to (r19 VERDICT slate #2; the t11 shape on the
+      * media side): a 2-hop re-encode chain — hamming 4 from the origin
+      * at 2 per hop, each hop within tolerance but the ENDPOINTS beyond
+      * it — lands in ONE cluster with one keeper, so the takedown/dedup
+      * verdict reaches every re-encode generation. Returns one row per
+      * distinct phash: (phash, keep_id), keep_id = min doc id across
+      * the hash's whole radius-connected chain; short hashes keep their
+      * own group min (exact-grouping-only, the family rule).
+      *
+      * Scale: edges come from the same banded matcher (keyspace-bounded
+      * at this width); the CC is [[Corpus.connectedComponents]]'
+      * pointer-jump propagation — rounds ∝ log(chain length), vertex
+      * set ≤ 2^[[PhashCells]] hashes regardless of corpus size; the
+      * per-doc verdict join broadcasts the keeper map. */
+    private[graft] def chainKeepersFrom(perHash: DataFrame,
+        maxDist: Int = HammingTolerance): DataFrame = {
+      val hv = perHash.filter(length(col("phash")) === PhashCells)
+        .withColumn("pv", conv(col("phash"), 2, 10).cast("int"))
+      val edges = nearPairsFrom(perHash, maxDist)
+        .select(col("a_pv").as("src"), col("b_pv").as("dst"))
+      // CC vertices come from edges only — an isolated hash (no radius
+      // neighbor) labels itself via the coalesce below
+      val cc = Corpus.connectedComponents(edges)
+      val comp = hv.join(broadcast(cc), hv("pv") === cc("v"), "left")
+        .select(col("phash"), col("min_id"),
+          coalesce(col("label"), col("pv")).as("comp"))
+        .localCheckpoint() // feeds the keeper aggregate AND the back-join
+      val keep = comp.groupBy(col("comp")).agg(min(col("min_id")).as("keep_id"))
+      comp.join(broadcast(keep), Seq("comp"))
+        .select(col("phash"), col("keep_id"))
+        .unionByName(perHash.filter(length(col("phash")) =!= PhashCells)
+          .select(col("phash"), col("min_id").as("keep_id")))
     }
   }
 
@@ -757,6 +843,13 @@ object Multimodal {
     /** Night 2's takedown batch — mm07's media-takedown convention. */
     private[graft] val TombMod = 13
     private[graft] val TombRem = 4
+    // distinct slices, checked where they are defined: equal remainders
+    // would silently degenerate seg0/seg1/seg3's schedule predicates
+    // (seg0 empty of nothing, night 1 == night 3), caught today only by
+    // one SF-specific test assertion (r19 ADVICE)
+    require(GrowRem != LateRem,
+      s"MediaSoakRing: GrowRem ($GrowRem) and LateRem ($LateRem) must " +
+        "name different %10 slices — the soak schedule degenerates otherwise")
 
     private def dirFor(d: String, tag: String): String =
       s"${sys.props("java.io.tmpdir")}/graft_mediasoak_" +
@@ -769,6 +862,10 @@ object Multimodal {
       case 0 => Seq(GrowRem, LateRem)
       case 1 | 2 => Seq(LateRem)
       case 3 => Seq.empty[Int]
+      // descriptive, not a bare MatchError: presentAt/presentSql reach
+      // here from spec/oracle generators too (served() already had the
+      // equivalent guard; this one was missing — r19 ADVICE)
+      case n => sys.error(s"media soak ring has 4 nights (0-3); got $n")
     }
 
     /** Ids present at the END of `night` (what the served state must
@@ -834,6 +931,214 @@ object Multimodal {
     }
   }
 
+  /** The media family at the PRODUCTION hash width — 64-cell aHash (the
+    * 8×8 grid real image pipelines run) over the SAME decode → sample →
+    * pool → threshold kernel ([[phashFrameOverCells]]), with its own
+    * published base+delta ring (r19 VERDICT slate #1: the 16-cell
+    * family's "distinct hashes keyspace-bounded ⇒ broadcast-sized
+    * matching forever" scale story is an artifact of the toy width —
+    * 23k/65k keyspace occupancy at 1.25M docs already has unrelated
+    * images colliding at birthday rates). At 64 bits the distinct-hash
+    * set is CORPUS-proportional, so the matching joins ride the tiered
+    * measured-bytes gate ([[IndexStore.tieredHint]] — TextDedup's
+    * three-tier verify-join shape) instead of an unconditional
+    * broadcast, and the banding widens to [[HammingBands64]] = 8 bands
+    * × 8 bits for radius ≤ [[HammingTolerance64]] = 4 (pigeonhole
+    * recall for d < bands; the geometry [[MediaIndex.nearDupKeepers]]'s
+    * doc names as where banding beats variant enumeration — a 64-bit
+    * hash at d = 4 has ~680k enumerable variants per hash, while
+    * banding stays O(bands · Σ bucket²)).
+    *
+    * FIXTURE: gate corpora are text stand-ins whose 64-bit hashes almost
+    * never land within radius 4 naturally (measured r20: ZERO d ≤ 4
+    * pairs at sf0.01) — the tolerance arm would never decide a verdict.
+    * The ring corpus is therefore AUGMENTED with deterministic
+    * "re-encode" twins: every doc in the %10 == [[TwinRem]] slice gets a
+    * twin (id + [[TwinIdOffset]]) whose text has a length/16-char slice
+    * uppercased — a contiguous perturbation that moves a few pooled
+    * cells. Measured twin-vs-original distances at sf0.01: d0 35, d1 2,
+    * d2 14, d3 13, d4 6, d>4 12 — the tolerance arm genuinely ACCEPTS
+    * (d 1–4) and REJECTS (d > 4) at every SF. The twin derivation is ONE
+    * SQL expression ([[TwinSql]]) both engines evaluate; the oracle
+    * re-derives the whole augmented corpus, 64-cell chain, and all-pairs
+    * two-half hamming verdict from scratch. */
+  object WideMediaIndex {
+    /** Twinned slice + id remap for the planted near-twins. The offset
+      * is ≡ 0 (mod 10) so a twin inherits its original's slice
+      * remainder — twins of the [[TwinRem]] slice never land in the
+      * arriving [[MediaIndex.NewSliceRem]] delta. */
+    private[graft] val TwinRem = 3
+    private[graft] val TwinIdOffset = 10000000L
+
+    /** The twin text derivation — ONE expression string evaluated by
+      * BOTH engines (shared Spark/DuckDB surface only: `substr`, `||`,
+      * `upper`, `greatest`, `floor`/`CAST` for integer division; the
+      * fixture is ASCII so `upper` agrees). Uppercases the
+      * length/16-char slice starting at length/3. */
+    private[operators] val TwinSql: String = {
+      val k = "CAST(floor(length(text) / 3) AS INT)"
+      val m = "greatest(1, CAST(floor(length(text) / 16) AS INT))"
+      s"substr(text, 1, $k) || upper(substr(text, $k + 1, $m)) || " +
+        s"substr(text, $k + $m + 1)"
+    }
+
+    /** The twin-augmented corpus as a DuckDB relation — the oracle's
+      * from-scratch mirror of [[wideCorpus]]. */
+    private[operators] val WideDocsCte: String =
+      s"""wd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + $TwinIdOffset AS doc_id, $TwinSql AS text
+        |  FROM documents WHERE doc_id % 10 = $TwinRem AND length(text) >= 8
+        |)""".stripMargin
+
+    /** documents ∪ deterministic near-twins — the 64-bit ring's corpus. */
+    private[graft] def wideCorpus(s: org.apache.spark.sql.SparkSession,
+        d: String): DataFrame = {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      docs.unionByName(
+        docs.filter(col("doc_id") % 10 === TwinRem && length(col("text")) >= 8)
+          .select((col("doc_id") + TwinIdOffset).as("doc_id"),
+            expr(TwinSql).as("text")))
+    }
+
+    private def fp(d: String): String =
+      IndexStore.corpusFingerprint(d, "documents")
+    private[graft] def baseDirFor(d: String): String =
+      s"${sys.props("java.io.tmpdir")}/graft_mediawide_${fp(d)}_ph${Phash64Cells}v${Phash64KernelVer}_base"
+    private[graft] def deltaDirFor(d: String): String =
+      s"${sys.props("java.io.tmpdir")}/graft_mediawide_${fp(d)}_ph${Phash64Cells}v${Phash64KernelVer}_delta"
+
+    private def slice(s: org.apache.spark.sql.SparkSession, d: String,
+        inSlice: Boolean): DataFrame = {
+      val pred =
+        if (inSlice) col("doc_id") % 10 === MediaIndex.NewSliceRem
+        else col("doc_id") % 10 =!= MediaIndex.NewSliceRem
+      // filter BEFORE the kernel (the MediaIndex segment contract):
+      // a segment build's decode cost is ∝ its own rows
+      wideCorpus(s, d).filter(pred)
+        .repartition(s.sparkContext.defaultParallelism)
+    }
+
+    /** Resident segment (everything but tonight's arriving slice). */
+    def ensureBase(s: org.apache.spark.sql.SparkSession, d: String): String =
+      IndexStore.ensure(baseDirFor(d), "phash/_SUCCESS") { tmp =>
+        phashFrameOverCells(s, slice(s, d, inSlice = false), Phash64Cells)
+          .write.mode("overwrite").parquet(s"$tmp/phash")
+      }
+
+    /** Tonight's arriving slice's delta segment. */
+    def ensureDelta(s: org.apache.spark.sql.SparkSession, d: String): String =
+      IndexStore.ensure(deltaDirFor(d), "phash/_SUCCESS") { tmp =>
+        phashFrameOverCells(s, slice(s, d, inSlice = true), Phash64Cells)
+          .write.mode("overwrite").parquet(s"$tmp/phash")
+      }
+
+    /** The served (id, 64-cell phash) state: resident ∪ delta. */
+    def maintained(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+      s.read.parquet(s"${ensureBase(s, d)}/phash")
+        .unionByName(s.read.parquet(s"${ensureDelta(s, d)}/phash"))
+
+    /** Hamming radius served at 64 bits — the re-encode tolerance the
+      * production width runs (the twin fixture's measured d ≤ 4 band).
+      * MUST stay < [[HammingBands64]] (pigeonhole recall). */
+    private[graft] val HammingTolerance64 = 4
+
+    /** 8 bands × 8 bits: each band has 256 values, so band buckets hold
+      * ~|H|/256 hashes and the candidate volume is
+      * bands × Σ bucket² ≈ |H|²/32 under uniform occupancy — CORPUS-
+      * proportional (|H| ~ docs at this width), priced live by the
+      * mediamega row, never assumed broadcastable. */
+    private[graft] val HammingBands64 = 8
+
+    /** Tier labels the LAST matcher plan construction pinned (band
+      * self-join b-side, keeper map) — measurement tripwire only
+      * (ScaleSmoke mediamega), the lastVerifyTier convention. */
+    @volatile private[graft] var lastTier: String = "unset"
+
+    /** Per-hash frame with the two 32-bit halves as longs — tolerance is
+      * defined at full 64-cell resolution; short hashes (pv NULL twin:
+      * hi/lo absent) participate in exact grouping only. */
+    private def hashVectors(perHash: DataFrame): DataFrame =
+      perHash.filter(length(col("phash")) === Phash64Cells)
+        .withColumn("hi", conv(substring(col("phash"), 1, 32), 2, 10).cast("long"))
+        .withColumn("lo", conv(substring(col("phash"), 33, 32), 2, 10).cast("long"))
+
+    /** The banded candidate PAIRS before distance verification — split
+      * out of [[nearDupKeepers]] so the mediamega pricing row counts
+      * exactly the candidate volume the matcher pays (a re-derived copy
+      * would drift on the band geometry). `estRows` is the caller's
+      * measured corpus-row bound (-1 = unpriced → spill-safe merge). */
+    private[graft] def bandedCandidates(s: org.apache.spark.sql.SparkSession,
+        perHash: DataFrame, estRows: Long): DataFrame = {
+      val bandBits = Phash64Cells / HammingBands64
+      val banded = hashVectors(perHash)
+        .select(col("phash"), col("hi"), col("lo"), col("min_id"),
+          explode(sequence(lit(0), lit(HammingBands64 - 1))).as("band"))
+        .withColumn("bv",
+          expr(s"substring(phash, band * $bandBits + 1, $bandBits)"))
+      // banded rows = |H| × bands; ~112 B/row in-memory (64-char hash +
+      // two longs + id + band + 8-char bv). |H| ≤ corpus rows, so the
+      // caller's row bound prices the b-side hash relation safely high.
+      val estBanded =
+        if (estRows < 0) -1L
+        else IndexStore.estimateBytes(estRows * HammingBands64,
+          estRows * HammingBands64 * 112L)
+      val (bSide, tierB) = IndexStore.tieredHint(s,
+        banded.select(col("phash").as("b_phash"), col("hi").as("b_hi"),
+          col("lo").as("b_lo"), col("min_id").as("b_min"),
+          col("band").as("b_band"), col("bv").as("b_bv")), estBanded)
+      lastTier = s"band=$tierB"
+      banded.join(bSide,
+        col("band") === col("b_band") && col("bv") === col("b_bv") &&
+          col("phash") =!= col("b_phash"))
+    }
+
+    /** Radius-[[HammingTolerance64]] one-hop dominance keeper per
+      * distinct 64-cell hash — [[MediaIndex.nearDupKeepers]]'s operator
+      * at the production width. Shape: (1) one corpus-proportional hash
+      * shuffle to distinct hashes + group min-id; (2) banded candidate
+      * self-join, b-side TIER-GATED on measured corpus rows (broadcast →
+      * SHUFFLE_HASH → sort-merge, never a stats gamble — the frame is
+      * corpus-proportional at this width); (3) exact verify as two
+      * codegen'd `bit_count(xor)` halves (a 64-char binary string
+      * overflows a signed-long `conv`; two 32-bit halves stay exact in
+      * BOTH engines); (4) min over neighbor groups, keeper join
+      * tier-gated the same way. */
+    def nearDupKeepers(s: org.apache.spark.sql.SparkSession, state: DataFrame,
+        estRows: Long, maxDist: Int = HammingTolerance64): DataFrame = {
+      require(maxDist < HammingBands64,
+        s"nearDupKeepers64: pigeonhole recall needs maxDist < $HammingBands64 bands")
+      // pinned: feeds both band-join sides and the keeper join (the
+      // nearDupKeepers checkpoint convention)
+      val perHash = state.groupBy(col("phash"))
+        .agg(min(col("id")).as("min_id"))
+        .localCheckpoint()
+      val nb = bandedCandidates(s, perHash, estRows)
+        .filter(bit_count(col("hi").bitwiseXOR(col("b_hi"))) +
+          bit_count(col("lo").bitwiseXOR(col("b_lo"))) <= maxDist)
+        .groupBy(col("phash"))
+        .agg(min(col("b_min")).as("nb_min"))
+      val estNb =
+        if (estRows < 0) -1L
+        else IndexStore.estimateBytes(estRows, estRows * 80L)
+      val (nbSide, tierN) = IndexStore.tieredHint(s, nb, estNb)
+      lastTier = s"$lastTier,keeper=$tierN"
+      perHash.join(nbSide, Seq("phash"), "left")
+        .select(col("phash"),
+          least(col("min_id"), coalesce(col("nb_min"), col("min_id")))
+            .as("keep_id"))
+    }
+
+    /** The caller-side corpus-row bound for the tier gates: measured
+      * parquet-footer rows + the ≤10% twin augmentation; -1 degrades to
+      * the unpriced (sort-merge) tier, which is always safe. */
+    private[graft] def estRowsFor(d: String): Long = {
+      val rows = IndexStore.corpusStats(d, "documents")._2
+      if (rows < 0) -1L else rows + rows / 10 + 1
+    }
+  }
+
   /** The DuckDB pHash derivation (b → samp → cells → lvl → ph) — the
     * ONE oracle body for EVERY media-verdict oracle: mm04, mm06, the
     * trimodal capstone c09 (Similarity) and the streaming admission
@@ -842,31 +1147,41 @@ object Multimodal {
     * rather than a drifting copy. A change here is a KERNEL change:
     * bump [[PhashKernelVer]] with it. */
   private[operators] val PhashCtes: String =
-    s"""b AS (
+    phashCtesOver("documents", PhashCells, "")
+
+  /** [[PhashCtes]] generalized to an explicit source relation, cell
+    * width, and CTE-name suffix — the ONE generator both widths' oracles
+    * derive from ([[PhashCtes]] is exactly `phashCtesOver("documents",
+    * 16, "")`; mm10's 64-cell chain over the twin-augmented corpus is
+    * `phashCtesOver("wd", 64, "64")`), so the two widths cannot drift on
+    * the SQL side either. */
+  private[operators] def phashCtesOver(src: String, nCells: Int,
+      sfx: String): String =
+    s"""b$sfx AS (
       |  SELECT doc_id AS id, hex(encode(text)) AS h,
       |         (octet_length(encode(text)) + 1) // 2 AS len
-      |  FROM documents
-      |), samp AS (
+      |  FROM $src
+      |), samp$sfx AS (
       |  SELECT id, CAST(i AS BIGINT) AS k,
       |         CAST(('0x' || substr(h, CAST(i * 4 + 1 AS INTEGER), 2)) AS INTEGER) AS s
-      |  FROM (SELECT id, h, unnest(range(len)) AS i FROM b)
-      |), cells AS (
-      |  SELECT id, len, CASE WHEN len < $PhashCells THEN len ELSE $PhashCells END AS n,
-      |         unnest(range(CASE WHEN len < $PhashCells THEN len ELSE $PhashCells END)) AS cell
-      |  FROM b
-      |), lvl AS (
+      |  FROM (SELECT id, h, unnest(range(len)) AS i FROM b$sfx)
+      |), cells$sfx AS (
+      |  SELECT id, len, CASE WHEN len < $nCells THEN len ELSE $nCells END AS n,
+      |         unnest(range(CASE WHEN len < $nCells THEN len ELSE $nCells END)) AS cell
+      |  FROM b$sfx
+      |), lvl$sfx AS (
       |  SELECT c.id, CAST(c.cell AS BIGINT) AS cell, c.n,
       |         CAST(SUM(s.s) AS BIGINT) // COUNT(*) AS level
-      |  FROM cells c JOIN samp s ON s.id = c.id
+      |  FROM cells$sfx c JOIN samp$sfx s ON s.id = c.id
       |    AND s.k >= (c.cell * c.len) // c.n AND s.k < ((c.cell + 1) * c.len) // c.n
       |  GROUP BY c.id, c.cell, c.n
-      |), ph AS (
+      |), ph$sfx AS (
       |  SELECT id,
       |         string_agg(CASE WHEN level * n > tot THEN '1' ELSE '0' END, ''
       |                    ORDER BY cell) AS phash
       |  FROM (SELECT id, cell, level, n,
       |               SUM(level) OVER (PARTITION BY id) AS tot
-      |        FROM lvl)
+      |        FROM lvl$sfx)
       |  GROUP BY id
       |)""".stripMargin
 
@@ -1071,6 +1386,20 @@ object Multimodal {
     * PhashDupCte convention — a byte-copied chain is the drift class
     * the r18 review closed for the dup verdict). */
   private[operators] def phashNearCtes(src: String, sfx: String): String =
+    s"""${phashMhvCtes(src, sfx)},
+      |nb$sfx AS (
+      |  SELECT a.phash AS phash, MIN(b.min_id) AS keep_id
+      |  FROM mhv$sfx a JOIN mhv$sfx b
+      |    ON a.phash = b.phash
+      |    OR (a.pv IS NOT NULL AND b.pv IS NOT NULL
+      |        AND bit_count(xor(a.pv, b.pv)) <= ${MediaIndex.HammingTolerance})
+      |  GROUP BY a.phash)""".stripMargin
+
+  /** The distinct-hash + int-conversion prefix of [[phashNearCtes]]
+    * (`mh$sfx`, `mhv$sfx`) — split out so the chain-clustering oracle
+    * (mm11) builds its transitive closure over the SAME pv construction
+    * instead of a byte-copied one (the PhashDupCte convention). */
+  private[operators] def phashMhvCtes(src: String, sfx: String): String =
     s"""mh$sfx AS (SELECT phash, MIN(id) AS min_id, COUNT(*) AS cnt
       |            FROM $src GROUP BY phash),
       |mhv$sfx AS (
@@ -1079,14 +1408,138 @@ object Multimodal {
       |           SELECT SUM(CASE WHEN substr(phash, CAST(j + 1 AS INTEGER), 1) = '1'
       |                      THEN 1 << (${PhashCells - 1} - CAST(j AS INTEGER)) ELSE 0 END)
       |           FROM range($PhashCells) t(j)) ELSE NULL END AS pv
-      |  FROM mh$sfx),
-      |nb$sfx AS (
-      |  SELECT a.phash AS phash, MIN(b.min_id) AS keep_id
-      |  FROM mhv$sfx a JOIN mhv$sfx b
-      |    ON a.phash = b.phash
-      |    OR (a.pv IS NOT NULL AND b.pv IS NOT NULL
-      |        AND bit_count(xor(a.pv, b.pv)) <= ${MediaIndex.HammingTolerance})
-      |  GROUP BY a.phash)""".stripMargin
+      |  FROM mh$sfx)""".stripMargin
+
+  /** The DuckDB near-dup verdict chain at the 64-cell width over an
+    * (id, phash) relation `src` — [[WideMediaIndex.nearDupKeepers]]'s
+    * oracle mirror as the TRUE all-pairs neighbor join (never the band
+    * split): distinct hashes + group min (`mh$sfx`), TWO-half int
+    * conversion at full resolution (`mhv$sfx` — a 64-bit shift into a
+    * signed BIGINT is sign-hazardous in both engines; 32-bit halves
+    * stay exact), radius-[[WideMediaIndex.HammingTolerance64]] keeper
+    * (`nb$sfx`) summing the halves' bit_count(xor). */
+  private[operators] def phash64NearCtes(src: String, sfx: String): String = {
+    def half(off: Int): String =
+      s"""CASE WHEN length(phash) = $Phash64Cells THEN (
+         |      SELECT SUM(CASE WHEN substr(phash, CAST(j + ${off + 1} AS INTEGER), 1) = '1'
+         |                 THEN CAST(1 AS BIGINT) << (31 - CAST(j AS INTEGER)) ELSE 0 END)
+         |      FROM range(32) t(j)) ELSE NULL END""".stripMargin
+    s"""mh$sfx AS (SELECT phash, MIN(id) AS min_id FROM $src GROUP BY phash),
+       |mhv$sfx AS (
+       |  SELECT phash, min_id,
+       |    ${half(0)} AS hi,
+       |    ${half(32)} AS lo
+       |  FROM mh$sfx),
+       |nb$sfx AS (
+       |  SELECT a.phash AS phash, MIN(b.min_id) AS keep_id
+       |  FROM mhv$sfx a JOIN mhv$sfx b
+       |    ON a.phash = b.phash
+       |    OR (a.hi IS NOT NULL AND b.hi IS NOT NULL
+       |        AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+       |            <= ${WideMediaIndex.HammingTolerance64})
+       |  GROUP BY a.phash)""".stripMargin
+  }
+
+  /** 64-bit hamming-tolerant media near-dedup over the wide ring's
+    * published state (r19 VERDICT slate #1 — mm08's operator at the
+    * PRODUCTION hash width, where the distinct-hash set is
+    * corpus-proportional and the matching must be priced, not assumed
+    * broadcast-sized). Emits the per-doc verdict over the twin-augmented
+    * corpus: keeper id under one-hop radius-4 dominance, dup flag — so a
+    * planted "re-encode" twin within radius collapses onto its original
+    * while a d > 4 twin (the fixture plants both) survives.
+    *
+    * The oracle re-derives EVERYTHING from scratch in DuckDB: the twin
+    * corpus ([[WideMediaIndex.WideDocsCte]]), the 64-cell chain
+    * ([[phashCtesOver]] at 64), and the TRUE all-pairs two-half hamming
+    * verdict ([[phash64NearCtes]] — never the band split), so a banded
+    * recall miss, a half-conversion drift, or a tiebreak difference
+    * breaks the hash.
+    *
+    * Scale: one corpus-proportional hash shuffle; banded candidates
+    * ~|H|²/32 int-xor comparisons (priced live at 1.25M docs by the
+    * mediamega row); every matcher join tier-gated on measured bytes
+    * ([[IndexStore.tieredHint]]). */
+  val mm10 = QueryDef(
+    "mm10_phash64_near_dedup",
+    (s, d) => {
+      val state = WideMediaIndex.maintained(s, d)
+      val estRows = WideMediaIndex.estRowsFor(d)
+      val keepers = WideMediaIndex.nearDupKeepers(s, state, estRows)
+      val estK =
+        if (estRows < 0) -1L
+        else IndexStore.estimateBytes(estRows, estRows * 80L)
+      val (kSide, _) = IndexStore.tieredHint(s, keepers, estK)
+      state.join(kSide, Seq("phash"))
+        .select(col("id"), col("phash"), col("keep_id"),
+          (col("id") =!= col("keep_id")).as("is_dup"))
+        .orderBy(col("id"))
+    },
+    Some(s"""WITH ${WideMediaIndex.WideDocsCte},
+      |${phashCtesOver("wd", Phash64Cells, "64")},
+      |${phash64NearCtes("ph64", "64")}
+      |SELECT p.id, p.phash, nb64.keep_id, (p.id <> nb64.keep_id) AS is_dup
+      |FROM ph64 p JOIN nb64 ON p.phash = nb64.phash
+      |ORDER BY p.id""".stripMargin))
+
+  /** Media near-dup CHAIN clustering gate (r19 VERDICT slate #2 — the
+    * t11 twin on the media side): [[MediaIndex.chainKeepersFrom]]'s
+    * connected components over mm08's verified radius pairs, emitting
+    * the per-doc verdict (chain keeper id, dup flag) over the ring's
+    * served state. mm08's one-hop dominance misses a 2-hop re-encode
+    * (hamming 4 from the origin, 2 per hop); the chain verdict hands
+    * every generation of a re-encode chain to ONE keeper — exactly the
+    * policy [[MediaIndex.nearDupVerdict]]'s doc defers to.
+    *
+    * Oracle: from-scratch DuckDB — the pHash chain ([[PhashCtes]]), the
+    * TRUE all-pairs radius graph over distinct hashes (never the band
+    * split), transitively closed by a recursive CTE and min-labeled
+    * (t11's shape), then the per-component min doc id. A banded recall
+    * miss, a closure shortcut bug ([[Corpus.connectedComponents]]'
+    * pointer-jump), or a tiebreak drift breaks the hash at the doc it
+    * mislabels.
+    *
+    * Scale: edges and CC run over the keyspace-bounded distinct-hash
+    * set (≤ 2^[[PhashCells]] vertices regardless of corpus size);
+    * rounds ∝ log(chain length); the only corpus-shaped work is the
+    * one hash shuffle to distinct hashes and the broadcast verdict
+    * join back to docs. */
+  val mm11 = QueryDef(
+    "mm11_phash_chain_clusters",
+    (s, d) => {
+      val state = MediaIndex.maintained(s, d)
+      val perHash = state.groupBy(col("phash")).agg(min(col("id")).as("min_id"))
+        .localCheckpoint() // feeds the pair matcher (3 branches) + the short-hash arm
+      val keepers = MediaIndex.chainKeepersFrom(perHash)
+      state.join(broadcast(keepers), Seq("phash"))
+        .select(col("id"), col("phash"), col("keep_id"),
+          (col("id") =!= col("keep_id")).as("is_dup"))
+        .orderBy(col("id"))
+    },
+    Some(s"""WITH $PhashCtes,
+      |${phashMhvCtes("ph", "")},
+      |und AS (
+      |  SELECT a.pv AS ua, b.pv AS ub FROM mhv a JOIN mhv b
+      |  ON a.pv IS NOT NULL AND b.pv IS NOT NULL AND a.phash <> b.phash
+      |  AND bit_count(xor(a.pv, b.pv)) <= ${MediaIndex.HammingTolerance}),
+      |reach AS (
+      |  SELECT ua AS v, ua AS label FROM und
+      |  UNION
+      |  SELECT u.ub, r.label FROM reach r JOIN und u ON u.ua = r.v),
+      |ccm AS (SELECT v, MIN(label) AS comp FROM reach GROUP BY v),
+      |lbl AS (
+      |  SELECT m.phash, m.min_id, m.pv, COALESCE(c.comp, m.pv) AS comp
+      |  FROM mhv m LEFT JOIN ccm c ON m.pv = c.v),
+      |keep AS (SELECT comp, MIN(min_id) AS keep_id FROM lbl
+      |         WHERE pv IS NOT NULL GROUP BY comp),
+      |verdict AS (
+      |  SELECT l.phash,
+      |         CASE WHEN l.pv IS NULL THEN l.min_id ELSE k.keep_id END AS keep_id
+      |  FROM lbl l LEFT JOIN keep k ON l.pv IS NOT NULL AND l.comp = k.comp)
+      |SELECT p.id, p.phash, v.keep_id, (p.id <> v.keep_id) AS is_dup
+      |FROM ph p JOIN verdict v ON p.phash = v.phash
+      |ORDER BY p.id""".stripMargin
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")))
 
   /** Media-ring SOAK gate — [[MediaSoakRing]]'s four nights under the
     * hash gate, c08's shape on the media side: per night, the served
@@ -1268,5 +1721,5 @@ object Multimodal {
       |ORDER BY b.id""".stripMargin))
 
   val catalog: Seq[QueryDef] =
-    Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09)
+    Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10, mm11)
 }

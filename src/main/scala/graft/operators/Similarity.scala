@@ -296,7 +296,7 @@ object Similarity {
         signatures(s, d)
           .write.mode("overwrite").parquet(s"$tmp/signatures")
       }
-      s.read.parquet(s"$dir/signatures")
+      IndexStore.readPublished(s, s"$dir/signatures")
     }
 
     // Incremental growth (the [[IvfIncIndex]] segment model, simpler
@@ -326,7 +326,7 @@ object Similarity {
     /** (baseSignatures, deltaSignatures) — readers union the segments. */
     def ensureSegments(s: SparkSession, d: String): (DataFrame, DataFrame) = {
       val bd = ensureBase(s, d); val dd = ensureDelta(s, d)
-      (s.read.parquet(s"$bd/signatures"), s.read.parquet(s"$dd/signatures"))
+      (IndexStore.readPublished(s, s"$bd/signatures"), IndexStore.readPublished(s, s"$dd/signatures"))
     }
   }
 
@@ -407,7 +407,7 @@ object Similarity {
     def ensure(s: SparkSession, d: String): (DataFrame, DataFrame) = {
       val dir = IndexStore.ensure(indexDirFor(d), "centroids/_SUCCESS")(
         tmp => build(s, d, tmp))
-      (s.read.parquet(s"$dir/centroids"), s.read.parquet(s"$dir/assigned"))
+      (IndexStore.readPublished(s, s"$dir/centroids"), IndexStore.readPublished(s, s"$dir/assigned"))
     }
 
     private def build(s: SparkSession, d: String, dir: String): Unit = {
@@ -914,17 +914,71 @@ object Similarity {
     private[graft] def tombDirFor(d: String, salt: String): String =
       s"${sys.props("java.io.tmpdir")}/graft_ivfinc_${IndexStore.corpusFingerprint(d, "embeddings")}_k${IvfIndex.K}_tomb2_$salt"
 
+    /** r18's pre-digest layout dir for the same instance — DETECTION
+      * only, never served. The r18→r19 layout bump silently orphaned
+      * every v1 publication: a v1-warm/v2-cold machine stopped folding
+      * its published takedowns into maintained()/recluster()/tombToken()
+      * with no signal — the takedown-resurrection class this store
+      * polices (r19 ADVICE). Policy: the consult points FAIL LOUDLY on
+      * v1-warm/v2-cold ([[orphanedV1Dir]] callers); [[publishTombstones]]
+      * MIGRATES — it verifies the incoming batch equals the orphaned v1
+      * id set (publish-once holds across layouts) and deletes the stale
+      * dir once the v2 publication carries the content. A v1 dir
+      * alongside a WARM v2 store is inert residue of a completed
+      * migration (v2 is authoritative; the publish path removes it on
+      * the next re-publish). */
+    private def orphanedV1Dir(d: String, salt: String): Option[String] = {
+      val v1 = s"${sys.props("java.io.tmpdir")}/graft_ivfinc_" +
+        s"${IndexStore.corpusFingerprint(d, "embeddings")}_k${IvfIndex.K}_tomb_$salt"
+      if (new java.io.File(s"$v1/ids/_SUCCESS").exists()) Some(v1) else None
+    }
+
+    /** Loud failure for the v1-warm/v2-cold consult — shared by
+      * [[tombToken]] and [[publishedTombstones]] so the two consult
+      * points cannot drift on the policy. */
+    private def failOrphanedV1(salt: String, v1: String): Nothing =
+      sys.error(
+        s"tombstone store for '$salt': found a published PRE-DIGEST " +
+          s"(r18-layout) id set at $v1 with no current-layout " +
+          "publication — its takedowns are NOT being folded into the " +
+          "serving state. Re-publish the batch via publishTombstones " +
+          "(which verifies equality and migrates), or delete the stale " +
+          "dir if the takedowns were withdrawn.")
+
     /** Order-invariant content digest of a tombstone id set — row count
-      * + decimal sum of xxhash64(vec_id) over the distinct ids (decimal:
-      * a Long sum of 2^63-scale hashes overflows, which ANSI mode makes
-      * an error, and wrap-around would also weaken the digest). One
-      * metadata-sized aggregate; deterministic across partitionings and
-      * JVMs (xxhash64 is a fixed-seed Catalyst expression, and the sum
-      * is order-free). Two DIFFERENT sets colliding needs both equal
-      * cardinality and an exact 64-bit-hash-sum collision — the
-      * byte-LENGTH coincidence class of the r18 token (same encoded
-      * size ⇒ same token) is gone. */
+      * + TWO decimal sums of independently-salted xxhash64(vec_id) over
+      * the distinct ids (decimal: a Long sum of 2^63-scale hashes
+      * overflows, which ANSI mode makes an error, and wrap-around would
+      * also weaken the digest). One metadata-sized aggregate;
+      * deterministic across partitionings and JVMs (xxhash64 is a
+      * fixed-seed Catalyst expression, and the sums are order-free).
+      * Why two sums (r19 ADVICE): a SINGLE additive hash is linearly
+      * malleable — equal-cardinality colliding id sets are constructible
+      * by lattice reduction — and the digest gates the publish-once
+      * safety check, not just dir naming. Forging a collision now needs
+      * a SIMULTANEOUS collision on two independent 64-bit hash sums
+      * (the order-free non-linear fold the ADVICE names). Format is
+      * version-prefixed (`v2:`) so a warm r19-vintage publication —
+      * whose shipped DIGEST used the single-sum formula — is compared
+      * under ITS OWN formula ([[tombDigestV1]]) instead of tripping a
+      * false "different id set" on an identical re-publish. */
     private def tombDigest(ids: DataFrame): String = {
+      val st = ids.agg(count(lit(1)),
+        sum(xxhash64(col("vec_id")).cast("decimal(38,0)")),
+        sum(xxhash64(lit("graft-tomb-d2"), col("vec_id"))
+          .cast("decimal(38,0)"))).head()
+      def hex(i: Int): String =
+        if (st.isNullAt(i)) "0" else st.getDecimal(i).toBigInteger.toString(16)
+      // "v2." not "v2:" — the digest rides tombToken into Hadoop path
+      // strings, where a colon invites URI-parsing ambiguity
+      s"v2.${st.getLong(0)}x${hex(1)}x${hex(2)}"
+    }
+
+    /** The r19 single-sum digest formula — kept ONLY to verify an
+      * identical re-publish against a warm store whose shipped DIGEST
+      * predates the v2 format (no version prefix). Never written to new
+      * publications. */
+    private def tombDigestV1(ids: DataFrame): String = {
       val st = ids.agg(count(lit(1)),
         sum(xxhash64(col("vec_id")).cast("decimal(38,0)"))).head()
       val sumHex =
@@ -965,6 +1019,25 @@ object Similarity {
         ids: DataFrame): String = {
       val norm = ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
       val digest = tombDigest(norm)
+      // v1-layout migration guard, BEFORE anything publishes (see
+      // orphanedV1Dir): an r18-layout dir for this instance must hold the
+      // SAME ids as the incoming batch — publish-once spans the layout
+      // bump. Checking after the v2 ensure would leave a conflicting
+      // batch PUBLISHED on the error path, exactly the shadowing the
+      // orphan policy exists to prevent.
+      val orphan = orphanedV1Dir(d, salt)
+      orphan.foreach { v1 =>
+        val legacy = IndexStore.readPublished(s, s"$v1/ids")
+          .select(col("vec_id").cast("long").as("vec_id")).distinct()
+        val onlyLegacy = legacy.join(norm, Seq("vec_id"), "left_anti").count()
+        val onlyBatch = norm.join(legacy, Seq("vec_id"), "left_anti").count()
+        require(onlyLegacy == 0 && onlyBatch == 0,
+          s"publishTombstones($salt): orphaned r18-layout store at $v1 " +
+            s"holds a DIFFERENT id set ($onlyLegacy legacy-only / " +
+            s"$onlyBatch batch-only ids) — publish-once violated across " +
+            "the layout bump; resolve the conflict and delete the stale " +
+            "dir by hand")
+      }
       val out = IndexStore.ensure(tombDirFor(d, salt), "ids/_SUCCESS") { tmp =>
         norm.coalesce(1).write.mode("overwrite").parquet(s"$tmp/ids")
         // written AFTER the ids land, inside the pre-rename build dir,
@@ -975,12 +1048,22 @@ object Similarity {
       val published = publishedDigest(d, salt).getOrElse(sys.error(
         s"publishTombstones($salt): published store is missing its DIGEST " +
           "marker — torn or foreign-layout publication"))
-      require(published == digest,
+      // version dispatch: a warm r19-vintage store shipped the single-sum
+      // formula (no prefix) — an identical re-publish must pass under the
+      // formula the store was published WITH, not trip a false conflict
+      val expect =
+        if (published.startsWith("v2.")) digest else tombDigestV1(norm)
+      require(published == expect,
         s"publishTombstones($salt): store already published with a " +
           "DIFFERENT id set — a publish-once instance cannot absorb a " +
           "second takedown batch; union the batches into a new " +
           "instance or ride the retraction fold (see tombstone-store " +
           "doc)")
+      // migration sweep: the current-layout publication is verified to
+      // carry the orphan's content — delete the v1 dir so it can never
+      // again masquerade as a live publication
+      orphan.foreach(v1 =>
+        graft.Lifecycle.deleteRecursively(new java.io.File(v1)))
       out
     }
 
@@ -1001,8 +1084,12 @@ object Similarity {
       * encoded size and serve a stale pre-wipe monitor/gen-2 artifact
       * (r18 VERDICT nit 3 / ADVICE). Driver-side file read only. */
     private[graft] def tombToken(d: String, salt: String): String =
-      if (!new java.io.File(s"${tombDirFor(d, salt)}/ids/_SUCCESS").exists()) ""
-      else s"_t${publishedDigest(d, salt).getOrElse(sys.error(
+      if (!new java.io.File(s"${tombDirFor(d, salt)}/ids/_SUCCESS").exists()) {
+        // a cold current-layout store is only truly "no tombstones" when
+        // no r18-layout publication is being silently orphaned
+        orphanedV1Dir(d, salt).foreach(failOrphanedV1(salt, _))
+        ""
+      } else s"_t${publishedDigest(d, salt).getOrElse(sys.error(
         s"tombstone store for '$salt' published without a DIGEST marker"))}"
 
     /** Instance `salt`'s published tombstone set, or None when the
@@ -1014,8 +1101,14 @@ object Similarity {
         salt: String): Option[DataFrame] = {
       val dir = tombDirFor(d, salt)
       if (new java.io.File(s"$dir/ids/_SUCCESS").exists())
-        Some(s.read.parquet(s"$dir/ids"))
-      else None
+        Some(IndexStore.readPublished(s, s"$dir/ids"))
+      else {
+        // same orphan policy as tombToken — the two consult points must
+        // agree, or one path would serve un-retracted state the other
+        // refuses (r19 ADVICE)
+        orphanedV1Dir(d, salt).foreach(failOrphanedV1(salt, _))
+        None
+      }
     }
 
     /** `view` minus instance `salt`'s published tombstones — the ONE
@@ -1092,7 +1185,7 @@ object Similarity {
     def ensureDelta(s: SparkSession, d: String): String = {
       val bd = ensureBase(s, d)
       IndexStore.ensure(deltaDirFor(d), "assigned/_SUCCESS") { tmp =>
-        val centroids = s.read.parquet(s"$bd/centroids")
+        val centroids = IndexStore.readPublished(s, s"$bd/centroids")
         val newVecs = embDouble(s, d)
           .filter(col("vec_id") % NewSliceMod === NewSliceRem)
         assign(newVecs, centroids)
@@ -1105,7 +1198,7 @@ object Similarity {
     def ensure(s: SparkSession, d: String): (DataFrame, DataFrame) = {
       val bd = ensureBase(s, d)
       val dd = ensureDelta(s, d)
-      (s.read.parquet(s"$bd/assigned"), s.read.parquet(s"$dd/assigned"))
+      (IndexStore.readPublished(s, s"$bd/assigned"), IndexStore.readPublished(s, s"$dd/assigned"))
     }
 
     // ------------------------------------------------- segment compaction
@@ -1150,7 +1243,7 @@ object Similarity {
       val bd = ensureBase(s, d)
       val dd = ensureDelta(s, d)
       IndexStore.ensure(compactedDirFor(d), "assigned/_SUCCESS") { tmp =>
-        s.read.parquet(s"$bd/centroids")
+        IndexStore.readPublished(s, s"$bd/centroids")
           .write.mode("overwrite").parquet(s"$tmp/centroids")
         // bound the output file count: the fold's read-side win is
         // collapsing an accumulated segment tail (a year of nightly
@@ -1161,8 +1254,8 @@ object Similarity {
           math.max(IndexStore.dirBytes(s"$dd/assigned"), 0L)
         val nFiles = math.max(s.sparkContext.defaultParallelism,
           math.ceil(totalBytes / (128.0 * 1024 * 1024)).toInt)
-        s.read.parquet(s"$bd/assigned")
-          .unionByName(s.read.parquet(s"$dd/assigned"))
+        IndexStore.readPublished(s, s"$bd/assigned")
+          .unionByName(IndexStore.readPublished(s, s"$dd/assigned"))
           .repartition(nFiles)
           .write.mode("overwrite").parquet(s"$tmp/assigned")
       }
@@ -1182,7 +1275,7 @@ object Similarity {
       val (base, delta) = ensure(s, d)
       val view =
         if (compactionDue(s, d))
-          s.read.parquet(s"${ensureCompacted(s, d)}/assigned")
+          IndexStore.readPublished(s, s"${ensureCompacted(s, d)}/assigned")
         else base.unionByName(delta)
       // the ring's published tombstones are part of the reader view —
       // a retracted vector must be gone from EVERY consumer, not just
@@ -1225,7 +1318,7 @@ object Similarity {
         import org.apache.spark.ml.functions.array_to_vector
         graft.functions.VectorExpressions.register(s)
         val assigned = maintained(s, d)
-        val cen = s.read.parquet(s"${baseDirFor(d)}/centroids")
+        val cen = IndexStore.readPublished(s, s"${baseDirFor(d)}/centroids")
         val hist = assigned.groupBy(col("cell")).count().collect()
           .map(r => r.getInt(0) -> r.getLong(1)).toMap
         val hot = hist.filter(_._2 > maxCellRows).keys.toSeq.sorted
@@ -1293,7 +1386,7 @@ object Similarity {
       // tombstoned vectors are out of the ring: they must not be able
       // to trip (or mask) a recluster they will never be served from
       driftRatioOf(retractedBy(s, d, RingSalt)(embDouble(s, d)),
-        s.read.parquet(s"$bd/centroids"))
+        IndexStore.readPublished(s, s"$bd/centroids"))
     }
 
     /** [[driftRatio]] over an explicit (vec_id, embedding) frame and
@@ -1455,7 +1548,7 @@ object Similarity {
     private[graft] def servedGeneration(s: SparkSession, d: String,
         embOpt: Option[DataFrame], genSalt: String): (DataFrame, DataFrame) = {
       val bd = ensureBase(s, d)
-      val cen1 = s.read.parquet(s"$bd/centroids")
+      val cen1 = IndexStore.readPublished(s, s"$bd/centroids")
       // instance-`genSalt` tombstones apply to EVERY arm of the policy:
       // the monitor (a retracted vector must neither trip nor mask a
       // recluster), the quiet serve, and — the r17 resurrection hole —
@@ -1506,7 +1599,7 @@ object Similarity {
           }
           ensureRatio(s"${gen2DirFor(d)}_$genSalt${tombToken(d, genSalt)}" +
               s"${tombToken(d, RingSalt)}_monqr")(
-            ratioOfSqdist(retr(s.read.parquet(s"$mq/sqdist"))))
+            ratioOfSqdist(retr(IndexStore.readPublished(s, s"$mq/sqdist"))))
         case Some(e) =>
           val md = IndexStore.ensure(
               s"${gen2DirFor(d)}_$genSalt${tombToken(d, genSalt)}_mon",
@@ -1516,7 +1609,7 @@ object Similarity {
               .write.mode("overwrite").parquet(s"$tmp/sqdist")
           }
           ensureRatio(s"${gen2DirFor(d)}_$genSalt${tombToken(d, genSalt)}_monr")(
-            ratioOfSqdist(s.read.parquet(s"$md/sqdist")))
+            ratioOfSqdist(IndexStore.readPublished(s, s"$md/sqdist")))
       }
       if (ratio >= ReclusterRatio) {
         val emb = retr(embOpt.getOrElse(embDouble(s, d)))
@@ -1530,7 +1623,7 @@ object Similarity {
         val arm = if (embOpt.isEmpty) "ring" else "drv"
         val g2 = reclusterOf(emb,
           s"${gen2DirFor(d)}_$genSalt${tombToken(d, genSalt)}_$arm")
-        (s.read.parquet(s"$g2/assigned"), s.read.parquet(s"$g2/centroids"))
+        (IndexStore.readPublished(s, s"$g2/assigned"), IndexStore.readPublished(s, s"$g2/centroids"))
       } else
         (retr(embOpt.fold(maintained(s, d))(e => assign(e, cen1))), cen1)
     }
@@ -1856,7 +1949,7 @@ object Similarity {
     (s, d) => {
       graft.functions.VectorExpressions.register(s)
       val (baseSeg, deltaSeg) = IvfIncIndex.ensure(s, d)
-      val centersDf = s.read.parquet(s"${IvfIncIndex.baseDirFor(d)}/centroids")
+      val centersDf = IndexStore.readPublished(s, s"${IvfIncIndex.baseDirFor(d)}/centroids")
       ivfProbe(baseSeg.unionByName(deltaSeg), centersDf)
     },
     None,
@@ -1941,7 +2034,7 @@ object Similarity {
   private[graft] def probeTopK(s: SparkSession, d: String, numQueries: Int): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val assigned = IvfIncIndex.maintained(s, d)
-    val centersDf = s.read.parquet(s"${IvfIncIndex.baseDirFor(d)}/centroids")
+    val centersDf = IndexStore.readPublished(s, s"${IvfIncIndex.baseDirFor(d)}/centroids")
     ivfProbeN(assigned, centersDf, numQueries)
   }
 
@@ -1950,8 +2043,8 @@ object Similarity {
   private[graft] def probeTopKOver(s: SparkSession, indexDir: String,
       numQueries: Int): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    ivfProbeN(s.read.parquet(s"$indexDir/assigned"),
-      s.read.parquet(s"$indexDir/centroids"), numQueries)
+    ivfProbeN(IndexStore.readPublished(s, s"$indexDir/assigned"),
+      IndexStore.readPublished(s, s"$indexDir/centroids"), numQueries)
   }
 
   val s10 = QueryDef(
@@ -1959,7 +2052,7 @@ object Similarity {
     (s, d) => {
       graft.functions.VectorExpressions.register(s)
       val assigned = IvfIncIndex.maintained(s, d)
-      val centersDf = s.read.parquet(s"${IvfIncIndex.baseDirFor(d)}/centroids")
+      val centersDf = IndexStore.readPublished(s, s"${IvfIncIndex.baseDirFor(d)}/centroids")
       ivfProbe(assigned, centersDf)
     },
     None,
@@ -1991,8 +2084,8 @@ object Similarity {
     (s, d) => {
       graft.functions.VectorExpressions.register(s)
       val rd = IvfIncIndex.refineHotCells(s, d, RefineBudget)
-      ivfProbe(s.read.parquet(s"$rd/assigned"),
-        s.read.parquet(s"$rd/centroids"))
+      ivfProbe(IndexStore.readPublished(s, s"$rd/assigned"),
+        IndexStore.readPublished(s, s"$rd/centroids"))
     },
     None,
     oracleLate = Some { sfDir =>
@@ -2106,7 +2199,7 @@ object Similarity {
       graft.functions.VectorExpressions.register(s)
       val assigned = IvfIncIndex.maintained(s, d)
         .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
-      val cen = s.read.parquet(s"${IvfIncIndex.baseDirFor(d)}/centroids")
+      val cen = IndexStore.readPublished(s, s"${IvfIncIndex.baseDirFor(d)}/centroids")
       val probed = probedCells(assigned, cen, _.filter(col("vec_id") < NumQueries))
         .select(col("query_id"), col("cell"))
       // candidate ids only — embeddings re-join at the stages that
@@ -2196,7 +2289,7 @@ object Similarity {
     (s, d) => {
       graft.functions.VectorExpressions.register(s)
       val assigned = IvfIncIndex.maintained(s, d)
-      val centersDf = s.read.parquet(s"${IvfIncIndex.baseDirFor(d)}/centroids")
+      val centersDf = IndexStore.readPublished(s, s"${IvfIncIndex.baseDirFor(d)}/centroids")
       ivfProbeOn(assigned, centersDf, _.filter(col("vec_id") < NumQueries),
         topK = HardNegK, candFilter = col("cos") < lit(HardNegCeil))
     },
@@ -2235,7 +2328,7 @@ object Similarity {
       val tombs = Tables.embeddings(s, d)
         .filter(col("vec_id") % 23 === 5).select(col("vec_id"))
       val assigned = annRetract(IvfIncIndex.maintained(s, d), tombs)
-      val cen = s.read.parquet(s"${IvfIncIndex.baseDirFor(d)}/centroids")
+      val cen = IndexStore.readPublished(s, s"${IvfIncIndex.baseDirFor(d)}/centroids")
       ivfProbeOn(assigned, cen, _.filter(col("vec_id") < NumQueries))
         .orderBy(col("query_id"), col("rank"))
     },
@@ -2274,7 +2367,7 @@ object Similarity {
       val tombs = Tables.embeddings(s, d)
         .filter(col("vec_id") % 23 === 5).select(col("vec_id"))
       val retracted = annRetract(IvfIncIndex.maintained(s, d), tombs)
-      val cen = s.read.parquet(s"${IvfIncIndex.baseDirFor(d)}/centroids")
+      val cen = IndexStore.readPublished(s, s"${IvfIncIndex.baseDirFor(d)}/centroids")
       val late = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .filter(col("vec_id") % 7 === 2)
@@ -2399,7 +2492,7 @@ object Similarity {
           TextDedup.PromotedPairIndex.maintained(s, d))
         .filter(!col("keep")).select(col("doc_id").as("vec_id"))
       val assigned = annRetract(IvfIncIndex.maintained(s, d), dropped)
-      val cen = s.read.parquet(s"${IvfIncIndex.baseDirFor(d)}/centroids")
+      val cen = IndexStore.readPublished(s, s"${IvfIncIndex.baseDirFor(d)}/centroids")
       ivfProbeOn(assigned, cen, _.filter(col("vec_id") < NumQueries))
         .orderBy(col("query_id"), col("rank"))
     },
@@ -2467,7 +2560,7 @@ object Similarity {
     val gone = broadcast(mediaGone.unionByName(textGone)
       .select(col("doc_id").as("vec_id")))
     val assigned = annRetract(IvfIncIndex.maintained(s, d), gone)
-    val cen = s.read.parquet(s"${IvfIncIndex.baseDirFor(d)}/centroids")
+    val cen = IndexStore.readPublished(s, s"${IvfIncIndex.baseDirFor(d)}/centroids")
     ivfProbeOn(assigned, cen, _.filter(col("vec_id") < NumQueries))
       .orderBy(col("query_id"), col("rank"))
   }

@@ -1066,7 +1066,115 @@ object SourcesStreaming {
        |  AND nb.keep_id = p.id
        |ORDER BY doc_id""".stripMargin))
 
+  /** Streaming ingest × the VECTOR ring — the st08/st10 admission shape
+    * on the vector side, closing the last ring-streaming asymmetry (r19
+    * VERDICT slate #4: text ring → st08, media ring → st10/st11, vector
+    * ring → nothing): tonight's arriving embedding slice (vec_id %
+    * [[Similarity.IvfIncIndex.NewSliceMod]] ==
+    * [[Similarity.IvfIncIndex.NewSliceRem]] — the ring's OWN delta
+    * convention) streams in, published takedowns drop IN FLIGHT
+    * (stream-static anti-join against the instance-salted tombstone
+    * store, [[Similarity.IvfIncIndex.publishedTombstones]] — a
+    * retracted vector must never reach the index, not get cleaned up
+    * nightly), and each surviving vector is ASSIGNED its IVF cell
+    * against the frozen gen-1 centroids, in-stream and stateless.
+    *
+    * The stateless-argmin rewrite, stated precisely: the batch assign
+    * ([[Similarity.IvfIncIndex.assign]]) ranks a centroid crossJoin
+    * with a per-vec_id window — a stateful shape a streaming plan
+    * cannot run. Here the K frozen centroids (a published,
+    * metadata-sized artifact resolved at stream DEFINITION — st08's
+    * restart contract; a recluster promotion lands by checkpoint
+    * restart, witnessed in StreamingSpec) ride the plan as LITERALS,
+    * and the argmin is `array_min` over a struct(score, cell) array —
+    * min by score, ties to the smallest cell, exactly the window's
+    * asc-(score, cell) rule. Each score is the SAME ‖c‖² − 2·x·c over
+    * the same `graft_dot` sequential fold the batch path runs (‖c‖²
+    * via graft_dot on the centroid literal — the same expression
+    * evaluator, constant-folded), so stream and batch assignment are
+    * bit-identical by construction: the st11 kernel contract on the
+    * vector side. The oracle re-assigns the slice from the PERSISTED
+    * centroids from scratch (s08's counterfactual chain), minus the
+    * takedown batch.
+    *
+    * Scale: stream side stateless (filter + anti-join against the
+    * metadata-sized tombstone set + a K-term per-row expression);
+    * centroids are K rows by construction. */
+  /** st12's stream body over corpus dir `d` — the ring artifacts
+    * (frozen centroids, instance-`tombSalt` tombstone store) resolve at
+    * stream DEFINITION, then the stateless literal-centroid argmin
+    * kernel runs per arriving row. Factored out of the gate so the
+    * restart witness (StreamingSpec) drains the SAME body through a
+    * durable file sink — a spec-side copy would drift the kernel. */
+  private[graft] def vectorAssignStream(s2: org.apache.spark.sql.SparkSession,
+      d: String, tombSalt: String): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Similarity.IvfIncIndex
+    graft.functions.VectorExpressions.register(s2)
+    val bd = IvfIncIndex.ensureBase(s2, d)
+    val cen = s2.read.parquet(s"$bd/centroids")
+      .select(col("cell"), col("center")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1) // cell order = the struct-array tiebreak order
+    val tombs = IvfIncIndex.publishedTombstones(s2, d, tombSalt)
+      .getOrElse(sys.error(s"st12: tombstone store '$tombSalt' must be " +
+        "published before the stream is defined"))
+    val onDisk = s2.read.parquet(s"$d/embeddings.parquet").schema
+    // layout dispatch: the testdata corpora ship embeddings.parquet as a
+    // single FILE directly under d (streamed via a glob from the parent,
+    // the st08/st10 shape); a written corpus (the restart witness, any
+    // real ingest dir) is a DIRECTORY and streams directly. pathGlobFilter
+    // matches LEAF file names, so the glob arm sees nothing on a dir.
+    val src =
+      if (new java.io.File(s"$d/embeddings.parquet").isDirectory)
+        s2.readStream.schema(onDisk).parquet(s"$d/embeddings.parquet")
+      else s2.readStream.schema(onDisk)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(d)
+    val arriving = src
+      .filter(col("vec_id") % IvfIncIndex.NewSliceMod ===
+        IvfIncIndex.NewSliceRem)
+      .join(tombs, Seq("vec_id"), "left_anti")
+    val emb = transform(col("embedding"), x => x.cast("double"))
+    def gdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("graft_dot", a, b)
+    val scored = array(cen.map { case (cell, c) =>
+      val cl = typedlit(c)
+      struct((gdot(cl, cl) - lit(2.0) * gdot(emb, cl)).as("score"),
+        lit(cell).as("cell"))
+    }: _*)
+    arriving.select(col("vec_id"),
+      array_min(scored).getField("cell").as("cell"))
+  }
+
+  val st12 = QueryDef(
+    "st12_stream_vector_assign",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.operators.Similarity.IvfIncIndex
+      // the ring artifacts resolve BEFORE the stream: frozen centroids
+      // published once (the ring's base), the st12 takedown batch
+      // published to the instance-salted tombstone store (idempotent —
+      // the batch derivation is deterministic per corpus)
+      IvfIncIndex.publishTombstones(s, d, "st12",
+        Tables.embeddings(s, d)
+          .filter(col("vec_id") % 13 === 9).select(col("vec_id")))
+      val (_, t) = graft.streaming.Drain.toTable(
+        s, "graft_stream_vector_assign", OutputMode.Append)(
+        vectorAssignStream(_, d, "st12"))
+      t.orderBy(col("vec_id"))
+    },
+    None,
+    oracleLate = Some { sfDir =>
+      s"""WITH ${Similarity.ivfAssignCtes(sfDir)}
+         |SELECT vec_id, cell FROM ranked
+         |WHERE arank = 1
+         |  AND vec_id % ${Similarity.IvfIncIndex.NewSliceMod} = ${Similarity.IvfIncIndex.NewSliceRem}
+         |  AND vec_id % 13 <> 9
+         |ORDER BY vec_id""".stripMargin
+    })
+
   val catalog: Seq[QueryDef] =
     Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09, r10, r11,
-      st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11)
+      st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11,
+      st12)
 }

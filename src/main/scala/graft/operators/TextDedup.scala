@@ -169,65 +169,18 @@ object TextDedup {
       case "shuffle_hash" => lastVerifyTier = "shuffle_hash(hint)"; df.hint("SHUFFLE_HASH")
       case "merge"        => lastVerifyTier = "merge(hint)"; df.hint("MERGE")
       case _ =>
-        if (estSetsBytes < 0) { lastVerifyTier = "merge(unpriced)"; df.hint("MERGE") }
-        else {
-          lastVerifyTier = "broadcast" // overwritten below when past the cap
-          IndexStore.broadcastIfFitsPre(s, df, estSetsBytes) { big =>
-          // SHUFFLE_HASH's build side CANNOT spill — a per-partition
-          // hash relation that outgrows its task's execution-memory
-          // share is a hard `Can't acquire ... to build hash relation`
-          // failure, measured in RingSpill r16 at a 2 GB heap where the
-          // OLD unconditional pin died and both other arms completed.
-          // So the middle tier is double-gated with MEASURED bytes:
-          // Spark's own SHJ-eligibility calculus (cap × partitions)
-          // AND the per-partition build (with hash-map overhead) fitting
-          // half a task's share of the execution pool. Past either,
-          // sort-merge: both sides sort-spill — the only
-          // unconditionally memory-safe shape, and the arm that
-          // survived every RingSpill heap above the global scan floor.
-          val parts = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
-          val cap = IndexStore.broadcastCapBytes(s)
-          // executor memory × fraction / slots ≈ one task's execution
-          // share (local mode: the driver JVM heap; cluster mode: the
-          // executor conf when set — and when UNSET, Spark's own 1g
-          // executor default, never the driver's heap: a fat driver
-          // would overprice the executors' share and admit a build the
-          // 1g executors cannot hold — r16 ADVICE)
-          val isClusterMaster = s.sparkContext.master.startsWith("spark") ||
-            s.sparkContext.master.startsWith("yarn") ||
-            s.sparkContext.master.startsWith("k8s")
-          val execMem =
-            if (isClusterMaster)
-              org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-                s.conf.get("spark.executor.memory", "1g"))
-            else Runtime.getRuntime.maxMemory()
-          val fraction = s.conf.get("spark.memory.fraction", "0.6").toDouble
-          val slots = math.max(s.sparkContext.defaultParallelism, 1)
-          val taskShare = (execMem * fraction / slots).toLong
-          // BytesToBytesMap overhead over raw array payload, measured at
-          // the 2 GB failure point (~8 MB acquire for a ~2 MB est slice)
-          val buildOverhead = 4L
-          // AQE partition coalescing folds several shuffle partitions
-          // into one task, so estSetsBytes/parts underprices the real
-          // per-task build: a coalesced task reads up to the advisory
-          // target (r16 ADVICE). Bound the per-task input by BOTH.
-          val aqeCoalesce =
-            s.conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
-              s.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true").toBoolean
-          val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-            s.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"))
-          val perTaskInput =
-            if (aqeCoalesce)
-              math.max(estSetsBytes / math.max(parts, 1),
-                math.min(estSetsBytes, advisory))
-            else estSetsBytes / math.max(parts, 1)
-          val perPartBuild = perTaskInput * buildOverhead
-          if (cap > 0 && estSetsBytes <= cap * parts &&
-              perPartBuild <= taskShare / 2) {
-            lastVerifyTier = "shuffle_hash"; big.hint("SHUFFLE_HASH")
-          } else { lastVerifyTier = "merge"; big.hint("MERGE") }
-        }
-      }
+        // the ONE tier calculus ([[IndexStore.tieredHint]], factored out
+        // r20 so the media family's 64-bit matcher rides the same gate):
+        // broadcast under the cap; SHUFFLE_HASH double-gated (SHJ builds
+        // CANNOT spill — the RingSpill r16 2 GB hard failure — so the
+        // per-partition build, with hash-map overhead and the AQE
+        // advisory floor, must PROVABLY fit half a task's execution
+        // share); past either bound, sort-merge — the only
+        // unconditionally memory-safe shape, and the arm that survived
+        // every RingSpill heap above the global scan floor.
+        val (pinned, tier) = IndexStore.tieredHint(s, df, estSetsBytes)
+        lastVerifyTier = tier
+        pinned
     }
     val s1 = pin(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1")))
     val s2 = pin(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2")))

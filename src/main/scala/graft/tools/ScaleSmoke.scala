@@ -25,7 +25,10 @@ object ScaleSmoke {
       val t0 = System.nanoTime(); val n = f
       val dt = (System.nanoTime() - t0) / 1e9
       graft.Lifecycle.release(spark)
-      Thread.sleep(500) // listener bus drains asynchronously
+      // deterministic drain barrier, not a sleep: on large jobs the async
+      // bus can still be delivering task-end events past any fixed wait
+      // (r19 ADVICE — undercounted task metrics on the mega sections)
+      org.apache.spark.GraftListenerBus.drain(spark.sparkContext, 30000L)
       val ds = taskMs.toArray(Array.empty[java.lang.Long]).map(_.longValue()).sorted
       val p50 = if (ds.isEmpty) 0L else ds(ds.length / 2)
       val mx = if (ds.isEmpty) 0L else ds.last
@@ -74,8 +77,14 @@ object ScaleSmoke {
           }
       }
       spark.sparkContext.addSparkListener(l)
-      try { val (t, v) = timeReleasing(f); Thread.sleep(500); (t, v, sh.get(), pk.get()) }
-      finally spark.sparkContext.removeSparkListener(l)
+      try {
+        val (t, v) = timeReleasing(f)
+        // drain barrier (see spreadOf): the fixed 500 ms sleep this
+        // replaces undercounted shuffle bytes / peak memory whenever the
+        // bus was still delivering a big job's task-end events
+        org.apache.spark.GraftListenerBus.drain(spark.sparkContext, 30000L)
+        (t, v, sh.get(), pk.get())
+      } finally spark.sparkContext.removeSparkListener(l)
     }
 
     val base = graft.Tables.documents(spark, "/root/testdata/sf0.1")
@@ -1393,6 +1402,38 @@ object ScaleSmoke {
         f"shuffle=${shV / 1048576}MB, peakTask=${pkV / 1048576}MB) " +
         f"near=${tNear}%6.1fs ($nNear keepers, shuffle=${shN / 1048576}MB, " +
         f"peakTask=${pkN / 1048576}MB)")
+      // ---- 64-bit width (r19 VERDICT slate #1): the distinct-hash set
+      // is CORPUS-proportional here, so this row prices what the 16-bit
+      // family's keyspace bound hid — distinct hashes, BANDED candidate
+      // volume (the matcher's real pair-comparison count, from the same
+      // bandedCandidates body the matcher runs), verified radius edges,
+      // wall, and which tier the measured-bytes gate picked per join.
+      locally {
+        Seq(Multimodal.WideMediaIndex.baseDirFor(dir),
+            Multimodal.WideMediaIndex.deltaDirFor(dir))
+          .foreach(p => graft.Lifecycle.deleteRecursively(new java.io.File(p)))
+        val (tB64, _, shB64, _) = metered(Multimodal.WideMediaIndex.ensureBase(spark, dir))
+        val (tD64, _, _, _) = metered(Multimodal.WideMediaIndex.ensureDelta(spark, dir))
+        val estRows = Multimodal.WideMediaIndex.estRowsFor(dir)
+        val perHash = Multimodal.WideMediaIndex.maintained(spark, dir)
+          .groupBy(col("phash")).agg(min(col("id")).as("min_id"))
+          .localCheckpoint()
+        val nHash = perHash.count()
+        val (tCand, nCand, shC, pkC) = metered(
+          Multimodal.WideMediaIndex.bandedCandidates(spark, perHash, estRows).count())
+        val candTier = Multimodal.WideMediaIndex.lastTier
+        val (tNear64, nKeep64, shN64, pkN64) = metered(
+          Multimodal.WideMediaIndex.nearDupKeepers(spark,
+            Multimodal.WideMediaIndex.maintained(spark, dir), estRows).count())
+        println(f"MEGA media64 docs=1.25M(+twins) base=${tB64}%6.1fs " +
+          f"(shuffle=${shB64 / 1048576}MB) delta=${tD64}%6.1fs " +
+          f"distinctHashes=$nHash estRows=$estRows")
+        println(f"MEGA media64 candidates=$nCand (${tCand}%6.1fs, " +
+          f"shuffle=${shC / 1048576}MB, peakTask=${pkC / 1048576}MB, " +
+          f"tier=$candTier) near=${tNear64}%6.1fs ($nKeep64 keepers, " +
+          f"shuffle=${shN64 / 1048576}MB, peakTask=${pkN64 / 1048576}MB, " +
+          f"tier=${Multimodal.WideMediaIndex.lastTier})")
+      }
     }
 
     // ---- v07 survivor yield on a FLAT pair distribution ----

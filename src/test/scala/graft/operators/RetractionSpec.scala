@@ -279,4 +279,48 @@ class RetractionSpec extends SparkSpec {
       "same content must reproduce the same token")
     graft.Lifecycle.release(spark)
   }
+
+  test("orphaned r18-layout store: consult fails loudly, re-publish migrates, conflict throws") {
+    // The r18→r19 layout bump silently orphaned v1 publications (r19
+    // ADVICE): a v1-warm/v2-cold machine stopped folding published
+    // takedowns into the serving state with no signal. Policy under
+    // test: consult points fail loudly; publishTombstones verifies the
+    // batch equals the orphaned set, migrates, and removes the v1 dir;
+    // a DIFFERENT batch over the orphan throws instead of shadowing it.
+    import graft.operators.Similarity.IvfIncIndex
+    val salt = "specOrphan"
+    val v2 = IvfIncIndex.tombDirFor(sf, salt)
+    val v1 = v2.replace("_tomb2_", "_tomb_")
+    assert(v1 != v2, "layout dirs must differ")
+    def wipeAll() = Seq(v1, v2).foreach(p =>
+      graft.Lifecycle.deleteRecursively(new java.io.File(p)))
+    wipeAll()
+    val batch = spark.range(3).select((col("id") * 31 + 2).as("vec_id"))
+    // plant a v1-layout publication (ids parquet + marker, no DIGEST)
+    batch.coalesce(1).write.mode("overwrite").parquet(s"$v1/ids")
+    // both consult points refuse to treat the instance as tombstone-free
+    val e1 = intercept[RuntimeException] { IvfIncIndex.tombToken(sf, salt) }
+    assert(e1.getMessage.contains("PRE-DIGEST"), e1.getMessage)
+    val e2 = intercept[RuntimeException] {
+      IvfIncIndex.publishedTombstones(spark, sf, salt)
+    }
+    assert(e2.getMessage.contains("PRE-DIGEST"), e2.getMessage)
+    // a CONFLICTING batch cannot silently shadow the orphan — and the
+    // guard runs BEFORE the v2 publish, so nothing lands on the error path
+    val other = spark.range(2).select((col("id") * 31 + 3).as("vec_id"))
+    val e3 = intercept[Exception] {
+      IvfIncIndex.publishTombstones(spark, sf, salt, other)
+    }
+    assert(e3.getMessage.contains("DIFFERENT id set"), e3.getMessage)
+    assert(!new java.io.File(s"$v2/ids/_SUCCESS").exists(),
+      "a refused conflicting batch must not leave a v2 publication behind")
+    // re-publishing the SAME ids migrates: v2 warm, v1 swept, token live
+    IvfIncIndex.publishTombstones(spark, sf, salt, batch)
+    assert(!new java.io.File(v1).exists(), "migration must sweep the v1 dir")
+    val tok = IvfIncIndex.tombToken(sf, salt)
+    assert(tok.startsWith("_tv2."), s"v2-format token expected, got $tok")
+    assert(IvfIncIndex.publishedTombstones(spark, sf, salt).get.count() == 3L)
+    wipeAll()
+    graft.Lifecycle.release(spark)
+  }
 }

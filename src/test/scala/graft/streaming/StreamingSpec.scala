@@ -288,6 +288,94 @@ class StreamingSpec extends SparkSpec {
     graft.Lifecycle.release(spark)
   }
 
+  test("vector stream restart across a recluster promotion: exactly-once assignment under the new quantizer") {
+    // st12's deployment shape under the restart contract (the st08/st10
+    // witness on the vector side, r19 VERDICT slate #4): the frozen
+    // centroids and tombstone store resolve at stream DEFINITION, so a
+    // quantizer promotion (here: the base refit a corpus change forces)
+    // lands by restarting from the checkpoint. Across the restart:
+    //  (a) offset replay — rows assigned in run 1 are not re-read, and
+    //      keep their RUN-1 cells even though the new quantizer exists;
+    //  (b) newly-arrived files assign under the NEW centroids, equal to
+    //      the batch assign counterfactual row for row;
+    //  (c) tombstoned arrivals drop in flight in both runs.
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity.IvfIncIndex
+    import graft.operators.SourcesStreaming
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-vecrestart").toString
+    val embDir = s"$root/embeddings.parquet"
+    val ckpt = s"$root/ckpt"; val outDir = s"$root/assigned"
+    // two planted generations with DIFFERENT geometry (second batch
+    // shifted) so the refit genuinely moves centroids
+    def vec(id: Long, shift: Int): Seq[Float] =
+      Seq.tabulate(6)(j => (((id * 37 + j * 11) % 100) + shift).toFloat / 10f)
+    def embRows(ids: Seq[Long], shift: Int) =
+      ids.map(i => (i, vec(i, shift))).toDF("vec_id", "embedding")
+    embRows(0L until 60L, 0).coalesce(1).write.mode("append").parquet(embDir)
+    def batchAssign(): Map[Long, Int] = {
+      graft.functions.VectorExpressions.register(spark)
+      val cen = spark.read.parquet(
+        s"${IvfIncIndex.ensureBase(spark, root)}/centroids")
+      val vecs = graft.Tables.embeddings(spark, root)
+        .filter(col("vec_id") % IvfIncIndex.NewSliceMod === IvfIncIndex.NewSliceRem &&
+          col("vec_id") % 13 =!= 9)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      IvfIncIndex.assign(vecs, cen)
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    }
+    def centroids(): Map[Int, Seq[Double]] =
+      spark.read.parquet(s"${IvfIncIndex.ensureBase(spark, root)}/centroids")
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    def drain(): Seq[(Long, Int)] = {
+      // the nightly publish: instance tombstones for the CURRENT corpus
+      // fingerprint (the store is corpus-keyed, like every ring artifact)
+      IvfIncIndex.publishTombstones(spark, root, "specVecRestart",
+        graft.Tables.embeddings(spark, root)
+          .filter(col("vec_id") % 13 === 9).select(col("vec_id")))
+      val q = SourcesStreaming.vectorAssignStream(spark, root, "specVecRestart")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toSeq
+    }
+    val cen1 = centroids()
+    val expect1 = batchAssign()
+    val r1 = drain()
+    assert(r1.toMap == expect1 && r1.size == expect1.size,
+      s"run 1 diverged from the batch assign: $r1 vs $expect1")
+    assert(expect1.nonEmpty)
+    // tombstoned slice member genuinely dropped (9 % 5 == 4, 9 % 13 == 9)
+    assert(!r1.exists(_._1 == 9L), "tombstoned arrival was admitted")
+    // between runs: a new generation arrives; the corpus fingerprint
+    // flips, the base refits (the promotion), tombstones re-publish
+    embRows(100L until 140L, 40).coalesce(1).write.mode("append").parquet(embDir)
+    val cen2 = centroids()
+    assert(cen2 != cen1, "fixture degenerate: the refit did not move the quantizer")
+    val expect2 = batchAssign() // batch counterfactual under the NEW centroids
+    val r2 = drain()
+    // (a) exactly-once: every id exactly once, run-1 rows keep run-1 cells
+    assert(r2.map(_._1).distinct.length == r2.length, s"duplicated rows: $r2")
+    val byId = r2.toMap
+    expect1.foreach { case (id, cell) =>
+      assert(byId(id) == cell,
+        s"run-1 row $id re-assigned across the restart (${byId(id)} != $cell)")
+    }
+    // (b) new arrivals assigned under the new quantizer, batch-identical
+    val newIds = byId.keySet -- expect1.keySet
+    assert(newIds.nonEmpty, "fixture degenerate: no new slice arrivals")
+    newIds.foreach { id =>
+      assert(byId(id) == expect2(id),
+        s"new arrival $id diverged from the batch assign under cen2")
+    }
+    // (c) run-2 tombstone rejection (139 % 5 == 4, 139 % 13 == 9)
+    assert(!byId.contains(139L), "run-2 tombstoned arrival was admitted")
+    graft.Lifecycle.release(spark)
+  }
+
   test("sub-keyed stream-stream join equals the plain join: boundary, bucket-edge and cross-batch cases") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
