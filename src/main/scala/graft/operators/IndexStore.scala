@@ -290,12 +290,17 @@ private[graft] object IndexStore {
     * to seed the cache; `spark.graft.schemaPin=off` reverts to bare
     * reads for the A/B. */
   def readPublished(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    if (s.conf.get("spark.graft.schemaPin", "on") == "off") s.read.parquet(dir)
+      dir: String): org.apache.spark.sql.DataFrame = {
+    // A/B switch: conf, with an env fallback that survives sbt's forked
+    // runs (a -D to sbt never reaches the forked main's JVM)
+    val mode = s.conf.get("spark.graft.schemaPin",
+      sys.env.getOrElse("SPARK_GRAFT_SCHEMA_PIN", "on"))
+    if (mode == "off") s.read.parquet(dir)
     else {
       val schema = schemaCache.computeIfAbsent(dir, d => s.read.parquet(d).schema)
       s.read.schema(schema).parquet(dir)
     }
+  }
 
   /** Ensure the index at `dirPath` is published (its `marker` file
     * exists), running `build` into a private temp sibling and atomically
