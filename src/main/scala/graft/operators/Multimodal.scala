@@ -1137,6 +1137,59 @@ object Multimodal {
       val rows = IndexStore.corpusStats(d, "documents")._2
       if (rows < 0) -1L else rows + rows / 10 + 1
     }
+
+    /** CHAIN clustering at the production width —
+      * [[MediaIndex.chainKeepersFrom]]'s policy over the 64-bit
+      * radius-[[HammingTolerance64]] pairs. The CC vertex is the hash
+      * group's MIN DOC ID (unique per hash: every doc carries exactly
+      * one hash, so a doc id keys at most one group) — which makes the
+      * component label the chain keeper DIRECTLY: hash-min label
+      * propagation converges to the component's smallest vertex id =
+      * the smallest doc id across the whole re-encode chain, no second
+      * keeper aggregate. Short hashes keep their own group min (the
+      * family rule). Edges come from the same [[bandedCandidates]]
+      * body the one-hop matcher verifies — tier-gated, never an
+      * assumed broadcast — and the CC label join rides the same gate
+      * (the label frame is corpus-proportional at this width). */
+    def chainKeepers(s: org.apache.spark.sql.SparkSession, state: DataFrame,
+        estRows: Long, maxDist: Int = HammingTolerance64): DataFrame = {
+      require(maxDist < HammingBands64,
+        s"chainKeepers64: pigeonhole recall needs maxDist < $HammingBands64 bands")
+      val perHash = state.groupBy(col("phash"))
+        .agg(min(col("id")).as("min_id"))
+        .localCheckpoint() // feeds the matcher, the label join, the short arm
+      val edges = bandedCandidates(s, perHash, estRows)
+        .filter(bit_count(col("hi").bitwiseXOR(col("b_hi"))) +
+          bit_count(col("lo").bitwiseXOR(col("b_lo"))) <= maxDist)
+        .select(col("min_id").as("src"), col("b_min").as("dst"))
+      val cc = Corpus.connectedComponents(edges)
+      val estCc =
+        if (estRows < 0) -1L
+        else IndexStore.estimateBytes(estRows, estRows * 16L)
+      val (ccSide, tierC) = IndexStore.tieredHint(s,
+        cc.select(col("v"), col("label")), estCc)
+      lastTier = s"$lastTier,cc=$tierC"
+      val full = perHash.filter(length(col("phash")) === Phash64Cells)
+      full.join(ccSide, full("min_id") === col("v"), "left")
+        .select(col("phash"),
+          coalesce(col("label"), col("min_id")).as("keep_id"))
+        .unionByName(perHash.filter(length(col("phash")) =!= Phash64Cells)
+          .select(col("phash"), col("min_id").as("keep_id")))
+    }
+
+    /** RETRACT: publish the served 64-bit state minus `tombs` as
+      * instance `salt`'s reduced resident — row-drop exact, cost ∝
+      * state bytes, [[MediaIndex.ensureRetracted]]'s arm at the
+      * production width. */
+    def ensureRetracted(s: org.apache.spark.sql.SparkSession, d: String,
+        salt: String, tombs: DataFrame): String =
+      IndexStore.ensure(
+        s"${sys.props("java.io.tmpdir")}/graft_mediawide_${fp(d)}_ph${Phash64Cells}v${Phash64KernelVer}_retract_$salt",
+        "phash/_SUCCESS") { tmp =>
+        maintained(s, d)
+          .join(tombs.select(col("id")).distinct(), Seq("id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$tmp/phash")
+      }
   }
 
   /** The DuckDB pHash derivation (b → samp → cells → lvl → ph) — the
@@ -1418,7 +1471,22 @@ object Multimodal {
     * signed BIGINT is sign-hazardous in both engines; 32-bit halves
     * stay exact), radius-[[WideMediaIndex.HammingTolerance64]] keeper
     * (`nb$sfx`) summing the halves' bit_count(xor). */
-  private[operators] def phash64NearCtes(src: String, sfx: String): String = {
+  private[operators] def phash64NearCtes(src: String, sfx: String): String =
+    s"""${phash64MhvCtes(src, sfx)},
+       |nb$sfx AS (
+       |  SELECT a.phash AS phash, MIN(b.min_id) AS keep_id
+       |  FROM mhv$sfx a JOIN mhv$sfx b
+       |    ON a.phash = b.phash
+       |    OR (a.hi IS NOT NULL AND b.hi IS NOT NULL
+       |        AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+       |            <= ${WideMediaIndex.HammingTolerance64})
+       |  GROUP BY a.phash)""".stripMargin
+
+  /** The distinct-hash + two-half conversion prefix of
+    * [[phash64NearCtes]] (`mh$sfx`, `mhv$sfx`) — split out (the
+    * phashMhvCtes convention) so the 64-bit chain-clustering oracle
+    * (mm12) closes over the SAME half construction. */
+  private[operators] def phash64MhvCtes(src: String, sfx: String): String = {
     def half(off: Int): String =
       s"""CASE WHEN length(phash) = $Phash64Cells THEN (
          |      SELECT SUM(CASE WHEN substr(phash, CAST(j + ${off + 1} AS INTEGER), 1) = '1'
@@ -1429,15 +1497,7 @@ object Multimodal {
        |  SELECT phash, min_id,
        |    ${half(0)} AS hi,
        |    ${half(32)} AS lo
-       |  FROM mh$sfx),
-       |nb$sfx AS (
-       |  SELECT a.phash AS phash, MIN(b.min_id) AS keep_id
-       |  FROM mhv$sfx a JOIN mhv$sfx b
-       |    ON a.phash = b.phash
-       |    OR (a.hi IS NOT NULL AND b.hi IS NOT NULL
-       |        AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
-       |            <= ${WideMediaIndex.HammingTolerance64})
-       |  GROUP BY a.phash)""".stripMargin
+       |  FROM mh$sfx)""".stripMargin
   }
 
   /** 64-bit hamming-tolerant media near-dedup over the wide ring's
@@ -1540,6 +1600,93 @@ object Multimodal {
       |FROM ph p JOIN verdict v ON p.phash = v.phash
       |ORDER BY p.id""".stripMargin
       .replaceFirst("^WITH ", "WITH RECURSIVE ")))
+
+  /** 64-bit media CHAIN clustering gate — mm11's transitive policy at
+    * the PRODUCTION width over the wide ring's served state
+    * ([[WideMediaIndex.chainKeepers]]): a multi-hop re-encode chain
+    * whose endpoints exceed radius 4 collapses to ONE keeper. The CC
+    * vertex is the hash group's min doc id, so the component label IS
+    * the keeper — the min-label fixpoint and the verdict coincide by
+    * construction, and the oracle states exactly that: recursive
+    * closure over the TRUE all-pairs radius-4 graph keyed by group min
+    * ids, min label per vertex, no second aggregate.
+    *
+    * Scale: edges from the tier-gated banded matcher (priced at 1.25M
+    * docs in the mediamega row); CC vertices ≤ distinct hashes
+    * (corpus-proportional at this width — the label join rides the
+    * tier gate too, never an assumed broadcast); rounds ∝ log chain
+    * length. */
+  val mm12 = QueryDef(
+    "mm12_phash64_chain_clusters",
+    (s, d) => {
+      val state = WideMediaIndex.maintained(s, d)
+      val estRows = WideMediaIndex.estRowsFor(d)
+      val keepers = WideMediaIndex.chainKeepers(s, state, estRows)
+      val estK =
+        if (estRows < 0) -1L
+        else IndexStore.estimateBytes(estRows, estRows * 80L)
+      val (kSide, _) = IndexStore.tieredHint(s, keepers, estK)
+      state.join(kSide, Seq("phash"))
+        .select(col("id"), col("phash"), col("keep_id"),
+          (col("id") =!= col("keep_id")).as("is_dup"))
+        .orderBy(col("id"))
+    },
+    Some(s"""WITH ${WideMediaIndex.WideDocsCte},
+      |${phashCtesOver("wd", Phash64Cells, "64")},
+      |${phash64MhvCtes("ph64", "64")},
+      |und AS (
+      |  SELECT a.min_id AS ua, b.min_id AS ub FROM mhv64 a JOIN mhv64 b
+      |  ON a.hi IS NOT NULL AND b.hi IS NOT NULL AND a.phash <> b.phash
+      |  AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+      |      <= ${WideMediaIndex.HammingTolerance64}),
+      |reach AS (
+      |  SELECT ua AS v, ua AS label FROM und
+      |  UNION
+      |  SELECT u.ub, r.label FROM reach r JOIN und u ON u.ua = r.v),
+      |ccm AS (SELECT v, MIN(label) AS keep FROM reach GROUP BY v),
+      |verdict AS (
+      |  SELECT m.phash, COALESCE(c.keep, m.min_id) AS keep_id
+      |  FROM mhv64 m LEFT JOIN ccm c ON m.min_id = c.v)
+      |SELECT p.id, p.phash, v.keep_id, (p.id <> v.keep_id) AS is_dup
+      |FROM ph64 p JOIN verdict v ON p.phash = v.phash
+      |ORDER BY p.id""".stripMargin
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")))
+
+  /** Wide-ring LIFECYCLE gate — mm07's grow/retract shape at the
+    * production width: the wide ring's served state (resident ∪ twin-
+    * straddling delta) and a takedown batch (id % 13 == 4 — unaligned
+    * with both the %10 slice split and the twin offset, so it
+    * straddles originals, twins, and both segments) retracted and
+    * published via [[WideMediaIndex.ensureRetracted]]. Verdicts are
+    * the exact-dup groups of each state; the oracle re-derives the
+    * twin corpus and the 64-cell chain from scratch for both corpora.
+    * A keeper whose exemplar was taken down must hand its group to the
+    * next-smallest id (the reinstatement direction, c07's arm). */
+  val mm13 = QueryDef(
+    "mm13_wide_ring_lifecycle",
+    (s, d) => {
+      val grown = WideMediaIndex.maintained(s, d)
+      val retracted = s.read.parquet(
+        s"${WideMediaIndex.ensureRetracted(s, d, "mm13",
+          grown.filter(col("id") % 13 === 4))}/phash")
+      def verdict(state: DataFrame, stage: String) =
+        state.groupBy(col("phash"))
+          .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_media"))
+          .select(lit(stage).as("stage"), col("phash"), col("keep_id"),
+            col("n_media"))
+      verdict(grown, "grown").unionByName(verdict(retracted, "retracted"))
+        .orderBy(col("stage"), col("phash"), col("keep_id"))
+    },
+    Some(s"""WITH ${WideMediaIndex.WideDocsCte},
+      |${phashCtesOver("wd", Phash64Cells, "64")}
+      |SELECT stage, phash, keep_id, n_media FROM (
+      |  SELECT 'grown' AS stage, phash, MIN(id) AS keep_id,
+      |         COUNT(*) AS n_media
+      |  FROM ph64 GROUP BY phash
+      |  UNION ALL
+      |  SELECT 'retracted', phash, MIN(id), COUNT(*)
+      |  FROM ph64 WHERE id % 13 <> 4 GROUP BY phash)
+      |ORDER BY stage, phash, keep_id""".stripMargin))
 
   /** Media-ring SOAK gate — [[MediaSoakRing]]'s four nights under the
     * hash gate, c08's shape on the media side: per night, the served
@@ -1721,5 +1868,6 @@ object Multimodal {
       |ORDER BY b.id""".stripMargin))
 
   val catalog: Seq[QueryDef] =
-    Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10, mm11)
+    Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10, mm11,
+      mm12, mm13)
 }
