@@ -1433,6 +1433,16 @@ object ScaleSmoke {
           f"tier=$candTier) near=${tNear64}%6.1fs ($nKeep64 keepers, " +
           f"shuffle=${shN64 / 1048576}MB, peakTask=${pkN64 / 1048576}MB, " +
           f"tier=${Multimodal.WideMediaIndex.lastTier})")
+        // chain clustering at depth: CC over the verified radius-4
+        // edges — rounds ∝ log chain length over the distinct-hash
+        // vertex set; prices mm12's one extra cost vs the one-hop row
+        val (tChain, nChain, shCh, pkCh) = metered(
+          Multimodal.WideMediaIndex.chainKeepers(spark,
+            Multimodal.WideMediaIndex.maintained(spark, dir), estRows).count())
+        println(f"MEGA media64 chain=${tChain}%6.1fs ($nChain keepers, " +
+          f"ccRounds=${graft.operators.Corpus.lastRounds}, " +
+          f"shuffle=${shCh / 1048576}MB, peakTask=${pkCh / 1048576}MB, " +
+          f"tier=${Multimodal.WideMediaIndex.lastTier})")
       }
     }
 
