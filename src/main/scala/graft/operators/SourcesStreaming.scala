@@ -1173,8 +1173,74 @@ object SourcesStreaming {
          |ORDER BY vec_id""".stripMargin
     })
 
+  /** Streaming re-encode admission at the PRODUCTION hash width — the
+    * st11 shape for the wide (64-bit) family, completing the streaming
+    * symmetry across widths: tonight's arriving batch is the
+    * [[Multimodal.WideMediaIndex.TwinRem]] slice PLUS its in-flight
+    * re-encodes (the twin derivation applied to the arriving rows —
+    * the production case where tonight's uploads include re-encoded
+    * copies of resident content), hashed IN-STREAM with the same
+    * 64-cell kernel body every batch consumer runs
+    * ([[Multimodal.phashFrameOverCells]] — stateless, so batch/stream
+    * drift is impossible by construction), and admitted only when the
+    * doc is its group's radius-4 keeper under the wide ring's
+    * published verdict. A re-encode within radius 4 of its original
+    * drops in flight (the original's id is smaller); a d > 4 re-encode
+    * is genuinely new content and lands — the fixture plants both at
+    * every SF (mm10's twin-distance bracket).
+    *
+    * The verdict side is corpus-proportional at this width, so the
+    * static join rides the tier gate ([[IndexStore.tieredHint]] on
+    * measured rows — broadcast at gate SFs; at deployment scale the
+    * nightly artifact would be snapshotted, st08's note). Static side
+    * resolves at stream DEFINITION (the restart contract every
+    * admission stream shares, witnessed in StreamingSpec). Oracle: the
+    * all-pairs two-half radius chain over the twin-augmented corpus,
+    * restricted to the arriving ids. */
+  val st13 = QueryDef(
+    "st13_stream_wide_media_filter",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      import Multimodal.WideMediaIndex
+      val (_, t) = graft.streaming.Drain.toTable(
+        s, "graft_stream_wide_media", OutputMode.Append) { s2 =>
+        val estRows = WideMediaIndex.estRowsFor(d)
+        val keepers = WideMediaIndex.nearDupKeepers(
+          s2, WideMediaIndex.maintained(s2, d), estRows)
+        val estK =
+          if (estRows < 0) -1L
+          else IndexStore.estimateBytes(estRows, estRows * 80L)
+        val (kSide, _) = IndexStore.tieredHint(s2, keepers, estK)
+        val arriving = s2.readStream
+          .schema(DocStreamSchema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(d)
+          .filter(col("doc_id") % 10 === WideMediaIndex.TwinRem)
+        // the arriving batch ∪ its in-flight re-encodes — the SAME twin
+        // derivation the ring corpus is built from, so every arriving
+        // hash is in the published verdict (the join is total)
+        val both = arriving.select(col("doc_id"), col("text"))
+          .unionByName(arriving.filter(length(col("text")) >= 8)
+            .select((col("doc_id") + WideMediaIndex.TwinIdOffset).as("doc_id"),
+              expr(WideMediaIndex.TwinSql).as("text")))
+        Multimodal.phashFrameOverCells(s2, both, Multimodal.Phash64Cells)
+          .join(kSide, Seq("phash"))
+          .filter(col("keep_id") === col("id"))
+          .select(col("id").as("doc_id"), col("phash"))
+      }
+      t.orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ${Multimodal.WideMediaIndex.WideDocsCte},
+      |${Multimodal.phashCtesOver("wd", Multimodal.Phash64Cells, "64")},
+      |${Multimodal.phash64NearCtes("ph64", "64")}
+      |SELECT p.id AS doc_id, p.phash
+      |FROM ph64 p JOIN nb64 ON p.phash = nb64.phash
+      |WHERE p.id % 10 = ${Multimodal.WideMediaIndex.TwinRem}
+      |  AND nb64.keep_id = p.id
+      |ORDER BY doc_id""".stripMargin))
+
   val catalog: Seq[QueryDef] =
     Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09, r10, r11,
       st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11,
-      st12)
+      st12, st13)
 }
