@@ -35,13 +35,30 @@ object Lifecycle {
     * at most once, in registration order. */
   def defer(f: => Unit): Unit = deferred.add(() => f)
 
+  /** Hooks observing every top-level [[deleteRecursively]] — registered
+    * by caches keyed on on-disk paths (IndexStore's published-schema
+    * pin) so an in-JVM delete-and-recreate of a dir re-infers instead of
+    * serving the stale cached entry (r20 ADVICE). Registration is
+    * lazy-by-classload: a JVM that never loads the cache owner has
+    * nothing to invalidate. */
+  private val deleteHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]
+  def onDelete(hook: String => Unit): Unit = { deleteHooks.add(hook); () }
+
   /** Recursive delete of a scratch dir/file. The ONE implementation
     * shared by checkpoint, fixture and index cleanup (Drain, StAmortize,
     * ScaleSmoke, IndexStore) so null handling and any future hardening
-    * live in one place. */
+    * live in one place. Fires [[onDelete]] hooks once per call, after
+    * the tree is gone. */
   def deleteRecursively(f: java.io.File): Unit = {
+    deleteTree(f)
+    val p = f.getAbsolutePath
+    deleteHooks.forEach { h => try h(p) catch { case NonFatal(_) => () } }
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
     val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteRecursively)
+    if (kids != null) kids.foreach(deleteTree)
     f.delete(); ()
   }
 

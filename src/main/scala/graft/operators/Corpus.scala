@@ -87,6 +87,23 @@ object Corpus {
     // (r17 ADVICE — matches the listing-degradation convention).
     val maxRounds = scala.util.Try(
       sess.conf.get("spark.graft.cc.maxRounds", "0").toInt).getOrElse(0)
+    // Rounds executed per materialize-and-probe cycle (r21 optimization,
+    // guide §2.4: remove synchronization barriers outright). Each SYNC
+    // pays a fixed floor independent of data — the checkpoint action's
+    // job(s) + the 1-row convergence aggregate + driver planning — and
+    // at bench scale that floor IS the CC cost (QueryProf r21: mm11 ran
+    // 65 jobs of 20-120 ms each). Fusing two propagate+shortcut rounds
+    // into one action halves the barriers; monotonicity keeps the probe
+    // exact (sum unchanged across a fused pair ⇔ both rounds changed
+    // nothing ⇔ fixpoint). The cost is at most one idempotent extra
+    // round past convergence — joins over already-converged labels —
+    // which the halved floor count pays for several times over
+    // (measured: mm11 3.43→2.17 s, mm12 2.02→1.37 s, A/B in
+    // OPTIMIZATION_r21.md). 1 restores round-granular stepping (the
+    // ScaleSmoke plain-propagation counterfactual keeps its r17-
+    // comparable rounds count); malformed values degrade to the default.
+    val roundsPerSync = math.max(1, scala.util.Try(
+      sess.conf.get("spark.graft.cc.roundsPerSync", "2").toInt).getOrElse(2))
     // und: (src, dst), already symmetrized. Materialize once — it feeds
     // every round's join AND the initial vertex set.
     val (edges, edgeBlocks) = checkpointPinned(und)
@@ -108,27 +125,32 @@ object Corpus {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged) {
-      rounds += 1
-      if (maxRounds > 0 && rounds > maxRounds)
-        throw new IllegalStateException(
-          s"connectedComponents aborted: exceeded maxRounds=$maxRounds " +
-            "(spark.graft.cc.maxRounds is a measurement knob)")
-      val prop = edges.join(labels, edges("src") === labels("v"))
+    // ONE propagate + (optional) shortcut round as a lazy plan — the
+    // loop below fuses `roundsPerSync` of these per materialization.
+    def round(lbl: DataFrame): DataFrame = {
+      val prop = edges.join(lbl, edges("src") === lbl("v"))
         .select(edges("dst").as("v"), col("label"))
-      val agg = labels.unionByName(prop)
+      val agg = lbl.unionByName(prop)
         .groupBy(col("v")).agg(min(col("label")).as("label"))
       // pointer-jump shortcut: label(v) ← label(label(v)). Inner join is
       // total (every label value is a vertex row, see docstring); the
       // agg subplan appears on both sides but its inner exchange is
       // deduped by ReuseExchange — the round pays the two join
       // exchanges, and buys rounds ∝ log diameter.
-      val stepped =
-        if (!shortcut) agg
-        else agg.join(
-            agg.select(col("v").as("lv"), col("label").as("label2")),
-            col("label") === col("lv"))
-          .select(col("v"), col("label2").as("label"))
+      if (!shortcut) agg
+      else agg.join(
+          agg.select(col("v").as("lv"), col("label").as("label2")),
+          col("label") === col("lv"))
+        .select(col("v"), col("label2").as("label"))
+    }
+    while (!converged) {
+      rounds += roundsPerSync
+      if (maxRounds > 0 && rounds > maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents aborted: exceeded maxRounds=$maxRounds " +
+            "(spark.graft.cc.maxRounds is a measurement knob)")
+      val stepped = (1 until roundsPerSync).foldLeft(round(labels))(
+        (lbl, _) => round(lbl))
       val (next, nextBlocks) = checkpointPinned(stepped) // cut lineage: iterative joins stack plans
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0

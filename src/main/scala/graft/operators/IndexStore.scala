@@ -277,6 +277,13 @@ private[graft] object IndexStore {
 
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  // an in-JVM delete of a published dir (RetractionSpec's wipeAll
+  // re-publish, ScaleSmoke's mediamega delete+rebuild) must drop the
+  // pinned schema for it and everything under it, or a rebuilt dir with
+  // a changed layout would silently serve the stale schema (r20 ADVICE)
+  graft.Lifecycle.onDelete { p =>
+    schemaCache.keySet.removeIf(k => k == p || k.startsWith(p + "/")); ()
+  }
 
   /** Read a PUBLISHED (publish-once, marker-gated, immutable) index dir
     * with its schema pinned from a per-JVM cache — skips the footer-read

@@ -716,11 +716,6 @@ object Multimodal {
         state.groupBy(col("phash")).agg(min(col("id")).as("min_id"))
           .localCheckpoint(), maxDist)
 
-    /** [[nearDupKeepers]] over an ALREADY-AGGREGATED (phash, min_id)
-      * frame — for a caller that needs other per-hash aggregates too
-      * (mm09's group sizes) and should pay the corpus-shaped hash
-      * shuffle once, not once per consumer. The input must be pinned
-      * (localCheckpoint/cache): it feeds three plan branches here. */
     /** The VERIFIED radius-`maxDist` neighbor pairs over an aggregated
       * (phash, min_id) frame — banded candidates (pigeonhole-complete
       * for d < [[HammingBands]]), exact `bit_count(xor)` verify, both
@@ -753,6 +748,11 @@ object Multimodal {
           col("b.pv").as("b_pv"), col("b.min_id").as("b_min"))
     }
 
+    /** [[nearDupKeepers]] over an ALREADY-AGGREGATED (phash, min_id)
+      * frame — for a caller that needs other per-hash aggregates too
+      * (mm09's group sizes) and should pay the corpus-shaped hash
+      * shuffle once, not once per consumer. The input must be pinned
+      * (localCheckpoint/cache): it feeds three plan branches here. */
     private[graft] def nearDupKeepersFrom(perHash: DataFrame,
         maxDist: Int = HammingTolerance): DataFrame = {
       val nb = nearPairsFrom(perHash, maxDist)
@@ -992,10 +992,30 @@ object Multimodal {
         |  FROM documents WHERE doc_id % 10 = $TwinRem AND length(text) >= 8
         |)""".stripMargin
 
-    /** documents ∪ deterministic near-twins — the 64-bit ring's corpus. */
+    /** Corpus dirs whose doc_id range has been checked against
+      * [[TwinIdOffset]] this JVM — one cheap max() aggregate per corpus,
+      * not per call. */
+    private val idBoundChecked =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+    /** documents ∪ deterministic near-twins — the 64-bit ring's corpus.
+      * Twin ids live at original + [[TwinIdOffset]]: a corpus whose real
+      * doc_ids reach the offset would collide twin ids with real docs
+      * (both engines would agree, so the gate would stay silently green
+      * on broken fixture semantics — r20 ADVICE); fail loud instead. */
     private[graft] def wideCorpus(s: org.apache.spark.sql.SparkSession,
         d: String): DataFrame = {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      if (idBoundChecked.add(d)) {
+        val mx = Option(docs.agg(max(col("doc_id"))).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
+        if (mx >= TwinIdOffset) {
+          idBoundChecked.remove(d)
+          sys.error(s"WideMediaIndex: corpus $d has doc_id $mx >= " +
+            s"TwinIdOffset $TwinIdOffset — twin ids would collide with " +
+            "real docs; raise the offset for this corpus")
+        }
+      }
       docs.unionByName(
         docs.filter(col("doc_id") % 10 === TwinRem && length(col("text")) >= 8)
           .select((col("doc_id") + TwinIdOffset).as("doc_id"),

@@ -1139,7 +1139,12 @@ object SourcesStreaming {
       call_function("graft_dot", a, b)
     val scored = array(cen.map { case (cell, c) =>
       val cl = typedlit(c)
-      struct((gdot(cl, cl) - lit(2.0) * gdot(emb, cl)).as("score"),
+      // coalesce to +inf-like: the batch assign window orders
+      // asc_nulls_last so a NULL-scored centroid can never win; the
+      // struct ordering under array_min would put NULL FIRST — pin the
+      // stream kernel to the batch nulls-last rule (r20 ADVICE)
+      struct(coalesce(gdot(cl, cl) - lit(2.0) * gdot(emb, cl),
+          lit(Double.MaxValue)).as("score"),
         lit(cell).as("cell"))
     }: _*)
     arriving.select(col("vec_id"),

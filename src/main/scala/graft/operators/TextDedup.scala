@@ -1671,7 +1671,18 @@ object TextDedup {
     // duplicate mass and is NOT bounded at scale).
     val mSide = IndexStore.broadcastIfFits(s, matchable,
       octet_length(col("sh")))(_.hint("SHUFFLE_HASH"))
-    val cold = psh.join(mSide, Seq("sh"), "left_semi")
+    // materialized ONCE: the filtered occurrence set feeds BOTH sides of
+    // the pair self-join, and without the pin each side re-runs the
+    // whole scan → graft_pos_shingles → posexplode → semi-join kernel
+    // (r21 plan audit: THREE kernel passes per t32 run — matchable's
+    // aggregate plus one per join branch, the b-branch additionally
+    // rebuilt into a broadcast). Guide §8's rule: run the expensive
+    // kernel once, join on the materialized proxy. Size is bounded by
+    // the corpus's DUPLICATE mass (occurrences of df∈[2,maxDf] shingles
+    // — 129k rows of 261k total at sf0.1), the same class as the pair
+    // join's own shuffle, so the pin never exceeds work the join was
+    // already paying. Freed by Lifecycle.release.
+    val cold = psh.join(mSide, Seq("sh"), "left_semi").localCheckpoint()
     val m = cold.select(col("sh"), col("doc_id").as("doc1"), col("pos").as("p1"))
       .join(cold.select(col("sh"), col("doc_id").as("doc2"), col("pos").as("p2")), "sh")
       .filter(col("doc1") < col("doc2"))

@@ -1124,13 +1124,23 @@ object ScaleSmoke {
               bytes.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
         }
         spark.sparkContext.addSparkListener(l)
-        try { val (t, n) = timeReleasing(f); Thread.sleep(500); (t, n, bytes.get()) }
+        try {
+          val (t, n) = timeReleasing(f)
+          // deterministic drain barrier, not a sleep (r20 VERDICT: the
+          // r19 fix landed in metered()/spreadOf but missed this site)
+          org.apache.spark.GraftListenerBus.drain(spark.sparkContext, 30000L)
+          (t, n, bytes.get())
+        }
         finally spark.sparkContext.removeSparkListener(l)
       }
       val (tCc, nCc, shCc) = shuffled(Corpus.connectedComponents(und()).count())
       val roundsShort = Corpus.lastRounds
       spark.conf.set("spark.graft.cc.shortcut", "off")
       spark.conf.set("spark.graft.cc.maxRounds", "40")
+      // round-granular stepping for the counterfactual: the r21 fused
+      // double-round default would make this arm's rounds count and
+      // 40-round abort incomparable with the r17 ccskew rows
+      spark.conf.set("spark.graft.cc.roundsPerSync", "1")
       val t0p = System.nanoTime()
       val outcome =
         try {
@@ -1141,6 +1151,7 @@ object ScaleSmoke {
         }
       spark.conf.unset("spark.graft.cc.shortcut")
       spark.conf.unset("spark.graft.cc.maxRounds")
+      spark.conf.unset("spark.graft.cc.roundsPerSync")
       graft.Lifecycle.release(spark)
       val batch = graft.Tables.documents(spark, dir)
         .filter(col("doc_id") % 10 === 7).select(col("doc_id"))

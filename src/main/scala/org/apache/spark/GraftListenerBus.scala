@@ -13,5 +13,10 @@ object GraftListenerBus {
     * degrade to the old sleep-like behavior, never fail the run). */
   def drain(sc: SparkContext, timeoutMs: Long): Unit =
     try sc.listenerBus.waitUntilEmpty(timeoutMs)
-    catch { case _: Exception => () }
+    catch {
+      // restore the interrupt flag: swallowing it silently would strand
+      // a caller being cancelled mid-barrier (r20 ADVICE)
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case _: Exception => ()
+    }
 }
