@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.Exact._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
+import graft.operators.IndexStore.PublishSyntax
 import org.apache.spark.sql.functions._
 
 /** Second-ring operators: windowed analytics, multi-level aggregates,
@@ -128,7 +129,7 @@ object Advanced {
         Similarity.lshPairsDedupRaw(s, d)
           .groupBy(col("id2").as("vec_id"))
           .agg(min(col("id1")).as("keep_id"))
-          .write.mode("overwrite").parquet(s"$tmp/keep")
+          .publishTo(s"$tmp/keep")
       }
       s.read.parquet(s"$dir/keep")
     }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.operators.IndexStore.PublishSyntax
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a large-scale training-data pipeline needs
@@ -87,23 +88,27 @@ object Corpus {
     // (r17 ADVICE — matches the listing-degradation convention).
     val maxRounds = scala.util.Try(
       sess.conf.get("spark.graft.cc.maxRounds", "0").toInt).getOrElse(0)
-    // Rounds executed per materialize-and-probe cycle (r21 optimization,
-    // guide §2.4: remove synchronization barriers outright). Each SYNC
-    // pays a fixed floor independent of data — the checkpoint action's
-    // job(s) + the 1-row convergence aggregate + driver planning — and
-    // at bench scale that floor IS the CC cost (QueryProf r21: mm11 ran
-    // 65 jobs of 20-120 ms each). Fusing two propagate+shortcut rounds
-    // into one action halves the barriers; monotonicity keeps the probe
-    // exact (sum unchanged across a fused pair ⇔ both rounds changed
-    // nothing ⇔ fixpoint). The cost is at most one idempotent extra
-    // round past convergence — joins over already-converged labels —
-    // which the halved floor count pays for several times over
-    // (measured: mm11 3.43→2.17 s, mm12 2.02→1.37 s, A/B in
-    // OPTIMIZATION_r21.md). 1 restores round-granular stepping (the
-    // ScaleSmoke plain-propagation counterfactual keeps its r17-
-    // comparable rounds count); malformed values degrade to the default.
+    // Rounds executed per materialize-and-probe cycle. >1 fuses that
+    // many propagate+shortcut rounds into ONE checkpoint-and-probe
+    // barrier; monotonicity keeps the probe exact (sum unchanged across
+    // a fused group ⇔ no round in it changed anything ⇔ fixpoint), at
+    // the cost of up to rps-1 idempotent extra rounds past convergence.
+    // Default 1 — a MEASURED negative result from the r21 optimization
+    // loop (guide §1.2's warning made concrete): fusing two rounds
+    // halves the barriers but DOUBLES the per-sync join/agg work, and
+    // once the published-index file-count fix removed the scan floor,
+    // the extra work dominated on every shallow-diameter consumer
+    // (rps=2 vs 1, quiet-window A/B: c03 task time 19.3 s vs 7.6 s,
+    // t23 fn 1.84 s vs 1.10 s, t11 jobs 33 vs 23; mm11/mm12 flat —
+    // full table in OPTIMIZATION_r21.md). Barrier floors are constant
+    // while per-round work scales with data, so 1 is also the right
+    // production default; the knob stays for deep-diameter graphs
+    // (ccskew's 3.1k-diameter chain: 12 rounds) where the barrier
+    // count, not the join work, is the wall. Malformed values degrade
+    // to the default.
     val roundsPerSync = math.max(1, scala.util.Try(
-      sess.conf.get("spark.graft.cc.roundsPerSync", "2").toInt).getOrElse(2))
+      sess.conf.get("spark.graft.cc.roundsPerSync",
+        sys.env.getOrElse("SPARK_GRAFT_CC_RPS", "1")).toInt).getOrElse(1))
     // und: (src, dst), already symmetrized. Materialize once — it feeds
     // every round's join AND the initial vertex set.
     val (edges, edgeBlocks) = checkpointPinned(und)
@@ -117,11 +122,32 @@ object Corpus {
     // the join-and-compare probe (a hash-join shuffle over all vertices).
     // decimal(38,0): an ANSI Long sum could overflow at extreme vertex
     // counts; the decimal sum cannot.
-    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      // sum over zero rows is NULL: an empty edge set (no near-dup pairs
-      // in the corpus) must converge on round one, not NPE
-      Option(df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
-        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    // The probe reads the ALREADY-CHECKPOINTED labels RDD directly: the
+    // DataFrame aggregate it replaces planned an AQE query per round
+    // (partial-agg stage + single-partition exchange + final — 2 jobs
+    // of pure floor over in-memory blocks; QueryProf r21). This is one
+    // shuffle-free single-stage job: per-partition exact sums (longs
+    // with overflow spill into BigInteger — same no-overflow guarantee
+    // as the decimal(38,0) aggregate it replaces) reduced on the
+    // driver; k partition partials, not data, cross to the driver.
+    // Probe-only code: the labels DATA path stays entirely in codegen.
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigInteger = {
+      val idx = df.schema.fieldIndex("label")
+      df.queryExecution.toRdd.mapPartitions { it =>
+        var acc = 0L
+        var big = java.math.BigInteger.ZERO
+        while (it.hasNext) {
+          val v = it.next().getLong(idx)
+          val s = acc + v
+          if (((acc ^ s) & (v ^ s)) < 0) { // signed-overflow test
+            big = big.add(java.math.BigInteger.valueOf(acc)); acc = v
+          } else acc = s
+        }
+        Iterator.single(big.add(java.math.BigInteger.valueOf(acc)))
+        // empty RDD (no near-dup pairs in the corpus): fold's zero makes
+        // the probe converge on round one instead of NPE-ing
+      }.fold(java.math.BigInteger.ZERO)(_.add(_))
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
@@ -252,7 +278,7 @@ object Corpus {
           .unionByName(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
         connectedComponents(und)
           .select(col("v").as("doc_id"), col("label").as("cluster_id"))
-          .write.mode("overwrite").parquet(s"$tmp/labels")
+          .publishTo(s"$tmp/labels")
       }
       s.read.parquet(s"$dir/labels")
     }

@@ -275,6 +275,27 @@ private[graft] object IndexStore {
       fs.listStatus(path).map(_.getLen).sum
     } catch { case scala.util.control.NonFatal(_) => -1L }
 
+  /** Publish syntax for index-state writes: `df.publishTo(path)` writes
+    * parquet through an AQE `REBALANCE` so the published dir's FILE
+    * COUNT tracks its byte size instead of the builder's compute
+    * parallelism (guide §6: coalesce on write, aim for 128 MB-1 GB
+    * files). The builders repartition to defaultParallelism BEFORE
+    * their kernels — correct for decode cost, but writing at that
+    * parallelism shipped every published dir as 32 KB-scale part-files,
+    * and every consumer scan then fanned into one task per file:
+    * measured r21 (FileCountProbe, quiet window), the same
+    * aggregate over the same published rows costs 719 ms from the
+    * 32-file dir and 232 ms from a 1-file rewrite — a 3× floor on
+    * EVERY probe of EVERY published ring. At production bytes the same
+    * REBALANCE splits toward spark.sql.adaptive.advisoryPartitionSizeInBytes,
+    * so scan parallelism comes back from 128 MB splits, not file count.
+    * The rebalance shuffle moves only the state rows being published —
+    * strictly smaller than the kernel pass that produced them. */
+  implicit final class PublishSyntax(private val df: org.apache.spark.sql.DataFrame) {
+    def publishTo(path: String): Unit =
+      df.hint("REBALANCE").write.mode("overwrite").parquet(path)
+  }
+
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
   // an in-JVM delete of a published dir (RetractionSpec's wipeAll

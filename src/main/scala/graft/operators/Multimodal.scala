@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.operators.IndexStore.PublishSyntax
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video handled as opaque
@@ -558,7 +559,7 @@ object Multimodal {
     def ensureBase(s: org.apache.spark.sql.SparkSession, d: String): String =
       IndexStore.ensure(baseDirFor(d), "phash/_SUCCESS") { tmp =>
         phashFrameOver(s, docsSlice(s, d, inSlice = false))
-          .write.mode("overwrite").parquet(s"$tmp/phash")
+          .publishTo(s"$tmp/phash")
       }
 
     /** Night 1: the arriving slice's delta segment — kernel over the
@@ -566,7 +567,7 @@ object Multimodal {
     def ensureDelta(s: org.apache.spark.sql.SparkSession, d: String): String =
       IndexStore.ensure(deltaDirFor(d), "phash/_SUCCESS") { tmp =>
         phashFrameOver(s, docsSlice(s, d, inSlice = true))
-          .write.mode("overwrite").parquet(s"$tmp/phash")
+          .publishTo(s"$tmp/phash")
       }
 
     /** The served (id, phash) state: resident ∪ delta — row-identical
@@ -648,7 +649,7 @@ object Multimodal {
       IndexStore.ensure(retractDirFor(d, salt), "phash/_SUCCESS") { tmp =>
         maintained(s, d)
           .join(tombs.select(col("id")).distinct(), Seq("id"), "left_anti")
-          .write.mode("overwrite").parquet(s"$tmp/phash")
+          .publishTo(s"$tmp/phash")
       }
 
     /** Hamming radius served by [[nearDupKeepers]] — the re-encode/
@@ -895,7 +896,7 @@ object Multimodal {
         phashFrameOver(s, Tables.documents(s, d)
             .filter(pred)
             .repartition(s.sparkContext.defaultParallelism))
-          .write.mode("overwrite").parquet(s"$tmp/phash")
+          .publishTo(s"$tmp/phash")
       }
 
     private def seg0(s: org.apache.spark.sql.SparkSession, d: String): String =
@@ -914,7 +915,7 @@ object Multimodal {
         d: String): String =
       IndexStore.ensure(dirFor(d, "n2"), "phash/_SUCCESS") { tmp =>
         served(s, d, 1).filter(col("id") % TombMod =!= TombRem)
-          .write.mode("overwrite").parquet(s"$tmp/phash")
+          .publishTo(s"$tmp/phash")
       }
 
     /** The SERVED (id, phash) state at the end of `night`, chained
@@ -1044,14 +1045,14 @@ object Multimodal {
     def ensureBase(s: org.apache.spark.sql.SparkSession, d: String): String =
       IndexStore.ensure(baseDirFor(d), "phash/_SUCCESS") { tmp =>
         phashFrameOverCells(s, slice(s, d, inSlice = false), Phash64Cells)
-          .write.mode("overwrite").parquet(s"$tmp/phash")
+          .publishTo(s"$tmp/phash")
       }
 
     /** Tonight's arriving slice's delta segment. */
     def ensureDelta(s: org.apache.spark.sql.SparkSession, d: String): String =
       IndexStore.ensure(deltaDirFor(d), "phash/_SUCCESS") { tmp =>
         phashFrameOverCells(s, slice(s, d, inSlice = true), Phash64Cells)
-          .write.mode("overwrite").parquet(s"$tmp/phash")
+          .publishTo(s"$tmp/phash")
       }
 
     /** The served (id, 64-cell phash) state: resident ∪ delta. */
@@ -1208,7 +1209,7 @@ object Multimodal {
         "phash/_SUCCESS") { tmp =>
         maintained(s, d)
           .join(tombs.select(col("id")).distinct(), Seq("id"), "left_anti")
-          .write.mode("overwrite").parquet(s"$tmp/phash")
+          .publishTo(s"$tmp/phash")
       }
   }
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.operators.IndexStore.PublishSyntax
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
@@ -294,7 +295,7 @@ object Similarity {
     def ensure(s: SparkSession, d: String): DataFrame = {
       val dir = IndexStore.ensure(indexDirFor(d), "signatures/_SUCCESS") { tmp =>
         signatures(s, d)
-          .write.mode("overwrite").parquet(s"$tmp/signatures")
+          .publishTo(s"$tmp/signatures")
       }
       IndexStore.readPublished(s, s"$dir/signatures")
     }
@@ -312,7 +313,7 @@ object Similarity {
       IndexStore.ensure(baseDirFor(d), "signatures/_SUCCESS") { tmp =>
         signatures(s, d)
           .filter(col("vec_id") % IvfIncIndex.NewSliceMod =!= IvfIncIndex.NewSliceRem)
-          .write.mode("overwrite").parquet(s"$tmp/signatures")
+          .publishTo(s"$tmp/signatures")
       }
 
     /** Growth step: signature-map ONLY the new slice — cost ∝ new data. */
@@ -320,7 +321,7 @@ object Similarity {
       IndexStore.ensure(deltaDirFor(d), "signatures/_SUCCESS") { tmp =>
         signatures(s, d)
           .filter(col("vec_id") % IvfIncIndex.NewSliceMod === IvfIncIndex.NewSliceRem)
-          .write.mode("overwrite").parquet(s"$tmp/signatures")
+          .publishTo(s"$tmp/signatures")
       }
 
     /** (baseSignatures, deltaSignatures) — readers union the segments. */
@@ -419,13 +420,13 @@ object Similarity {
       model.transform(e)
         .select(col("vec_id"), col("embedding"), col("nrm"),
           col("prediction").as("cell"))
-        .write.mode("overwrite").parquet(s"$dir/assigned")
+        .publishTo(s"$dir/assigned")
       val centers = model.clusterCenters.zipWithIndex.map {
         case (c, i) => (i, c.toArray.toSeq)
       }.toSeq
       import s.implicits._
       centers.toDF("cell", "center")
-        .write.mode("overwrite").parquet(s"$dir/centroids")
+        .publishTo(s"$dir/centroids")
     }
   }
 
@@ -1039,7 +1040,7 @@ object Similarity {
             "dir by hand")
       }
       val out = IndexStore.ensure(tombDirFor(d, salt), "ids/_SUCCESS") { tmp =>
-        norm.coalesce(1).write.mode("overwrite").parquet(s"$tmp/ids")
+        norm.publishTo(s"$tmp/ids")
         // written AFTER the ids land, inside the pre-rename build dir,
         // so a published dir always carries its digest atomically
         java.nio.file.Files.write(
@@ -1174,8 +1175,8 @@ object Similarity {
         import s.implicits._
         val centroids = model.clusterCenters.zipWithIndex
           .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("cell", "center")
-        centroids.write.mode("overwrite").parquet(s"$tmp/centroids")
-        assign(base, centroids).write.mode("overwrite").parquet(s"$tmp/assigned")
+        centroids.publishTo(s"$tmp/centroids")
+        assign(base, centroids).publishTo(s"$tmp/assigned")
       }
 
     /** Growth step: assign ONLY the new slice against the frozen base
@@ -1189,7 +1190,7 @@ object Similarity {
         val newVecs = embDouble(s, d)
           .filter(col("vec_id") % NewSliceMod === NewSliceRem)
         assign(newVecs, centroids)
-          .write.mode("overwrite").parquet(s"$tmp/assigned")
+          .publishTo(s"$tmp/assigned")
       }
     }
 
@@ -1244,7 +1245,7 @@ object Similarity {
       val dd = ensureDelta(s, d)
       IndexStore.ensure(compactedDirFor(d), "assigned/_SUCCESS") { tmp =>
         IndexStore.readPublished(s, s"$bd/centroids")
-          .write.mode("overwrite").parquet(s"$tmp/centroids")
+          .publishTo(s"$tmp/centroids")
         // bound the output file count: the fold's read-side win is
         // collapsing an accumulated segment tail (a year of nightly
         // deltas is ~365 small-file dirs) into size-targeted files —
@@ -1257,7 +1258,7 @@ object Similarity {
         IndexStore.readPublished(s, s"$bd/assigned")
           .unionByName(IndexStore.readPublished(s, s"$dd/assigned"))
           .repartition(nFiles)
-          .write.mode("overwrite").parquet(s"$tmp/assigned")
+          .publishTo(s"$tmp/assigned")
       }
     }
 
@@ -1324,9 +1325,9 @@ object Similarity {
         val hot = hist.filter(_._2 > maxCellRows).keys.toSeq.sorted
         import s.implicits._
         if (hot.isEmpty) {
-          cen.write.mode("overwrite").parquet(s"$tmp/centroids")
+          cen.publishTo(s"$tmp/centroids")
           assigned.select(col("vec_id"), col("embedding"), col("cell"))
-            .write.mode("overwrite").parquet(s"$tmp/assigned")
+            .publishTo(s"$tmp/assigned")
         } else {
           val coldCenters = cen.filter(!col("cell").isInCollection(hot))
             .orderBy(col("cell")).collect().map(_.getSeq[Double](1))
@@ -1339,9 +1340,9 @@ object Similarity {
           }
           val newCen = (coldCenters ++ subCenters).zipWithIndex
             .map { case (v, i) => (i, v) }.toSeq.toDF("cell", "center")
-          newCen.write.mode("overwrite").parquet(s"$tmp/centroids")
+          newCen.publishTo(s"$tmp/centroids")
           assign(assigned.select(col("vec_id"), col("embedding")), newCen)
-            .write.mode("overwrite").parquet(s"$tmp/assigned")
+            .publishTo(s"$tmp/assigned")
         }
       }
 
@@ -1524,8 +1525,8 @@ object Similarity {
         import s.implicits._
         val centroids = model.clusterCenters.zipWithIndex
           .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("cell", "center")
-        centroids.write.mode("overwrite").parquet(s"$tmp/centroids")
-        assign(emb, centroids).write.mode("overwrite").parquet(s"$tmp/assigned")
+        centroids.publishTo(s"$tmp/centroids")
+        assign(emb, centroids).publishTo(s"$tmp/assigned")
       }
 
     /** The generation-serving POLICY as one function — which index a
@@ -1595,7 +1596,7 @@ object Similarity {
               s"${gen2DirFor(d)}${tombToken(d, RingSalt)}_monq",
               "sqdist/_SUCCESS") { tmp =>
             sqdistFromAssigned(maintained(s, d), cen1)
-              .write.mode("overwrite").parquet(s"$tmp/sqdist")
+              .publishTo(s"$tmp/sqdist")
           }
           ensureRatio(s"${gen2DirFor(d)}_$genSalt${tombToken(d, genSalt)}" +
               s"${tombToken(d, RingSalt)}_monqr")(
@@ -1606,7 +1607,7 @@ object Similarity {
               "sqdist/_SUCCESS") { tmp =>
             assignWithDist(retr(e), cen1)
               .select(col("vec_id"), col("sqdist"))
-              .write.mode("overwrite").parquet(s"$tmp/sqdist")
+              .publishTo(s"$tmp/sqdist")
           }
           ensureRatio(s"${gen2DirFor(d)}_$genSalt${tombToken(d, genSalt)}_monr")(
             ratioOfSqdist(IndexStore.readPublished(s, s"$md/sqdist")))

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.operators.IndexStore.PublishSyntax
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication operators over the `documents` table —
@@ -539,9 +540,9 @@ object TextDedup {
         // hot keeps its df: [[blocksFor]] sizes the salting from the
         // profiled max (the r14 adaptive-blocks change; layout salt l1)
         df.filter(col("df") >= hotDf).select(col("shingle"), col("df"))
-          .write.mode("overwrite").parquet(s"$tmp/hot")
+          .publishTo(s"$tmp/hot")
         df.filter(col("df") >= 2).select(col("shingle"))
-          .write.mode("overwrite").parquet(s"$tmp/matchable")
+          .publishTo(s"$tmp/matchable")
       }
       (s.read.parquet(s"$dir/hot"), s.read.parquet(s"$dir/matchable"))
     }
@@ -707,7 +708,7 @@ object TextDedup {
 
     def ensure(s: SparkSession, d: String): DataFrame = {
       val dir = IndexStore.ensure(indexDirFor(d), "bands/_SUCCESS") { tmp =>
-        bandsFrame(s, d).write.mode("overwrite").parquet(s"$tmp/bands")
+        bandsFrame(s, d).publishTo(s"$tmp/bands")
       }
       s.read.parquet(s"$dir/bands")
     }
@@ -878,7 +879,7 @@ object TextDedup {
       * impose their own order. */
     def ensure(s: SparkSession, d: String): DataFrame = {
       val dir = IndexStore.ensure(indexDirFor(d), "pairs/_SUCCESS") { tmp =>
-        lshPairs(s, d).write.mode("overwrite").parquet(s"$tmp/pairs")
+        lshPairs(s, d).publishTo(s"$tmp/pairs")
       }
       s.read.parquet(s"$dir/pairs")
     }
@@ -970,7 +971,7 @@ object TextDedup {
   def publishPairs(pairs: DataFrame, dir: String): DataFrame = {
     val s = pairs.sparkSession
     IndexStore.ensure(dir, "pairs/_SUCCESS") { tmp =>
-      pairs.write.mode("overwrite").parquet(s"$tmp/pairs")
+      pairs.publishTo(s"$tmp/pairs")
     }
     s.read.parquet(s"$dir/pairs")
   }
@@ -1842,7 +1843,7 @@ object TextDedup {
         lshPairsFromBands(docs(s, d),
             corpusBands(s, d).filter(col("doc_id") % 10 =!= 7),
             setsBytesFor(d))
-          .write.mode("overwrite").parquet(s"$tmp/pairs")
+          .publishTo(s"$tmp/pairs")
       }
       s.read.parquet(s"$dir/pairs")
     }
@@ -1862,7 +1863,7 @@ object TextDedup {
 
     def ensure(s: SparkSession, d: String): DataFrame = {
       val dir = IndexStore.ensure(indexDirFor(d), "pairs/_SUCCESS") { tmp =>
-        pairDelta(s, d).write.mode("overwrite").parquet(s"$tmp/pairs")
+        pairDelta(s, d).publishTo(s"$tmp/pairs")
       }
       s.read.parquet(s"$dir/pairs")
     }
@@ -1890,9 +1891,8 @@ object TextDedup {
   private def writeFoldedPairs(s: SparkSession, union: DataFrame,
       segDirs: Seq[String], tmp: String): Unit = {
     val total = segDirs.map(p => math.max(IndexStore.dirBytes(p), 0L)).sum
-    val nFiles = math.max(s.sparkContext.defaultParallelism,
-      math.ceil(total / (128.0 * 1024 * 1024)).toInt)
-    union.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+    val nFiles = math.max(1, math.ceil(total / (128.0 * 1024 * 1024)).toInt)
+    union.repartition(nFiles).publishTo(tmp)
   }
 
   /** N-night PROMOTION ring over the persisted pair index — the piece
@@ -1963,7 +1963,7 @@ object TextDedup {
               bands, bands.filter(col("doc_id") % 10 === SliceRems(night - 1)),
               setsBytesFor(d), avgDocBytesFor(d))
           }
-        seg.write.mode("overwrite").parquet(s"$tmp/pairs")
+        seg.publishTo(s"$tmp/pairs")
       }
 
     /** The promoted pair-index state after `night` nights — the union
@@ -2155,7 +2155,7 @@ object TextDedup {
               bands.filter(col("doc_id") % 10 === GrowRems(night - 1)),
               setsBytesFor(d), avgDocBytesFor(d))
           }
-        seg.write.mode("overwrite").parquet(s"$tmp/pairs")
+        seg.publishTo(s"$tmp/pairs")
       }
 
     private def segUnion(s: SparkSession, d: String, night: Int): DataFrame =
@@ -2184,7 +2184,7 @@ object TextDedup {
         val tombs = docs(s, d)
           .filter(col("doc_id") % TombMod === TombRem).select(col("doc_id"))
         retractPairs(served(s, d, 2), tombs)
-          .write.mode("overwrite").parquet(s"$tmp/pairs")
+          .publishTo(s"$tmp/pairs")
       }
 
     /** Night 4: the late slice grows the POST-RETRACTION state — fresh
@@ -2196,7 +2196,7 @@ object TextDedup {
         bandDelta(docs(s, d).filter(presentAt(4)), bands,
           bands.filter(col("doc_id") % 10 === LateRem),
           setsBytesFor(d), avgDocBytesFor(d))
-          .write.mode("overwrite").parquet(s"$tmp/pairs")
+          .publishTo(s"$tmp/pairs")
       }
 
     /** Delete every publication of this ring for corpus `d` —

@@ -71,8 +71,21 @@ object QueryProf {
               // executorRunTime lives in the stage's task metrics sum
               stageTaskMs.put(info.stageId,
                 Option(info.taskMetrics).map(_.executorRunTime).getOrElse(0L))
+              // the AQE materialization future hides the call site in
+              // `name`; the first graft frame in `details` names the
+              // operator that built the subplan, and the stage's RDD
+              // scopes name its physical operators (scan files, codegen
+              // units) when no graft frame exists
+              val site = Option(info.details).toSeq
+                .flatMap(_.split('\n'))
+                .find(l => l.contains("graft.") && !l.contains("QueryProf"))
+                .getOrElse {
+                  info.rddInfos.map(r =>
+                    r.scope.map(_.name).getOrElse(r.name)).distinct
+                    .mkString("[", ",", "]")
+                }.trim
               stageNames.put(info.stageId,
-                (info.name.takeWhile(_ != '\n'), info.numTasks,
+                (info.name.takeWhile(_ != '\n') + " | " + site, info.numTasks,
                   (info.completionTime.getOrElse(0L) -
                     info.submissionTime.getOrElse(0L))))
             }
@@ -97,6 +110,13 @@ object QueryProf {
           spark.sparkContext.removeSparkListener(listener)
           graft.Lifecycle.release(spark)
 
+          // bounded-drain phase split for the st* entries (plan build /
+          // stream start / await-termination) — the driver-side floor
+          // the job rows can't see
+          if (graft.streaming.Drain.lastPhases.nonEmpty) {
+            println(s"   drain: ${graft.streaming.Drain.lastPhases}")
+            graft.streaming.Drain.lastPhases = ""
+          }
           val jr = rows.toArray(Array.empty[JobRow]).sortBy(-_.ms)
           val totalJobMs = jr.map(_.ms).sum
           val totalTaskMs = stageTaskMs.values().toArray(Array.empty[java.lang.Long])

@@ -1137,9 +1137,9 @@ object ScaleSmoke {
       val roundsShort = Corpus.lastRounds
       spark.conf.set("spark.graft.cc.shortcut", "off")
       spark.conf.set("spark.graft.cc.maxRounds", "40")
-      // round-granular stepping for the counterfactual: the r21 fused
-      // double-round default would make this arm's rounds count and
-      // 40-round abort incomparable with the r17 ccskew rows
+      // round-granular stepping pinned for the counterfactual (the
+      // default is already 1, but this arm's rounds count and 40-round
+      // abort must stay r17-comparable even if the default moves)
       spark.conf.set("spark.graft.cc.roundsPerSync", "1")
       val t0p = System.nanoTime()
       val outcome =
