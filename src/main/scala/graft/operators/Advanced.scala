@@ -1215,7 +1215,24 @@ object Advanced {
 
   private[graft] def bpeTrain(s: SparkSession, d: String,
       iters: Int = BpeIters): (Seq[(Int, String, Long)], DataFrame) = {
-    var seqs = bpeSeqInit(s, d).localCheckpoint()
+    // The corpus-sized vocab collapse runs on the CALLER's session (AQE
+    // coalescing earns its keep there); the k merge ROUNDS run over
+    // vocab-sized state and are moved to the static-planning loop child
+    // when the measured state is small (LoopExec doc — the same gate as
+    // connectedComponents: per round, one job instead of one per AQE
+    // stage materialization). Round state checkpoints are LAZY: the next
+    // round's single-row argmax collect is the materializing action, so
+    // each round costs exactly one action end to end.
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val seqs0 = bpeSeqInit(s, d).localCheckpoint()
+    val pinned = s.sparkContext.getPersistentRDDs.collect {
+      case (id, r) if !before.contains(id) => r
+    }.toSeq
+    val stateBytes = LoopExec.pinnedBytes(s.sparkContext, pinned)
+    val staticLoop = stateBytes >= 0 && stateBytes <= LoopExec.staticMaxBytes(s)
+    val loopSess = if (staticLoop)
+      LoopExec.session(s, LoopExec.partitionsFor(s, stateBytes)) else s
+    var seqs = if (staticLoop) LoopExec.bridge(loopSess, seqs0) else seqs0
     val merges = Seq.newBuilder[(Int, String, Long)]
     var exhausted = false
     for (step <- 1 to iters if !exhausted) {
@@ -1235,13 +1252,17 @@ object Advanced {
       merges += ((step, pair, cnt))
       val Array(l, r) = pair.split(" ", 2)
       // literal (non-regex) replace — both engines scan left-to-right
-      // without overlap, BPE's greedy order; no metachar quoting needed
+      // without overlap, BPE's greedy order; no metachar quoting needed.
+      // Lazy checkpoint: the next round's argmax collect materializes it
+      // (one action per round; lineage still cut per round).
       seqs = seqs.withColumn("seq",
           replace(col("seq"), lit(s" $l  $r "), lit(s" $l$r ")))
-        .localCheckpoint()
+        .localCheckpoint(false)
       }
     }
-    (merges.result(), seqs)
+    // hand the final state back on the caller's session — v05/v06
+    // compose corpus-scale plans over it under the caller's conf
+    (merges.result(), if (staticLoop) LoopExec.bridge(s, seqs) else seqs)
   }
 
   /** The shared DuckDB CTE chain of the BPE loop — tok → words → seq0 →
@@ -1422,7 +1443,18 @@ object Advanced {
       rounds: Int = BpeBatchRounds, b: Int = BpeBatchB,
       window: Int = BpeBatchWindow)
       : (Seq[(Int, Int, String, Long)], DataFrame) = {
-    var seqs = bpeSeqInit(s, d).localCheckpoint()
+    // loop placement + lazy per-round checkpoints: same design (and same
+    // measured-bytes gate) as [[bpeTrain]] — see the comment there
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val seqs0 = bpeSeqInit(s, d).localCheckpoint()
+    val pinned = s.sparkContext.getPersistentRDDs.collect {
+      case (id, r) if !before.contains(id) => r
+    }.toSeq
+    val stateBytes = LoopExec.pinnedBytes(s.sparkContext, pinned)
+    val staticLoop = stateBytes >= 0 && stateBytes <= LoopExec.staticMaxBytes(s)
+    val loopSess = if (staticLoop)
+      LoopExec.session(s, LoopExec.partitionsFor(s, stateBytes)) else s
+    var seqs = if (staticLoop) LoopExec.bridge(loopSess, seqs0) else seqs0
     val merges = Seq.newBuilder[(Int, Int, String, Long)]
     var exhausted = false
     for (step <- 1 to rounds if !exhausted) {
@@ -1445,10 +1477,10 @@ object Advanced {
           val Array(l, r) = p.split(" ", 2)
           replace(c, lit(s" $l  $r "), lit(s" $l$r "))
         }
-        seqs = seqs.withColumn("seq", applied).localCheckpoint()
+        seqs = seqs.withColumn("seq", applied).localCheckpoint(false)
       }
     }
-    (merges.result(), seqs)
+    (merges.result(), if (staticLoop) LoopExec.bridge(s, seqs) else seqs)
   }
 
   /** Batched-BPE gate — [[bpeTrainBatched]]'s merge table and top-20

@@ -31,15 +31,24 @@ object Corpus {
 
   // ------------------------------------------------------- t11: dup clusters
 
-  /** Eager localCheckpoint + handles to the RDD blocks it pinned, so a
+  /** localCheckpoint + handles to the RDD blocks it pinned, so a
     * superseded round's blocks can be freed mid-iteration.
     * `Dataset.unpersist` only clears catalog-cache entries; checkpoint
     * blocks live as persisted RDDs, reachable via
-    * `SparkContext.getPersistentRDDs` — diff around the (eager) call. */
-  private def checkpointPinned(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    * `SparkContext.getPersistentRDDs` — diff around the call (the
+    * persist mark registers at mark time for lazy checkpoints too).
+    * `eager = false` defers materialization to the caller's FIRST ACTION
+    * on the returned frame — the CC loop's convergence probe doubles as
+    * the materializing action, fusing what was a separate count job per
+    * round into the probe job (r21, guide §2.4: one fewer barrier per
+    * round; Spark self-heals a partial materialization by recomputing
+    * missing partitions at job end, and the probe computes every
+    * partition anyway). */
+  private def checkpointPinned(df: DataFrame, eager: Boolean = true)
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val out = df.localCheckpoint() // eager: blocks materialize here
+    val out = df.localCheckpoint(eager)
     val pinned = sc.getPersistentRDDs.collect {
       case (id, r) if !before.contains(id) => r
     }.toSeq
@@ -110,11 +119,39 @@ object Corpus {
       sess.conf.get("spark.graft.cc.roundsPerSync",
         sys.env.getOrElse("SPARK_GRAFT_CC_RPS", "1")).toInt).getOrElse(1))
     // und: (src, dst), already symmetrized. Materialize once — it feeds
-    // every round's join AND the initial vertex set.
-    val (edges, edgeBlocks) = checkpointPinned(und)
+    // every round's join AND the initial vertex set. This first
+    // checkpoint stays on the CALLER's session (AQE on): the edge KERNEL
+    // pass is corpus-sized work that wants coalescing.
+    val (edgesParent, edgeBlocks) = checkpointPinned(und)
+    // Loop placement by MEASURED state bytes (r21, guide §1/§2.4 — see
+    // LoopExec doc): small checkpointed state runs its rounds on the
+    // static-planning child session (one job per round instead of one
+    // per AQE stage materialization); big state stays here, where AQE's
+    // skew-join splitting earns its per-stage barriers. SHUFFLE_HASH is
+    // hinted only on the static path — the planner has no stats for
+    // checkpointed state and would sort-merge every round; on the AQE
+    // path strategy choice is left to the runtime as before.
+    val edgeBytes = LoopExec.pinnedBytes(sess.sparkContext, edgeBlocks)
+    val staticLoop = edgeBytes >= 0 && edgeBytes <= LoopExec.staticMaxBytes(sess)
+    lastStatic = staticLoop
+    val loopSess = if (staticLoop)
+      LoopExec.session(sess, LoopExec.partitionsFor(sess, edgeBytes))
+    else sess
+    // src/dst are non-null by construction (symmetrized id pairs); the
+    // EXPLICIT filter exists so the optimizer's null-filter inference
+    // adds nothing — the shortcut join's two agg copies otherwise end
+    // up with ASYMMETRIC inferred isnotnull filters (the build copy
+    // needs isnotnull(dst) through its join key, the probe copy does
+    // not), their exchanges stop being canonically equal, ReuseExchange
+    // stops deduping them, and every round computes the propagate join
+    // TWICE (observed in the r21 static-plan probe; same latent risk on
+    // the AQE path).
+    val edges = (if (staticLoop) LoopExec.bridge(loopSess, edgesParent)
+      else edgesParent)
+      .filter(col("src").isNotNull && col("dst").isNotNull)
     var (labels, labelBlocks) = checkpointPinned(
       edges.select(col("src").as("v")).distinct()
-        .withColumn("label", col("v")))
+        .withColumn("label", col("v")), eager = false)
     // Convergence probe: labels are MONOTONE under min-propagation (a
     // vertex's label can only decrease, the vertex set is fixed), so the
     // label sum is strictly decreasing until the fixpoint — sum unchanged
@@ -153,8 +190,12 @@ object Corpus {
     var rounds = 0
     // ONE propagate + (optional) shortcut round as a lazy plan — the
     // loop below fuses `roundsPerSync` of these per materialization.
-    def round(lbl: DataFrame): DataFrame = {
-      val prop = edges.join(lbl, edges("src") === lbl("v"))
+    def round(lbl0: DataFrame): DataFrame = {
+      // explicit non-null (true by construction) for the same
+      // ReuseExchange reason as the edges filter above
+      val lbl = lbl0.filter(col("v").isNotNull && col("label").isNotNull)
+      val rhs = if (staticLoop) lbl.hint("SHUFFLE_HASH") else lbl
+      val prop = edges.join(rhs, edges("src") === rhs("v"))
         .select(edges("dst").as("v"), col("label"))
       val agg = lbl.unionByName(prop)
         .groupBy(col("v")).agg(min(col("label")).as("label"))
@@ -164,10 +205,12 @@ object Corpus {
       // deduped by ReuseExchange — the round pays the two join
       // exchanges, and buys rounds ∝ log diameter.
       if (!shortcut) agg
-      else agg.join(
-          agg.select(col("v").as("lv"), col("label").as("label2")),
-          col("label") === col("lv"))
-        .select(col("v"), col("label2").as("label"))
+      else {
+        val lookup0 = agg.select(col("v").as("lv"), col("label").as("label2"))
+        val lookup = if (staticLoop) lookup0.hint("SHUFFLE_HASH") else lookup0
+        agg.join(lookup, col("label") === col("lv"))
+          .select(col("v"), col("label2").as("label"))
+      }
     }
     while (!converged) {
       rounds += roundsPerSync
@@ -177,7 +220,9 @@ object Corpus {
             "(spark.graft.cc.maxRounds is a measurement knob)")
       val stepped = (1 until roundsPerSync).foldLeft(round(labels))(
         (lbl, _) => round(lbl))
-      val (next, nextBlocks) = checkpointPinned(stepped) // cut lineage: iterative joins stack plans
+      // cut lineage (iterative joins stack plans); lazy — the probe
+      // below is the materializing action, one job for round + probe
+      val (next, nextBlocks) = checkpointPinned(stepped, eager = false)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -189,7 +234,11 @@ object Corpus {
     }
     edgeBlocks.foreach(_.unpersist(blocking = false))
     lastRounds = rounds
-    labels
+    // hand the result back on the CALLER's session: consumers compose
+    // further plans (and join corpus-scale frames) under the caller's
+    // conf, not the loop child's. The labels blocks are materialized
+    // (the final probe ran), so the bridge shares them without copying.
+    if (staticLoop) LoopExec.bridge(sess, labels) else labels
   }
 
   /** Rounds the last [[connectedComponents]] run took to converge —
@@ -198,6 +247,11 @@ object Corpus {
     * its extra per-round shuffle; it halves ROUNDS, so it only pays
     * when measured diameter is deep). Never consulted by the engine. */
   @volatile private[graft] var lastRounds: Int = 0
+
+  /** Whether the last [[connectedComponents]] run took the static-loop
+    * path (LoopExec byte gate) — diagnostic only, read by LoopExecSpec
+    * to prove both paths are exercised. Never consulted by the engine. */
+  @volatile private[graft] var lastStatic: Boolean = false
 
   /** Near-duplicate CLUSTERS from the t06/t07 pair stream: connected
     * components over jaccard >= 0.6 edges, each doc labeled with the
