@@ -134,9 +134,8 @@ object Corpus {
     val edgeBytes = LoopExec.pinnedBytes(sess.sparkContext, edgeBlocks)
     val staticLoop = edgeBytes >= 0 && edgeBytes <= LoopExec.staticMaxBytes(sess)
     lastStatic = staticLoop
-    val loopSess = if (staticLoop)
-      LoopExec.session(sess, LoopExec.partitionsFor(sess, edgeBytes))
-    else sess
+    val loopParts = LoopExec.partitionsFor(sess, edgeBytes)
+    val loopSess = if (staticLoop) LoopExec.session(sess, loopParts) else sess
     // src/dst are non-null by construction (symmetrized id pairs); the
     // EXPLICIT filter exists so the optimizer's null-filter inference
     // adds nothing — the shortcut join's two agg copies otherwise end
@@ -146,7 +145,16 @@ object Corpus {
     // stops deduping them, and every round computes the propagate join
     // TWICE (observed in the r21 static-plan probe; same latent risk on
     // the AQE path).
-    val edges = (if (staticLoop) LoopExec.bridge(loopSess, edgesParent)
+    // materialize WIDE, iterate NARROW: the edge KERNEL pass above runs
+    // at whatever parallelism the producer chose (e.g. mm11's 32-way
+    // banded verify), but the loop's per-round map stages re-read the
+    // edge blocks EVERY round — at producer width that is width×rounds
+    // task launches of tiny work (measured +0.4 s on mm11 when the
+    // producer went 32-wide). coalesce to the byte-derived loop width:
+    // a narrow dependency (no shuffle), paid once per round at loop
+    // width instead.
+    val edges = (if (staticLoop)
+        LoopExec.bridge(loopSess, edgesParent).coalesce(loopParts)
       else edgesParent)
       .filter(col("src").isNotNull && col("dst").isNotNull)
     var (labels, labelBlocks) = checkpointPinned(

@@ -70,17 +70,24 @@ private[graft] object LoopExec {
 
   /** Loop shuffle-partition count DERIVED from measured state bytes
     * (guide §2: partitioning from input size, not a constant tuned to
-    * either local mode or a cluster): one partition per 32 MB of state,
+    * either local mode or a cluster): one partition per 8 MB of state,
     * rounded up to a power of two, capped at the parent's own shuffle
     * setting. Without AQE's runtime coalescing this is the static
     * equivalent: a KB-scale bench loop gets 1 partition (a round is a
     * handful of tasks, not 8 exchanges × parent-partition launches of
     * empty work — the measured 40× task-time inflation of the first r21
-    * attempt), while a gate-limit 256 MB state gets 8 × 32 MB. */
+    * attempt). The divisor is COMPUTE-sized, not shuffle-sized: a loop
+    * round is join/agg work proportional to state, and an 8 MB slice of
+    * (long, long) edge rows is ~500k join probes per task per round —
+    * sizing at a shuffle-efficiency number (first attempt: 32 MB) left
+    * ScaleSmoke's ccskew adversary (58 MB of edges, 12 rounds) running
+    * its rounds 2-wide on a 32-core host — measured 50.1 s vs the
+    * 23.5 s r17 record; at 8 MB (8 partitions) it re-converged in
+    * 25.9 s, back inside the noise band (OPTIMIZATION_r21.md). */
   def partitionsFor(parent: SparkSession, stateBytes: Long): Int = {
     val parentParts = scala.util.Try(
       parent.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(32)
-    val want = math.max(1L, (stateBytes + (32L << 20) - 1) / (32L << 20))
+    val want = math.max(1L, (stateBytes + (8L << 20) - 1) / (8L << 20))
     val pow2 = java.lang.Long.highestOneBit(math.max(1L, want * 2 - 1))
     math.min(parentParts.toLong, pow2).toInt
   }

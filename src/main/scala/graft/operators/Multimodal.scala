@@ -715,6 +715,14 @@ object Multimodal {
       // (PlanDump r19: three Exchanges over the same agg)
       nearDupKeepersFrom(
         state.groupBy(col("phash")).agg(min(col("id")).as("min_id"))
+          // un-coalesce before pinning: AQE shrinks the KB-scale hash
+          // aggregate to ONE partition, and the banded verify stage
+          // (stream side of the broadcast band join) inherits it — a
+          // single task then runs the whole bit_count(xor) verify
+          // (QueryProf r21: 400 ms serialized on mm11's profile). The
+          // explicit spread costs one keyspace-bounded exchange and
+          // parallelizes the verify for all three branches of the pin.
+          .repartition(state.sparkSession.sparkContext.defaultParallelism)
           .localCheckpoint(), maxDist)
 
     /** The VERIFIED radius-`maxDist` neighbor pairs over an aggregated
@@ -1590,6 +1598,9 @@ object Multimodal {
     (s, d) => {
       val state = MediaIndex.maintained(s, d)
       val perHash = state.groupBy(col("phash")).agg(min(col("id")).as("min_id"))
+        // un-coalesced before the pin so the banded verify parallelizes
+        // (see nearDupKeepers) — the frame is keyspace-bounded
+        .repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint() // feeds the pair matcher (3 branches) + the short-hash arm
       val keepers = MediaIndex.chainKeepersFrom(perHash)
       state.join(broadcast(keepers), Seq("phash"))
@@ -1744,6 +1755,9 @@ object Multimodal {
       val perHash3 = MediaSoakRing.served(s, d, 3)
         .groupBy(col("phash"))
         .agg(min(col("id")).as("min_id"), count(lit(1)).as("n_media"))
+        // un-coalesced before the pin so the banded verify parallelizes
+        // (see nearDupKeepers) — keyspace-bounded at this width
+        .repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint()
       val near = MediaIndex.nearDupKeepersFrom(
           perHash3.select(col("phash"), col("min_id")))

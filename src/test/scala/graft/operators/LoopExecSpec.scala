@@ -61,9 +61,9 @@ class LoopExecSpec extends SparkSpec {
   test("loop partition count derives from state bytes, capped at the parent") {
     // parent test session runs 4 shuffle partitions
     assert(LoopExec.partitionsFor(spark, 0L) == 1)
-    assert(LoopExec.partitionsFor(spark, 32L << 20) == 1)
-    assert(LoopExec.partitionsFor(spark, (32L << 20) + 1) == 2)
-    assert(LoopExec.partitionsFor(spark, 100L << 20) == 4)
+    assert(LoopExec.partitionsFor(spark, 8L << 20) == 1)
+    assert(LoopExec.partitionsFor(spark, (8L << 20) + 1) == 2)
+    assert(LoopExec.partitionsFor(spark, 25L << 20) == 4)
     assert(LoopExec.partitionsFor(spark, 10L << 30) == 4) // parent cap
     val s2 = LoopExec.session(spark, 2)
     assert(s2.conf.get("spark.sql.adaptive.enabled") == "false")
