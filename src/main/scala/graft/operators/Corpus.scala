@@ -157,9 +157,25 @@ object Corpus {
         LoopExec.bridge(loopSess, edgesParent).coalesce(loopParts)
       else edgesParent)
       .filter(col("src").isNotNull && col("dst").isNotNull)
-    var (labels, labelBlocks) = checkpointPinned(
+    // Loop-state pin: lazy checkpoint, and on the static path RE-WRAP
+    // the checkpointed frame through the bridge. Dataset.localCheckpoint
+    // preserves the physical plan's outputPartitioning inside its
+    // LogicalRDD — partitioning expressions that carry ATTRIBUTE IDS,
+    // which the analyzer re-mints per self-join clone, so the two
+    // RDDScanExecs over the SAME blocks stop being canonically equal and
+    // ReuseExchange silently stops deduping the shortcut join's agg copy
+    // (r21 static-plan probe: only the edges exchange — whose frame came
+    // through the partitioning-free bridge — was reused; the label and
+    // agg exchanges computed twice per round). The bridge wrap drops the
+    // preserved partitioning (worthless here: every round re-shuffles)
+    // and restores the dedup.
+    def pinState(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val (ck, blocks) = checkpointPinned(df, eager = false)
+      (if (staticLoop) LoopExec.bridge(loopSess, ck) else ck, blocks)
+    }
+    var (labels, labelBlocks) = pinState(
       edges.select(col("src").as("v")).distinct()
-        .withColumn("label", col("v")), eager = false)
+        .withColumn("label", col("v")))
     // Convergence probe: labels are MONOTONE under min-propagation (a
     // vertex's label can only decrease, the vertex set is fixed), so the
     // label sum is strictly decreasing until the fixpoint — sum unchanged
@@ -230,7 +246,7 @@ object Corpus {
         (lbl, _) => round(lbl))
       // cut lineage (iterative joins stack plans); lazy — the probe
       // below is the materializing action, one job for round + probe
-      val (next, nextBlocks) = checkpointPinned(stepped, eager = false)
+      val (next, nextBlocks) = pinState(stepped)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

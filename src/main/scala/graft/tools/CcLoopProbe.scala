@@ -27,8 +27,9 @@ object CcLoopProbe {
     def oneRound(sess: SparkSession, hintShj: Boolean): Unit = {
       val edges = graft.operators.LoopExec.bridge(sess, edgesParent)
         .filter(col("src").isNotNull && col("dst").isNotNull)
-      val lbl0 = edges.select(col("src").as("v")).distinct()
-        .withColumn("label", col("v")).localCheckpoint()
+      val lbl0 = graft.operators.LoopExec.bridge(sess,
+          edges.select(col("src").as("v")).distinct()
+            .withColumn("label", col("v")).localCheckpoint())
         .filter(col("v").isNotNull && col("label").isNotNull)
       val rhs = if (hintShj) lbl0.hint("SHUFFLE_HASH") else lbl0
       val prop = edges.join(rhs, edges("src") === rhs("v"))
