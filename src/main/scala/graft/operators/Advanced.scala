@@ -5,6 +5,7 @@ import graft.functions.Exact._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import graft.operators.IndexStore.PublishSyntax
+import graft.operators.Fanout.SpreadSyntax
 import org.apache.spark.sql.functions._
 
 /** Second-ring operators: windowed analytics, multi-level aggregates,
@@ -153,7 +154,7 @@ object Advanced {
       import graft.functions.TextFunctions._
       val st = textStats(col("text"))
       val base = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism) // spread per-row work
+        .spreadByBytes // spread per-row work
         .select(col("doc_id"),
           st.getField("quality").as("quality"),
           st.getField("pred_lang").as("pred_lang"),
@@ -996,7 +997,7 @@ object Advanced {
     (s, d) => {
       import graft.functions.TextFunctions._
       val occ = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .spreadByBytes
         .select(col("source"), explode(tokens(col("text"))).as("tok"))
       // ONE corpus pass: the global vocab and totals roll up from the
       // per-source aggregate by linearity. localCheckpoint materializes

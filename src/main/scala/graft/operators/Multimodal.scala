@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import graft.operators.IndexStore.PublishSyntax
+import graft.operators.Fanout.SpreadSyntax
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video handled as opaque
@@ -286,7 +287,7 @@ object Multimodal {
     (s, d) => {
       import s.implicits._
       val media = mediaFromDocuments(
-          Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
+          Tables.documents(s, d).spreadByBytes)
         .as[MediaRow]
       extractFeatures(media)
         .toDF()
@@ -330,7 +331,7 @@ object Multimodal {
     (s, d) => {
       import s.implicits._
       val media = mediaFromDocuments(
-          Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
+          Tables.documents(s, d).spreadByBytes)
         .as[MediaRow]
       media.mapPartitions { rows =>
         rows.flatMap { r =>
@@ -373,7 +374,7 @@ object Multimodal {
     (s, d) => {
       import s.implicits._
       val media = mediaFromDocuments(
-          Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
+          Tables.documents(s, d).spreadByBytes)
         .as[MediaRow]
       media.mapPartitions { rows =>
         rows.flatMap { r =>
@@ -475,7 +476,7 @@ object Multimodal {
   private[operators] def phashFrame(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
     phashFrameOver(s,
-      Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
+      Tables.documents(s, d).spreadByBytes)
 
   /** [[phashFrame]] over an EXPLICIT documents frame — the body
     * [[MediaIndex]]'s slice-proportional segment builds share with the
@@ -552,7 +553,7 @@ object Multimodal {
       // its own rows, never the corpus (the pushed scan carries the
       // predicate — the t34 delta-cost contract)
       Tables.documents(s, d).filter(pred)
-        .repartition(s.sparkContext.defaultParallelism)
+        .spreadByBytes
     }
 
     /** Night 0: the resident segment (everything but tonight's slice). */
@@ -903,7 +904,7 @@ object Multimodal {
         // segment contract)
         phashFrameOver(s, Tables.documents(s, d)
             .filter(pred)
-            .repartition(s.sparkContext.defaultParallelism))
+            .spreadByBytes)
           .publishTo(s"$tmp/phash")
       }
 
@@ -1046,7 +1047,7 @@ object Multimodal {
       // filter BEFORE the kernel (the MediaIndex segment contract):
       // a segment build's decode cost is ∝ its own rows
       wideCorpus(s, d).filter(pred)
-        .repartition(s.sparkContext.defaultParallelism)
+        .spreadByBytes
     }
 
     /** Resident segment (everything but tonight's arriving slice). */
@@ -1848,7 +1849,7 @@ object Multimodal {
       import s.implicits._
       val media = mediaFromDocuments(
           Tables.documents(s, d).filter(col("doc_id") % 3 === 1)
-            .repartition(s.sparkContext.defaultParallelism))
+            .spreadByBytes)
         .as[MediaRow]
       media.mapPartitions { rows =>
         rows.map { r =>

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.operators.IndexStore.PublishSyntax
+import graft.operators.Fanout.SpreadSyntax
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
@@ -60,7 +61,7 @@ object Similarity {
       // at real scale the many-file scan provides this for free, but the
       // pairwise stream side must always be partitioned to the cores doing
       // the compute, not to the input's file count.
-      .repartition(s.sparkContext.defaultParallelism)
+      .spreadByBytes
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
       .select(col("vec_id"), col("embedding"),
@@ -1122,7 +1123,7 @@ object Similarity {
     private def embDouble(s: SparkSession, d: String): DataFrame = {
       graft.functions.VectorExpressions.register(s)
       Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .spreadByBytes
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("embedding"))
     }
@@ -1762,7 +1763,7 @@ object Similarity {
         transform(col(vecCol), x => x.cast("double")).as(eAs))
       .select(col(idAs), col(eAs), sqrt(dot(col(eAs), col(eAs))).as(nAs))
     val q = normed(queries, "query_id", "qe", "qn")
-    val c = normed(corpus.repartition(s.sparkContext.defaultParallelism),
+    val c = normed(corpus.spreadByBytes,
       "neighbor_id", "ne", "nn")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -2105,7 +2106,7 @@ object Similarity {
   private[graft] def shiftedEmb(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     Tables.embeddings(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .spreadByBytes
       .select(col("vec_id"),
         when(col("vec_id") % IvfIncIndex.NewSliceMod === IvfIncIndex.NewSliceRem,
           transform(col("embedding"), x => x.cast("double") + lit(0.75)))
@@ -2370,7 +2371,7 @@ object Similarity {
       val retracted = annRetract(IvfIncIndex.maintained(s, d), tombs)
       val cen = IndexStore.readPublished(s, s"${IvfIncIndex.baseDirFor(d)}/centroids")
       val late = Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .spreadByBytes
         .filter(col("vec_id") % 7 === 2)
         .select((col("vec_id") + lit(10000000L)).as("vec_id"),
           transform(col("embedding"), x => x.cast("double") + lit(0.25))

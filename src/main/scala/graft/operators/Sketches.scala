@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.operators.Fanout.SpreadSyntax
 import org.apache.spark.sql.functions._
 
 /** Mergeable-sketch operators — the approximate corpus-statistics family
@@ -57,7 +58,7 @@ object Sketches {
   private[operators] def tokenStream(s: SparkSession, docsDf: DataFrame): DataFrame = {
     graft.functions.TextExpressions.register(s)
     docsDf
-      .repartition(s.sparkContext.defaultParallelism) // parallelism (see shingleIndex)
+      .spreadByBytes // parallelism (see shingleIndex)
       .select(explode(call_function("graft_tokens", col("text"))).as("tok"))
   }
 
@@ -272,7 +273,7 @@ object Sketches {
   def hllDistinctBySource(s: SparkSession, d: String): DataFrame = {
     graft.functions.TextExpressions.register(s)
     val shs = graft.Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .spreadByBytes
       .select(col("source"),
         explode(call_function("graft_shingles", col("text"))).as("shingle"))
     val regs = hllRegistersBy(shs, "source",

@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.operators.IndexStore.PublishSyntax
+import graft.operators.Fanout.SpreadSyntax
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication operators over the `documents` table —
@@ -108,7 +109,7 @@ object TextDedup {
   private[graft] def shingleIndex(s: SparkSession, d: String): DataFrame = {
     graft.functions.TextExpressions.register(s)
     docs(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .spreadByBytes
       .select(col("doc_id"),
         explode(call_function("graft_shingles", col("text"))).as("shingle"))
   }
@@ -130,7 +131,7 @@ object TextDedup {
     val s = src.sparkSession
     graft.functions.TextExpressions.register(s)
     val sets = src
-      .repartition(s.sparkContext.defaultParallelism) // parallelism (see shingleIndex)
+      .spreadByBytes // parallelism (see shingleIndex)
       .select(col("doc_id"), call_function("graft_shingles", col("text")).as("sh"))
     // (measured: caching this is slower than recomputing both branches —
     // columnar-cache materialization breaks codegen fusion. The native
@@ -360,7 +361,7 @@ object TextDedup {
     // once per document total; the join-group count IS the
     // intersection size because the index is distinct per doc.
     val sh = docs(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .spreadByBytes
       .select(col("doc_id"),
         explode(call_function("graft_shingles_n", col("text"))).as("sh"))
       .select(col("doc_id"), col("sh.shingle").as("shingle"), col("sh.n").as("n"))
@@ -497,7 +498,7 @@ object TextDedup {
   private[graft] def shingleFrame(s: SparkSession, d: String): DataFrame = {
     graft.functions.TextExpressions.register(s)
     docs(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .spreadByBytes
       .select(col("doc_id"),
         explode(call_function("graft_shingles_n", col("text"))).as("sh"))
       .select(col("doc_id"), col("sh.shingle").as("shingle"), col("sh.n").as("n"))
@@ -683,7 +684,7 @@ object TextDedup {
     val s = src.sparkSession
     graft.functions.TextExpressions.register(s)
     src
-      .repartition(s.sparkContext.defaultParallelism)
+      .spreadByBytes
       .select(col("doc_id") +: carry.map(col) :+
         posexplode(call_function("graft_minhash_bands", col("text")))
           .as(Seq("band_idx", "band_hash")): _*)
@@ -1049,7 +1050,7 @@ object TextDedup {
       // per-row signature kernel: no explode + 60-vote aggregate shuffle;
       // bit-parity with the aggregate formulation pinned in the spec
       val sig = docs(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .spreadByBytes
         .select(col("doc_id"),
           call_function("graft_simhash60", col("text")).as("sig"))
         .filter(col("sig").isNotNull)
@@ -1423,7 +1424,7 @@ object TextDedup {
       val toks = docs(s, d)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .filter(size(col("toks")) > 0)
-        .repartition(s.sparkContext.defaultParallelism)
+        .spreadByBytes
       val spans = toks.select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0),
@@ -1641,7 +1642,7 @@ object TextDedup {
     import org.apache.spark.sql.expressions.Window
     graft.functions.TextExpressions.register(s)
     val psh = docs(s, d)
-      .repartition(s.sparkContext.defaultParallelism) // parallelism (see shingleIndex)
+      .spreadByBytes // parallelism (see shingleIndex)
       .select(col("doc_id"),
         posexplode(call_function("graft_pos_shingles", col("text")))
           .as(Seq("pos", "sh")))
@@ -1757,7 +1758,7 @@ object TextDedup {
     (s, d) => {
       val bigrams = docs(s, d)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .repartition(s.sparkContext.defaultParallelism)
+        .spreadByBytes
         .filter(size(col("toks")) >= 2)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(toks) - 2)," +
