@@ -194,11 +194,30 @@ object Corpus {
     // Probe-only code: the labels DATA path stays entirely in codegen.
     def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigInteger = {
       val idx = df.schema.fieldIndex("label")
+      // The read below hits the raw InternalRow slot: an accessor of the
+      // wrong width would silently sum garbage and could falsely signal
+      // convergence — so the type is dispatched explicitly and anything
+      // non-integral fails loud (r21 ADVICE; the guard immediately
+      // caught mm11's 16-bit-phash INT labels riding the previously
+      // hardcoded getLong). Labels are non-null by construction (they
+      // start as `v` itself and every round min-aggregates over inner
+      // joins), but the ANALYZED schema may still say nullable — so
+      // nulls are trapped per row rather than asserted away here.
+      val isLong = df.schema(idx).dataType match {
+        case org.apache.spark.sql.types.LongType => true
+        case org.apache.spark.sql.types.IntegerType => false
+        case other => throw new IllegalArgumentException(
+          s"connectedComponents probe needs an integral label, got $other")
+      }
       df.queryExecution.toRdd.mapPartitions { it =>
         var acc = 0L
         var big = java.math.BigInteger.ZERO
         while (it.hasNext) {
-          val v = it.next().getLong(idx)
+          val row = it.next()
+          if (row.isNullAt(idx))
+            throw new IllegalStateException(
+              "connectedComponents probe saw a NULL label — loop invariant broken")
+          val v = if (isLong) row.getLong(idx) else row.getInt(idx).toLong
           val s = acc + v
           if (((acc ^ s) & (v ^ s)) < 0) { // signed-overflow test
             big = big.add(java.math.BigInteger.valueOf(acc)); acc = v

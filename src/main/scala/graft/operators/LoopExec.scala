@@ -59,6 +59,23 @@ private[graft] object LoopExec {
         .filter(!_.sparkContext.isStopped)
         .getOrElse {
           val s2 = parent.newSession()
+          // Inherit the parent's RUNTIME session conf: newSession() only
+          // sees SparkContext-time conf, so a caller-set ANSI mode /
+          // session timezone / tuning override would otherwise plan under
+          // different SQL semantics on the static path than on the AQE
+          // path it must stay physically equivalent to (r21 ADVICE). Only
+          // modifiable keys are copied (static confs cannot move and are
+          // already shared via the context); keys already equal are
+          // skipped. The snapshot is taken ONCE at child creation — the
+          // memo never refreshes an existing child, so parent conf
+          // mutations after a loop has run do not propagate (acceptable:
+          // the engine mains never mutate session conf mid-run; a caller
+          // that does gets a fresh child by changing the partition count
+          // or session).
+          parent.conf.getAll.foreach { case (k, v) =>
+            if (s2.conf.isModifiable(k) && !s2.conf.getOption(k).contains(v))
+              scala.util.Try(s2.conf.set(k, v))
+          }
           // static planning: one job per action, stages pipelined by the
           // DAG scheduler, no per-exchange materialization barriers
           s2.conf.set("spark.sql.adaptive.enabled", "false")

@@ -1007,6 +1007,14 @@ object Multimodal {
       * not per call. */
     private val idBoundChecked =
       java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    // an in-JVM delete-and-rebuild of a corpus dir must re-run the
+    // collision guard: a rebuilt corpus whose doc_ids now reach
+    // TwinIdOffset would otherwise silently pass a check done against
+    // the old content (r21 ADVICE — mirrors the IndexStore schemaCache
+    // invalidation)
+    graft.Lifecycle.onDelete { p =>
+      idBoundChecked.removeIf(k => k == p || k.startsWith(p + "/")); ()
+    }
 
     /** documents ∪ deterministic near-twins — the 64-bit ring's corpus.
       * Twin ids live at original + [[TwinIdOffset]]: a corpus whose real

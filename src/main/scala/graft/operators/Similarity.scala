@@ -999,8 +999,10 @@ object Similarity {
 
     /** Publish instance `salt`'s tombstone set (takedowns/opt-outs) as
       * a ring artifact — publish-once, atomic, metadata-sized (one
-      * distinct id column, single file: a takedown batch is never
-      * corpus-shaped). Idempotent on an IDENTICAL re-publish (the
+      * distinct id column; file count tracks bytes via publishTo's
+      * REBALANCE — one file for any plausible batch, more only past the
+      * advisory size; readers and the DIGEST compare are layout-blind).
+      * Idempotent on an IDENTICAL re-publish (the
       * [[IndexStore.ensure]] contract); LOUD on a conflicting one:
       * ensure() no-ops against a warm store, which previously let a
       * second, different takedown batch return "success" while its ids
@@ -1247,18 +1249,15 @@ object Similarity {
       IndexStore.ensure(compactedDirFor(d), "assigned/_SUCCESS") { tmp =>
         IndexStore.readPublished(s, s"$bd/centroids")
           .publishTo(s"$tmp/centroids")
-        // bound the output file count: the fold's read-side win is
-        // collapsing an accumulated segment tail (a year of nightly
-        // deltas is ~365 small-file dirs) into size-targeted files —
-        // floored at the parallelism so a small compacted index never
-        // costs the probe its scan splits
-        val totalBytes = math.max(IndexStore.dirBytes(s"$bd/assigned"), 0L) +
-          math.max(IndexStore.dirBytes(s"$dd/assigned"), 0L)
-        val nFiles = math.max(s.sparkContext.defaultParallelism,
-          math.ceil(totalBytes / (128.0 * 1024 * 1024)).toInt)
+        // output file sizing is publishTo's REBALANCE (file count tracks
+        // bytes via advisoryPartitionSizeInBytes): the fold's read-side
+        // win is collapsing an accumulated segment tail (a year of
+        // nightly deltas is ~365 small-file dirs) into size-targeted
+        // files. An explicit repartition(nFiles) here was DEAD CODE —
+        // Catalyst's CollapseRepartition removes a repartition under the
+        // rebalance hint (r21 ADVICE) — so it is gone, not restored.
         IndexStore.readPublished(s, s"$bd/assigned")
           .unionByName(IndexStore.readPublished(s, s"$dd/assigned"))
-          .repartition(nFiles)
           .publishTo(s"$tmp/assigned")
       }
     }

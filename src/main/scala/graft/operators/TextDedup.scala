@@ -1884,17 +1884,14 @@ object TextDedup {
       tail.sum.toDouble >= Similarity.IvfIncIndex.CompactRatio * bb
   }
 
-  /** The size-targeted folded WRITE shared by both rings' fold step:
-    * ~128 MB output files, floored at the parallelism (the
-    * [[Similarity.IvfIncIndex.ensureCompacted]] convention), so a year
-    * of small nightly files collapses without costing the probe its
-    * scan splits. */
-  private def writeFoldedPairs(s: SparkSession, union: DataFrame,
-      segDirs: Seq[String], tmp: String): Unit = {
-    val total = segDirs.map(p => math.max(IndexStore.dirBytes(p), 0L)).sum
-    val nFiles = math.max(1, math.ceil(total / (128.0 * 1024 * 1024)).toInt)
-    union.repartition(nFiles).publishTo(tmp)
-  }
+  /** The folded WRITE shared by both rings' fold step. File sizing is
+    * publishTo's REBALANCE (count tracks bytes via
+    * advisoryPartitionSizeInBytes) — an explicit repartition(nFiles)
+    * here was DEAD CODE, removed by Catalyst's CollapseRepartition
+    * under the rebalance hint (r21 ADVICE), so it is gone rather than
+    * kept as a sizing that never applied. */
+  private def writeFoldedPairs(union: DataFrame, tmp: String): Unit =
+    union.publishTo(tmp)
 
   /** N-night PROMOTION ring over the persisted pair index — the piece
     * that closes the maintenance LOOP (r14 VERDICT slate #1): c04
@@ -2024,9 +2021,7 @@ object TextDedup {
       * scan splits. */
     def ensureFolded(s: SparkSession, d: String): String =
       IndexStore.ensure(foldedDirFor(d), "pairs/_SUCCESS") { tmp =>
-        writeFoldedPairs(s, ensure(s, d, SliceRems.size),
-          (0 to SliceRems.size).map(k => s"${stateDirFor(d, k)}/pairs"),
-          s"$tmp/pairs")
+        writeFoldedPairs(ensure(s, d, SliceRems.size), s"$tmp/pairs")
       }
 
     /** The maintained reader view of the ring's final state: the folded
@@ -2172,9 +2167,7 @@ object TextDedup {
 
     private def ensureFolded(s: SparkSession, d: String): String =
       IndexStore.ensure(dirFor(d, "fold2"), "pairs/_SUCCESS") { tmp =>
-        writeFoldedPairs(s, segUnion(s, d, GrowRems.size),
-          (0 to GrowRems.size).map(k => s"${dirFor(d, s"n$k")}/pairs"),
-          s"$tmp/pairs")
+        writeFoldedPairs(segUnion(s, d, GrowRems.size), s"$tmp/pairs")
       }
 
     /** Night 3: tombstones retracted from night 2's SERVED layout

@@ -252,7 +252,11 @@ class OperatorsSpec extends SparkSpec {
     // name); a benign planner/AQE exchange-count change must not fail it
     assert("hashpartitioning".r.findAllIn(lp).length <= 5, s"plan:\n$lp")
     assert(hx(TextDedup.t07.fn(spark, sf)) == 0)
-    assert(hx(TextDedup.t08.fn(spark, sf)) == 1)
+    // t08's one remaining exchange (the chunk-hash clustering) is ELIDED
+    // outright when the byte-derived kernel width is 1 at spec scale — a
+    // SinglePartition child satisfies the clustering requirement, so
+    // EnsureRequirements adds no shuffle. Upper bound, same spirit as lp's.
+    assert(hx(TextDedup.t08.fn(spark, sf)) <= 1)
   }
 
   test("decontamination broadcasts the benchmark shingle side") {
