@@ -50,12 +50,18 @@ private[graft] object Fanout {
   /** The width [[spread]] would use for `df` (exposed for specs). */
   def widthFor(df: DataFrame): Int = {
     val s = df.sparkSession
-    val cap = math.max(1, s.sparkContext.defaultParallelism)
-    val perTask = math.max(1L, bytesPerTask(s))
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     // BigInt: unknown-stats frames report huge defaults — clamp, hit the cap
-    val bytes =
-      if (est.isValidLong) math.max(0L, est.toLong) else Long.MaxValue
+    widthForBytes(s, if (est.isValidLong) math.max(0L, est.toLong) else Long.MaxValue)
+  }
+
+  /** The width for a KNOWN byte count — for frames whose planner stats
+    * are blind (a streaming relation inside a drain) but whose source
+    * bytes the caller measured on disk. */
+  def widthForBytes(s: org.apache.spark.sql.SparkSession, bytes: Long): Int = {
+    val cap = math.max(1, s.sparkContext.defaultParallelism)
+    if (bytes < 0) return cap // unknown — the old width, never a serialized kernel
+    val perTask = math.max(1L, bytesPerTask(s))
     val want = ((bytes + perTask - 1) / perTask) max 1L
     math.min(cap.toLong, want).toInt
   }

@@ -760,11 +760,22 @@ object SourcesStreaming {
           .option("pathGlobFilter", "documents.parquet")
           .parquet(d)
           // the file source hands each batch's file to ONE task; fan the
-          // corpus out to the full executor width BEFORE the token
-          // kernel or the whole CMS update serializes on a single core
-          // (addBatch 1.9s -> 0.94s at sf0.1). The shuffle moves raw doc
-          // rows once — negligible against the kernel it parallelizes.
-          .repartition(s2.sparkContext.defaultParallelism)
+          // corpus out BEFORE the token kernel or the whole CMS update
+          // serializes on a single core (addBatch 1.9s -> 0.94s at
+          // sf0.1). Width is byte-derived like every kernel fan-out
+          // (r22, Fanout doc) — a streaming relation has no planner
+          // stats, so the source file's on-disk bytes price it, times 16
+          // because this kernel is ~16x denser per input byte than the
+          // text kernels the divisor was tuned on (CmsDepth=4 md5
+          // digests per token + a 4-way posexplode). Width A/B at sf0.1
+          // (kernel stage wall / taskTimeSum): w32 559 ms / 16.6 s,
+          // w12 726 ms / 7.7 s, w3 814 ms / 2.3 s — this kernel wants
+          // every core even on 600 KB, so the x16 pricing keeps the full
+          // width here while staying byte-derived (and therefore narrow)
+          // at the tiny gate SFs. The shuffle moves raw doc rows once —
+          // negligible against the kernel it parallelizes.
+          .repartition(Fanout.widthForBytes(s2,
+            16L * IndexStore.dirBytes(s"$d/documents.parquet")))
           .select(explode(call_function("graft_tokens", col("text"))).as("tok"))
           .select(posexplode(array((0 until Sketches.CmsDepth).map(i =>
             Sketches.cmsBucket(i, col("tok"))): _*)).as(Seq("rw", "bucket")))

@@ -2,6 +2,7 @@ package graft.tools
 
 import graft.Lifecycle
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Dev-only A/B harness for plan variants, timed the way Bench times
   * (min of two cold runs after a warmup, Lifecycle.release outside the
@@ -9,13 +10,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * round rewrites this file with the variants under decision, keeping
   * the losing production form as a re-runnable baseline.
   *
-  * r22: pick `spark.graft.kernel.bytesPerTask` (the [[graft.operators.Fanout]]
-  * divisor) for the kernel fan-outs that replaced the core-count
-  * repartitions. bytesPerTask=1 reproduces the legacy width (cap =
-  * defaultParallelism); large values drive the width toward 1. Each
-  * variant runs the PRODUCTION query body — only the conf moves.
+  * r22 experiment 2 (experiment 1 — the kernel bytesPerTask divisor —
+  * is in git history at commit 31f35de): width of the 16-bit banded
+  * hamming verify's per-hash pin (the r21 §7 repartition that
+  * un-coalesces the KB-scale aggregate so the broadcast band join's
+  * stream side parallelizes). QueryProf shows the verify stage at 32
+  * tasks × ~570 ms executor time in st11/c10 — the same
+  * inflated-per-task signature the kernel fan-outs had. This times the
+  * verify in isolation per width.
   *
-  * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.Tune [entrySubstr]"
+  * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.Tune"
   */
 object Tune {
   def main(args: Array[String]): Unit = {
@@ -28,7 +32,6 @@ object Tune {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val only = args.headOption
 
     def timeMin(name: String)(f: => DataFrame): Double = {
       def once: Double = {
@@ -44,28 +47,54 @@ object Tune {
       dt
     }
 
-    val entries = Seq(
-      "t33_oov_novelty", "v03_source_divergence", "sk03_bloom_decon",
-      "t32_span_dedup", "t06_jaccard_pairs", "sk05_hll_by_source",
-      "sk01_cms_topk", "t34_pair_index_delta", "t26_chunk_dedup",
-      "t10_tfidf_topterms", "t08_simhash_pairs", "v02_pmi_bigrams")
-      .filter(n => only.forall(n.contains))
-    val qs = graft.SparkEntry.queries
-
-    // widths at sf0.1 (~600 KB documents): 1 B/task -> 32 (legacy),
-    // 16k -> 32+, 64k -> ~9, 150k -> 4, 300k -> 2, 1 MB -> 1
-    val divisors = Seq(128L << 10, 150L << 10, 200L << 10)
-    val totals = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
-    entries.foreach { n =>
-      val fn = qs(n)
-      divisors.foreach { bpt =>
-        spark.conf.set("spark.graft.kernel.bytesPerTask", bpt.toString)
-        totals(bpt) += timeMin(s"$n bpt=$bpt")(fn(spark, d))
-      }
-      spark.conf.unset("spark.graft.kernel.bytesPerTask")
+    args.headOption match {
+      case Some("verify16") =>
+        // r22 experiment 2: width of the 16-bit banded verify's per-hash
+        // pin. RESULT (sf0.1/c32): w1 0.752s, w2 0.597s, w4 0.518s,
+        // w8 0.744s, w16 1.044s, w32 0.542s — flat within host noise;
+        // the pin width moves task-time sums (3-18s) but not wall. Left
+        // at defaultParallelism (r21 §7's setting).
+        import graft.operators.Multimodal.MediaIndex
+        val state = MediaIndex.maintained(spark, d)
+        val hashes = state.select(col("phash")).distinct().count()
+        println(s"distinct hashes: $hashes")
+        Lifecycle.release(spark)
+        Seq(1, 2, 4, 8, 16, 32).foreach { w =>
+          timeMin(s"verify16_pin_w$w") {
+            val perHash = MediaIndex.maintained(spark, d)
+              .groupBy(col("phash")).agg(min(col("id")).as("min_id"))
+              .repartition(w)
+              .localCheckpoint()
+            MediaIndex.nearDupKeepersFrom(perHash)
+          }
+        }
+      case _ =>
+        // r22 experiment 3: AQE coalescePartitions.parallelismFirst —
+        // Spark's docs recommend false in production (coalesce to the
+        // advisory size, not to the core count). A/B over shuffle-heavy
+        // catalog entries; the conf is runtime-settable.
+        val entries = Seq(
+          "t06_jaccard_pairs", "q12_window_topk", "q25_window_suite",
+          "e01_sessionization", "s01_cosine_pairs", "t10_tfidf_topterms",
+          "q14_pricing_summary", "v02_pmi_bigrams", "t32_span_dedup",
+          "mm11_phash_chain_clusters", "st05_stream_cms",
+          "st09_stream_join_subkeyed")
+        val qs = graft.SparkEntry.queries
+        val totals = scala.collection.mutable.Map.empty[String, Double]
+          .withDefaultValue(0.0)
+        entries.foreach { n =>
+          val fn = qs(n)
+          Seq("true", "false").foreach { pf =>
+            spark.conf.set(
+              "spark.sql.adaptive.coalescePartitions.parallelismFirst", pf)
+            totals(pf) += timeMin(s"$n pfirst=$pf")(fn(spark, d))
+          }
+          spark.conf.unset(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst")
+        }
+        println(f"\nTOTALS: pfirst=true ${totals("true")}%.3f  " +
+          f"pfirst=false ${totals("false")}%.3f")
     }
-    println("\nTOTALS per bytesPerTask:")
-    divisors.foreach(bpt => println(f"  bpt=$bpt%8d  ${totals(bpt)}%7.3fs"))
     spark.stop()
   }
 }
