@@ -145,18 +145,34 @@ object Corpus {
     // stops deduping them, and every round computes the propagate join
     // TWICE (observed in the r21 static-plan probe; same latent risk on
     // the AQE path).
-    // materialize WIDE, iterate NARROW: the edge KERNEL pass above runs
-    // at whatever parallelism the producer chose (e.g. mm11's 32-way
-    // banded verify), but the loop's per-round map stages re-read the
-    // edge blocks EVERY round — at producer width that is width×rounds
-    // task launches of tiny work (measured +0.4 s on mm11 when the
-    // producer went 32-wide). coalesce to the byte-derived loop width:
-    // a narrow dependency (no shuffle), paid once per round at loop
-    // width instead.
-    val edges = (if (staticLoop)
-        LoopExec.bridge(loopSess, edgesParent).coalesce(loopParts)
-      else edgesParent)
-      .filter(col("src").isNotNull && col("dst").isNotNull)
+    // materialize WIDE, iterate PRE-PARTITIONED (r22; the r21 shape
+    // iterated narrow via coalesce): the edge KERNEL pass above runs at
+    // whatever parallelism the producer chose, but the edge FRAME never
+    // changes across rounds — yet every round's propagate join was
+    // re-shuffling it by src (one O(E) exchange per round, visible as
+    // `Exchange hashpartitioning(src)` in plans/r21/cc_round_static_
+    // after.txt). The static path now pays that shuffle ONCE: bridge to
+    // the loop session, hash-repartition by the propagate key at the
+    // byte-derived loop width, and checkpoint THAT layout —
+    // Dataset.localCheckpoint preserves the physical outputPartitioning
+    // in its LogicalRDD, so every round's join sees hash(src, loopParts)
+    // already satisfied and EnsureRequirements adds no edges exchange
+    // (guide §2.4 remove shuffles outright). The labels INIT rides the
+    // same partitioning for free (its distinct keys on v = src). The
+    // attribute-remint hazard that forced the labels' partitioning-FREE
+    // re-wrap (see pinState) does not apply here: edges appear once per
+    // round plan, never as a self-join clone. The explicit isNotNull
+    // filter is baked into the materialized rows; the inference the
+    // filter used to pre-empt lands above the single edges scan and is
+    // harmless there.
+    val (edges, loopEdgeBlocks) =
+      if (staticLoop) checkpointPinned(
+        LoopExec.bridge(loopSess, edgesParent)
+          .filter(col("src").isNotNull && col("dst").isNotNull)
+          .repartition(loopParts, col("src")))
+      else
+        (edgesParent.filter(col("src").isNotNull && col("dst").isNotNull),
+          Seq.empty[org.apache.spark.rdd.RDD[_]])
     // Loop-state pin: lazy checkpoint, and on the static path RE-WRAP
     // the checkpointed frame through the bridge. Dataset.localCheckpoint
     // preserves the physical plan's outputPartitioning inside its
@@ -276,6 +292,7 @@ object Corpus {
       labelBlocks = nextBlocks
     }
     edgeBlocks.foreach(_.unpersist(blocking = false))
+    loopEdgeBlocks.foreach(_.unpersist(blocking = false))
     lastRounds = rounds
     // hand the result back on the CALLER's session: consumers compose
     // further plans (and join corpus-scale frames) under the caller's

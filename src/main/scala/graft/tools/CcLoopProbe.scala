@@ -1,10 +1,14 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** r21 diagnostic: explain + time ONE static-session CC round vs the
-  * AQE-session round, on the t11 pair graph. Measurement-only. */
+/** r21/r22 diagnostic: explain + time ONE static-session CC round vs
+  * the AQE-session round, on the t11 pair graph. r22 adds the
+  * PRE-PARTITIONED edges variant (the production static shape): edges
+  * hash-repartitioned by src once and checkpointed with partitioning
+  * preserved, so the round's propagate join should plan NO exchange on
+  * the edges side. Measurement-only. */
 object CcLoopProbe {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,9 +28,7 @@ object CcLoopProbe {
     val edgesParent = und.localCheckpoint()
     println(s"edges rows=${edgesParent.count()}")
 
-    def oneRound(sess: SparkSession, hintShj: Boolean): Unit = {
-      val edges = graft.operators.LoopExec.bridge(sess, edgesParent)
-        .filter(col("src").isNotNull && col("dst").isNotNull)
+    def oneRound(sess: SparkSession, edges: DataFrame, hintShj: Boolean): Unit = {
       val lbl0 = graft.operators.LoopExec.bridge(sess,
           edges.select(col("src").as("v")).distinct()
             .withColumn("label", col("v")).localCheckpoint())
@@ -41,18 +43,30 @@ object CcLoopProbe {
       val out = agg.join(lookup, col("label") === col("lv"))
         .select(col("v"), col("label2").as("label"))
       println(out.queryExecution.executedPlan.toString.take(4000))
-      for (i <- 1 to 3) {
+      for (_ <- 1 to 3) {
         val t0 = System.nanoTime()
         val n = out.count()
         println(f"  round count=$n dt=${(System.nanoTime() - t0) / 1e6}%.0fms")
       }
     }
-    println("\n===== STATIC session (sized), SHUFFLE_HASH hints =====")
-    oneRound(graft.operators.LoopExec.session(spark, 1), hintShj = true)
+    val sessS = graft.operators.LoopExec.session(spark, 1)
+    println("\n===== STATIC session, PRE-PARTITIONED edges (r22 production shape) =====")
+    val edgesPre = graft.operators.LoopExec.bridge(sessS, edgesParent)
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(1, col("src"))
+      .localCheckpoint()
+    oneRound(sessS, edgesPre, hintShj = true)
+    println("\n===== STATIC session, bridged-narrow edges (r21 shape) =====")
+    oneRound(sessS,
+      graft.operators.LoopExec.bridge(sessS, edgesParent).coalesce(1)
+        .filter(col("src").isNotNull && col("dst").isNotNull),
+      hintShj = true)
     println("\n===== PARENT session (AQE) =====")
-    oneRound(spark, hintShj = false)
+    oneRound(spark,
+      edgesParent.filter(col("src").isNotNull && col("dst").isNotNull),
+      hintShj = false)
     println("\n===== full connectedComponents timing =====")
-    for (i <- 1 to 3) {
+    for (_ <- 1 to 3) {
       val und2 = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
         .unionByName(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
       val t0 = System.nanoTime()
